@@ -1,0 +1,83 @@
+"""J8 / J9 — as-of joins.
+
+Reference semantics:
+- *backward* (J8): per ``id_base``, pick the latest site.json whose date
+  ≤ the item's date (support/catalog.py:123-188 getForPrevDate/_getForDate,
+  used gs_json_standard.py:75, gs_ready.py:123).
+- *forward* (J9): pick the *closest future* unit-data snapshot ≥ date
+  (support/unitdata.py:40-63; docs/datasrc_wt.md:58).
+
+Spark-first design: a range-condition join + per-left-row best-match
+selection via row_number.  The dimension side (site files / unit-data
+snapshots: one row per (entity, day)) is tiny relative to fact data, so
+it is broadcast and the join is shuffle-free on the fact side; the
+row_number partitions by a synthetic left-row id, which AQE handles
+without a global sort.  For a dimension too big to broadcast, drop the
+broadcast hint and the same plan degrades to one sort-merge join — still
+no driver loop (the reference's bisect search, support/catalog.py:63-74,
+is subsumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    how: str = "left",
+    tolerance=None,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Join each left row to the single right row closest in time.
+
+    direction="backward": right_ts ≤ left_ts, pick max(right_ts) (J8).
+    direction="forward":  right_ts ≥ left_ts, pick min(right_ts) (J9).
+    ``tolerance``: optional max time distance (Column interval expr).
+    ``how``: "left" keeps unmatched left rows; "inner" drops them.
+
+    Right value columns keep their names unless they collide with a left
+    column, in which case they get a ``_right`` suffix.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    right_cols = [c for c in right.columns if c not in on]
+    r = right.select(*on, *[F.col(c).alias(f"_r_{c}") for c in right_cols])
+    ts_col = f"_r_{right_ts}"
+
+    if direction == "backward":
+        cond = F.col(ts_col) <= F.col(left_ts)
+        if tolerance is not None:
+            cond = cond & (F.col(ts_col) >= F.col(left_ts) - tolerance)
+        order = F.col(ts_col).desc()
+    else:
+        cond = F.col(ts_col) >= F.col(left_ts)
+        if tolerance is not None:
+            cond = cond & (F.col(ts_col) <= F.col(left_ts) + tolerance)
+        order = F.col(ts_col).asc()
+
+    left_tagged = left.withColumn("_l_uid", F.monotonically_increasing_id())
+    jc = cond
+    for k in on:
+        jc = (left_tagged[k] == r[k]) & jc
+    rside = F.broadcast(r) if broadcast_right else r
+    joined = left_tagged.join(rside, jc, "left")
+
+    w = Window.partitionBy("_l_uid").orderBy(order)
+    best = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    for k in on:
+        best = best.drop(r[k])
+    out = best.drop("_rn", "_l_uid")
+    if how == "inner":
+        out = out.filter(F.col(ts_col).isNotNull())
+    for c in right_cols:
+        target = c if c not in left.columns else f"{c}_right"
+        out = out.withColumnRenamed(f"_r_{c}", target)
+    return out

@@ -1,0 +1,1071 @@
+"""The engine's query surface — one entry per operator family from
+SURVEY.md §2, re-expressed over the driver's TPC-H-ish tables, each with
+a DuckDB-runnable oracle SQL string (see __spark_entry__.py).
+
+Parity rules (every query obeys all of them):
+- session timezone pinned to UTC (DuckDB timestamps are UTC-naive);
+- every computed column aliased identically in Spark and SQL;
+- doubles rounded identically on both sides (sums 2dp, ratios/avgs 6dp);
+- computed integral columns cast to BIGINT on both sides (Spark window
+  ranks are int, DuckDB's are bigint).
+
+Each query's docstring names the SURVEY.md §2 operator(s) it covers and
+the reference file:line it derives from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.functions.datetime_fns import floor_15min_epoch, timebin_15min
+from atd_data_lake_spark.operators.asof import asof_join
+from atd_data_lake_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from atd_data_lake_spark.operators.fuzzy import levenshtein_ratio
+from atd_data_lake_spark.operators.incremental import incremental_plan
+from atd_data_lake_spark.operators.similarity import cosine_topk, lsh_topk
+from atd_data_lake_spark.operators.text import STOPWORDS, profile_documents
+from atd_data_lake_spark.operators.windows import (
+    daily_cumulative,
+    first_seen_rank,
+    latest_per_group,
+    trailing_avg,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from atd_data_lake_spark.io.reader import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+# All source numerics are 2-decimal doubles.  For hash-exact oracle parity,
+# aggregates sum in DECIMAL (exact, order-independent), cast to double, and
+# only then apply double ops + round — identical bit patterns on any engine
+# regardless of partitioning/summation order.  D2 is sized to the data
+# (max |value| < 1e6) so products stay inside decimal(38,_) on both engines.
+D2 = "decimal(12,2)"
+
+
+def _dsum(col) -> F.Column:
+    """Exact decimal sum of a 2-dp double column, emitted as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(D2)).cast("double")
+
+
+def _cents_sum(col) -> F.Column:
+    """Exact integer sum of a 2-dp double column, in cents (bigint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum((c.cast(D2) * 100).cast("long"))
+
+
+def _avg_hu(cents_col: str, n_col: str, k: int) -> F.Column:
+    """Decimal-HALF_UP average at k places from integer cents + count —
+    pure integer arithmetic, so Spark and DuckDB produce the identical
+    double.  (round(double,k) itself diverges between engines on shortest-
+    repr ties: Spark rounds the decimal string, DuckDB the binary value.)
+    """
+    scale = 10 ** (k - 2)  # cents → k decimal places
+    return F.expr(
+        f"CAST(({cents_col} * {2 * scale} + {n_col}) div (2 * {n_col}) AS DOUBLE)"
+        f" / CAST({10**k} AS DOUBLE)"
+    )
+
+
+#: the same construction, for oracle SQL strings (DuckDB // is floor div;
+#: all summands here are positive so floor == toward-zero)
+def _avg_hu_sql(cents_expr: str, n_expr: str, k: int) -> str:
+    scale = 10 ** (k - 2)
+    return (
+        f"(({cents_expr} * {2 * scale} + {n_expr}) // (2 * {n_expr})) / {10**k}.0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship + aggregation family
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary.  Covers A1-family
+    multi-aggregate groupBy (gs_ready_agg.py:69-92 is the reference's
+    flagship aggregation) + P4 date predicate pushdown."""
+    l = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(D2)
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    one_plus_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")
+    grouped = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+            F.round(_dsum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(ep * one_minus_disc).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(ep * one_minus_disc * one_plus_tax).cast("double"), 2).alias(
+                "sum_charge"
+            ),
+            _cents_sum("l_quantity").alias("_qty_cents"),
+            _cents_sum("l_extendedprice").alias("_price_cents"),
+            _cents_sum("l_discount").alias("_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        _avg_hu("_qty_cents", "count_order", 6).alias("avg_qty"),
+        _avg_hu("_price_cents", "count_order", 6).alias("avg_price"),
+        _avg_hu("_disc_cents", "count_order", 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       {_avg_hu_sql("qty_cents", "count_order", 6)} AS avg_qty,
+       {_avg_hu_sql("price_cents", "count_order", 6)} AS avg_price,
+       {_avg_hu_sql("disc_cents", "count_order", 6)} AS avg_disc,
+       count_order
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                         * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2)
+               AS sum_charge,
+           sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS qty_cents,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS price_cents,
+           sum(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+)
+"""
+
+
+def a1_tumbling_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's flagship 15-min tumbling aggregation
+    (gs_ready_agg.py:69-92: volume=size, avg, sample-std→0 fill, round 3).
+    Window start emitted as epoch seconds for engine-neutral comparison."""
+    e = _t(spark, sf_dir, "events")
+    v2 = F.col("value").cast(D2)
+    grouped = (
+        e.groupBy(floor_15min_epoch("ts").alias("win_start"), "event_type")
+        .agg(
+            F.count("*").alias("volume"),
+            _cents_sum("value").alias("_cents"),
+            F.sum(v2).cast("double").alias("_sx"),
+            F.sum(v2 * v2).cast("double").alias("_sxx"),
+        )
+    )
+    n = F.col("volume").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - 1)
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(0.0)
+    return grouped.select(
+        "win_start",
+        "event_type",
+        "volume",
+        _avg_hu("_cents", "volume", 3).alias("value_avg"),
+        F.round(std, 3).alias("value_std"),
+    )
+
+
+# sample stddev derived from exact decimal sums so both engines compute the
+# identical double (Spark stddev_samp ≡ this formula; the reference's pandas
+# std is also sample stddev, gs_ready_agg.py:80-83)
+A1_SQL = f"""
+SELECT win_start, event_type, volume,
+       {_avg_hu_sql("cents", "volume", 3)} AS value_avg,
+       round(CASE WHEN n > 1 THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0))
+                  ELSE 0.0 END, 3) AS value_std
+FROM (
+    SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS win_start, event_type,
+           count(*) AS volume,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+    FROM events GROUP BY 1, 2
+)
+"""
+
+
+def a2_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-day record counts (wt_mssql_db.py:62-74)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+
+
+A2_SQL = "SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1"
+
+
+def a3_sensor_daily_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-sensor daily obs: count, min ts, max ts, value sum
+    (bt_json_standard.py:146-157, wt_json_standard.py:111-121)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_obs"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(_dsum("value"), 2).alias("value_sum"),
+    )
+
+
+A3_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_obs,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def a5_first_seen_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — daily-reset first-seen counter (bt_extract_soc.py:73-91),
+    deterministic dense_rank variant (SURVEY.md §7.4)."""
+    e = _t(spark, sf_dir, "events")
+    ranked = first_seen_rank(e, entity_col="user_id", ts_col="ts")
+    return (
+        ranked.select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+            F.col("seen_rank").cast("long").alias("seen_rank"),
+        )
+        .distinct()
+    )
+
+
+A5_SQL = """
+SELECT day, user_id,
+       dense_rank() OVER (PARTITION BY day ORDER BY first_ts, user_id) AS seen_rank
+FROM (
+    SELECT CAST(ts AS DATE) AS day, user_id, min(ts) AS first_ts
+    FROM events GROUP BY 1, 2
+)
+"""
+
+
+def a6_trailing_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — 7-day trailing mean of per-sensor daily totals
+    (util/perfmet_knack.py:114-158, SAMPLE_DAYS=7)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(_dsum("value"), 6).alias("daily_value")
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = Window.partitionBy("user_id").orderBy(epoch_day).rangeBetween(-6, 0)
+    # exact decimal window sum / window count → identical doubles on both
+    # engines regardless of DuckDB's segment-tree vs Spark's streaming frame
+    expected = F.round(
+        F.sum(F.col("daily_value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count("*").over(w),
+        6,
+    )
+    return daily.select("user_id", "day", "daily_value", expected.alias("expected"))
+
+
+A6_SQL = """
+SELECT user_id, day, daily_value,
+       round(CAST(sum(CAST(daily_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS expected
+FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 6) AS daily_value
+    FROM events GROUP BY 1, 2
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def a7_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — latest row per group (perfmet_knack.py:141-142)."""
+    e = _t(spark, sf_dir, "events")
+    return latest_per_group(
+        e, group_cols=["user_id"], order_col="ts", tiebreak=["event_id"]
+    ).select("user_id", F.col("event_id").alias("last_event_id"), F.col("event_type").alias("last_event_type"))
+
+
+A7_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def w1_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — running per-day total (the WT dailyCumulative column,
+    docs/datasrc_wt.md:15-21), as a rows-unbounded-preceding window."""
+    e = _t(spark, sf_dir, "events").withColumn("_v", F.col("value").cast(D2))
+    out = daily_cumulative(
+        e, entity_col="user_id", ts_col="ts", value_col="_v", tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("daily_cumulative").cast("double"), 6).alias("daily_cumulative"),
+    )
+
+
+W1_SQL = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+           PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS daily_cumulative
+FROM events
+"""
+
+
+def o2_latest_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 — latest-item-per-key selection (catalog orderBy desc LIMIT 1,
+    support/catalog.py:245-263; SELECT TOP 1 wt_mssql_db.py:46-60)."""
+    e = _t(spark, sf_dir, "events")
+    return latest_per_group(
+        e, group_cols=["event_type"], order_col="ts", tiebreak=["event_id"]
+    ).select("event_type", F.col("ts").alias("ts_max"), F.col("event_id").alias("last_event_id"))
+
+
+O2_SQL = """
+SELECT event_type, ts AS ts_max, event_id AS last_event_id
+FROM (
+    SELECT event_type, ts, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def o1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family — top-k per group: 5 highest-value orders per market
+    segment (publish-ordering analog of bt_ready.py:108-122)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+O1_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+def j1_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the incremental anti-join engine loop (support/last_update.py:79-121):
+    source items not yet covered by the target — here, orders with no
+    lineitem yet."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderdate
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def j2_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J4 — fact-to-dimension broadcast enrichment (bt_ready.py:104-108,
+    wt_ready.py:99-103): lineitem enriched with supplier nation, revenue
+    per nation."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(D2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+J2_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def j3_double_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — double enrichment (origin+destination joins, bt_ready.py:112-118):
+    lineitem joined to both part and supplier dimensions."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+J3_SQL = """
+SELECT p_brand, n_name, count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
+"""
+
+
+def j7_semi_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — semi-join pruning (bt_ready.py:110-111: keep only devices
+    referenced by data): customers with ≥1 1996 order, counted per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+J7_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def j8_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — backward as-of join (support/catalog.py:123-188 getForPrevDate):
+    each event matched to the user's latest order dated ≤ the event."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = asof_join(
+        e, o, on=["user_id"], left_ts="ts", right_ts="o_orderdate", direction="backward"
+    )
+    return out.select("event_id", F.col("o_orderdate").alias("last_order_date"))
+
+
+J8_SQL = """
+SELECT e.event_id, max(o.o_orderdate) AS last_order_date
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id
+"""
+
+
+def j9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — forward as-of join (support/unitdata.py:40-63: closest *future*
+    snapshot): for each error event, the user's next purchase event."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        direction="forward",
+    )
+    return out.select("event_id", F.col("purchase_ts").alias("next_purchase_ts"))
+
+
+J9_SQL = """
+SELECT e.event_id, min(p.ts) AS next_purchase_ts
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts >= e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+def j10_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — fuzzy entity-resolution join (gs_ready.py:134-215): each
+    supplier resolved to its best-matching customer name within the same
+    nation by similarity ratio (SQL-expressible levenshtein variant; the
+    difflib-exact variant is exercised in tests)."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    scored = (
+        s.join(F.broadcast(c), s.s_nationkey == c.c_nationkey)
+        .withColumn(
+            "ratio", F.round(levenshtein_ratio(F.col("s_name"), F.col("c_name")), 6)
+        )
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(
+        F.col("ratio").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_suppkey", F.col("c_custkey").alias("matched_custkey"), "ratio")
+    )
+
+
+J10_SQL = """
+SELECT s_suppkey, c_custkey AS matched_custkey, ratio
+FROM (
+    SELECT s_suppkey, c_custkey, ratio,
+           row_number() OVER (PARTITION BY s_suppkey
+                              ORDER BY ratio DESC, c_custkey ASC) AS rn
+    FROM (
+        SELECT s_suppkey, c_custkey,
+               round(CASE WHEN greatest(length(s_name), length(c_name)) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(s_name, c_name)
+                           / CAST(greatest(length(s_name), length(c_name)) AS DOUBLE)
+                     END, 6) AS ratio
+        FROM supplier JOIN customer ON s_nationkey = c_nationkey
+    )
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection / scalar family
+# ---------------------------------------------------------------------------
+
+
+def p4_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — date-range predicate pushed to the parquet scan
+    (catalog_postgrest.py:56-68; verified via .explain PushedFilters)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(_dsum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+P4_SQL = """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def p12_case_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — chained when()/otherwise() normalization
+    (gs_agg_extract_soc.py:78-104: Southbound→SOUTHBOUND, S→THRU...)."""
+    e = _t(spark, sf_dir, "events")
+    category = (
+        F.when(F.col("event_type") == "purchase", "CONVERSION")
+        .when(F.col("event_type") == "signup", "CONVERSION")
+        .when(F.col("event_type") == "click", "ENGAGEMENT")
+        .when(F.col("event_type") == "view", "ENGAGEMENT")
+        .otherwise("OTHER")
+    )
+    return e.groupBy(category.alias("category")).agg(
+        F.count("*").alias("n"), F.round(_dsum("value"), 2).alias("value_sum")
+    )
+
+
+P12_SQL = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'CONVERSION'
+            WHEN event_type = 'signup' THEN 'CONVERSION'
+            WHEN event_type = 'click' THEN 'ENGAGEMENT'
+            WHEN event_type = 'view' THEN 'ENGAGEMENT'
+            ELSE 'OTHER' END AS category,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+def p13_derived_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — derived threshold flag (heavy_vehicle = length ≥ 17,
+    gs_ready_agg.py:70): high_value = value ≥ 100."""
+    e = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("value") >= 100, 1).otherwise(0).cast("long")
+    grouped = e.groupBy(flag.alias("high_value")).agg(
+        F.count("*").alias("n"), _cents_sum("value").alias("_cents")
+    )
+    return grouped.select(
+        "high_value", "n", _avg_hu("_cents", "n", 6).alias("value_avg")
+    )
+
+
+P13_SQL = f"""
+SELECT high_value, n, {_avg_hu_sql("cents", "n", 6)} AS value_avg
+FROM (
+    SELECT CAST(CASE WHEN value >= 100 THEN 1 ELSE 0 END AS BIGINT) AS high_value,
+           count(*) AS n,
+           sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+    FROM events GROUP BY 1
+)
+"""
+
+
+def p14_split_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — direction extraction via split (wt_extract_soc.py:62-63:
+    detName.split('_')[0]): first word of p_name."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy(
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_head")
+    ).agg(F.count("*").alias("n"))
+
+
+P14_SQL = """
+SELECT split_part(p_name, ' ', 1) AS name_head, count(*) AS n
+FROM part GROUP BY 1
+"""
+
+
+def p15_guid_redash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 — GUID re-dashing (gs_ready.py:232-233: insert dashes into a
+    32-hex id): md5(p_name||p_brand) dashed 8-4-4-4-12."""
+    p = _t(spark, sf_dir, "part")
+    h = F.md5(F.concat_ws("|", F.col("p_name"), F.col("p_brand"), F.col("p_partkey").cast("string")))
+    guid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return p.select("p_partkey", guid.alias("zone_guid"))
+
+
+P15_SQL = """
+SELECT p_partkey,
+       concat_ws('-', substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+                 substring(h, 17, 4), substring(h, 21, 12)) AS zone_guid
+FROM (SELECT p_partkey,
+             md5(concat_ws('|', p_name, p_brand, CAST(p_partkey AS VARCHAR))) AS h
+      FROM part)
+"""
+
+
+def u1_cross_day_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + P8 — cross-day completion: union day D with auxiliary D±1
+    slices, then filter to the day window (gs_ready.py:236-267,
+    fillDayRecords :330-339)."""
+    e = _t(spark, sf_dir, "events")
+    day = "2024-01-02"
+    d_prev = e.filter(F.to_date("ts") == F.date_sub(F.lit(day).cast("date"), 1))
+    d_cur = e.filter(F.to_date("ts") == F.lit(day).cast("date"))
+    d_next = e.filter(F.to_date("ts") == F.date_add(F.lit(day).cast("date"), 1))
+    unioned = d_prev.unionByName(d_cur).unionByName(d_next)
+    return unioned.filter(
+        (F.col("ts") >= F.lit(f"{day} 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "event_type")
+
+
+U1_SQL = """
+SELECT event_id, ts, event_type FROM events
+WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+"""
+
+
+def s_scalar_record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 hash — MD5 record_id over concatenated fields
+    (bt_extract_soc.py:132-135; exact-parity md5(concat(...)))."""
+    o = _t(spark, sf_dir, "orders")
+    rid = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    return o.select("o_orderkey", rid.alias("record_id"))
+
+
+S_RECORD_ID_SQL = """
+SELECT o_orderkey,
+       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     CAST(o_custkey AS VARCHAR))) AS record_id
+FROM orders
+"""
+
+
+def s_scalar_timebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 timebin — "%02d:%02d" % (h, round(m/15)*15), the reference's
+    rounding quirk that can emit "HH:60" (wt_extract_soc.py:79)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", timebin_15min("ts").alias("timebin"))
+
+
+S_TIMEBIN_SQL = """
+SELECT event_id,
+       lpad(CAST(CAST(hour(ts) AS INT) AS VARCHAR), 2, '0') || ':' ||
+       lpad(CAST(CAST(round(minute(ts) / 15.0, 0) * 15 AS INT) AS VARCHAR), 2, '0')
+           AS timebin
+FROM events
+"""
+
+
+def s_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date parts + reference day-of-week (Sunday=0,
+    wt_extract_soc.py:73-79)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("year"),
+        F.month("ts").cast("long").alias("month"),
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.minute("ts").cast("long").alias("minute"),
+        (F.dayofweek("ts") - 1).cast("long").alias("day_of_week"),
+    )
+
+
+S_DATE_PARTS_SQL = """
+SELECT event_id, CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+       CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(minute(ts) AS BIGINT) AS minute,
+       CAST(dayofweek(ts) AS BIGINT) AS day_of_week
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (operators/dedup.exact_dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ 0.1 via inverted-index join
+    (operators/dedup.ngram_jaccard_pairs) — never a cross join."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.1)
+
+
+DEDUP_JACCARD_SQL = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+    FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.1
+"""
+
+
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, punctuation ratio, heuristic language
+    ID, quality score, fingerprint (operators/text.profile_documents)."""
+    d = _t(spark, sf_dir, "documents")
+    out = profile_documents(d, text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_subtokens").cast("long").alias("n_subtokens"),
+        "punct_ratio",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+def _text_profile_sql() -> str:
+    """Generate the oracle from the same STOPWORDS the Spark side uses."""
+    hit_exprs = {}
+    for lang, words in STOPWORDS.items():
+        terms = []
+        for w in words:
+            needle = f" {w} "
+            terms.append(
+                f"CAST((length(' ' || lower(text) || ' ') - "
+                f"length(replace(' ' || lower(text) || ' ', '{needle}', ''))) "
+                f"/ {len(needle)} AS BIGINT)"
+            )
+        hit_exprs[lang] = "(" + " + ".join(terms) + ")"
+    all_hits = " + ".join(hit_exprs.values())
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {hit_exprs[lang]} = {best} THEN '{lang}'"
+        for lang in STOPWORDS
+    ) + " ELSE 'und' END"
+    n_tokens = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    n_subtokens = (
+        "CASE WHEN trim(text) = '' THEN 0 ELSE ("
+        "SELECT CAST(sum(ceil(length(tok) / 4.0)) AS BIGINT) "
+        "FROM UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS s(tok)) END"
+    )
+    punct = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) "
+        "/ CAST(length(text) AS DOUBLE), 6) END"
+    )
+    quality = (
+        f"round(0.4 * (least({n_tokens}, 100) / 100.0) "
+        f"+ 0.3 * (1.0 - {punct}) "
+        f"+ 0.3 * (CASE WHEN ({all_hits}) > 0 THEN 1.0 ELSE 0.0 END), 6)"
+    )
+    fingerprint = (
+        "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       {n_subtokens} AS n_subtokens,
+       {punct} AS punct_ratio,
+       {lang_case} AS lang_pred,
+       {quality} AS quality,
+       {fingerprint} AS fingerprint
+FROM documents
+"""
+
+
+def sim_knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5
+    (operators/similarity.cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SIM_KNN_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < 5
+),
+s AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM s
+) WHERE rank <= 10
+"""
+
+
+# --- non-SQL-expressible (rows-only checks): deterministic but hash-based ---
+
+
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64-based; no SQL oracle —
+    driver records rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, num_hashes=32, bands=8)
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming ≤ 12 (no SQL oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=12)
+
+
+def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k (numpy hyperplanes, seed=42; no SQL
+    oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=10, dim=64, n_planes=16, bands=4)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def mm_media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents → binary payload column → Arrow-batched
+    mapInPandas feature extraction (stub decode; no SQL oracle)."""
+    from atd_data_lake_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("media_type"),
+            F.lit("utf8").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "a1_tumbling_window_15min": a1_tumbling_window_15min,
+    "a2_daily_counts": a2_daily_counts,
+    "a3_sensor_daily_obs": a3_sensor_daily_obs,
+    "a5_first_seen_rank": a5_first_seen_rank,
+    "a6_trailing_7day_avg": a6_trailing_7day_avg,
+    "a7_latest_per_group": a7_latest_per_group,
+    "w1_daily_cumulative": w1_daily_cumulative,
+    "o1_topk_per_group": o1_topk_per_group,
+    "o2_latest_top1": o2_latest_top1,
+    "j1_incremental_antijoin": j1_incremental_antijoin,
+    "j2_enrich_broadcast": j2_enrich_broadcast,
+    "j3_double_enrich": j3_double_enrich,
+    "j7_semi_join_pruning": j7_semi_join_pruning,
+    "j8_asof_backward": j8_asof_backward,
+    "j9_asof_forward": j9_asof_forward,
+    "j10_fuzzy_match": j10_fuzzy_match,
+    "p4_pushdown_range": p4_pushdown_range,
+    "p12_case_normalize": p12_case_normalize,
+    "p13_derived_flag": p13_derived_flag,
+    "p14_split_extract": p14_split_extract,
+    "p15_guid_redash": p15_guid_redash,
+    "u1_cross_day_union": u1_cross_day_union,
+    "s_scalar_record_id": s_scalar_record_id,
+    "s_scalar_timebin": s_scalar_timebin,
+    "s_date_parts": s_date_parts,
+    "dedup_exact": dedup_exact_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "text_profile": text_profile_q,
+    "sim_knn_bruteforce": sim_knn_bruteforce_q,
+    # rows-only (no SQL oracle)
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_simhash": dedup_simhash_q,
+    "sim_ann_lsh": sim_ann_lsh_q,
+    "mm_media_features": mm_media_features_q,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "a1_tumbling_window_15min": A1_SQL,
+    "a2_daily_counts": A2_SQL,
+    "a3_sensor_daily_obs": A3_SQL,
+    "a5_first_seen_rank": A5_SQL,
+    "a6_trailing_7day_avg": A6_SQL,
+    "a7_latest_per_group": A7_SQL,
+    "w1_daily_cumulative": W1_SQL,
+    "o1_topk_per_group": O1_SQL,
+    "o2_latest_top1": O2_SQL,
+    "j1_incremental_antijoin": J1_SQL,
+    "j2_enrich_broadcast": J2_SQL,
+    "j3_double_enrich": J3_SQL,
+    "j7_semi_join_pruning": J7_SQL,
+    "j8_asof_backward": J8_SQL,
+    "j9_asof_forward": J9_SQL,
+    "j10_fuzzy_match": J10_SQL,
+    "p4_pushdown_range": P4_SQL,
+    "p12_case_normalize": P12_SQL,
+    "p13_derived_flag": P13_SQL,
+    "p14_split_extract": P14_SQL,
+    "p15_guid_redash": P15_SQL,
+    "u1_cross_day_union": U1_SQL,
+    "s_scalar_record_id": S_RECORD_ID_SQL,
+    "s_scalar_timebin": S_TIMEBIN_SQL,
+    "s_date_parts": S_DATE_PARTS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "text_profile": _text_profile_sql(),
+    "sim_knn_bruteforce": SIM_KNN_SQL,
+}
