@@ -67,17 +67,6 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per hash i, min over shingles of
-    xxhash64(shingle, seed=i).  Deterministic; array<long> of num_hashes."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -88,18 +77,28 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
-    shingle → minhash → band → bucket equi-join: docs sharing any band
-    bucket become a candidate pair.  Rows-per-band explode is ``bands``×,
-    and the join shuffles on (band, bucket_hash) — no cross join.
+    shingle → explode → per-doc min of xxhash64(shingle, seed=i) for each
+    of ``num_hashes`` seeds (plain min aggregates over exploded rows: one
+    shuffle on doc id, whole-stage-codegen friendly — NOT nested array
+    expressions, which re-hash the shingle array per seed and fall out of
+    codegen) → band buckets → bucket equi-join.  Docs sharing any band
+    bucket become a candidate pair; no cross join at any scale.
 
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "_sig"
-        ),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_shingle"),
+    ).select("_id", F.xxhash64("_shingle").alias("_base"))
+    # hash family: h_i = xxhash64(base, i) — hashes the cheap 64-bit base
+    # long (one string hash per shingle total), stays JVM-side, and is safe
+    # under ANSI mode (no overflowing long arithmetic)
+    sig = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
     banded = sig.select(
         "_id",
@@ -109,13 +108,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
