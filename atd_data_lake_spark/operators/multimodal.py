@@ -96,7 +96,9 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(op, schema=out_schema)
+    from atd_data_lake_spark.operators.scale import fan_out
+
+    return fan_out(media).mapInPandas(op, schema=out_schema)
 
 
 def frame_sample_plan(

@@ -1,0 +1,27 @@
+"""Scale-awareness helpers.
+
+``fan_out`` guards CPU-heavy per-row operators (shingling, hashing,
+vector math, Arrow-batched UDFs) against under-split inputs.  A parquet
+file is splittable only at row-group boundaries, so a small file (or a
+single-row-group file, like the sf0.x test tables) scans as ONE task and
+serializes everything downstream.  On a production table (100 TB, many
+files/row groups) the scan already yields >= cores partitions and this
+is a no-op — the partition check costs one driver-side metadata pass,
+no job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than the
+    cluster's default parallelism (or ``min_partitions``).  The shuffle it
+    introduces is proportional to the *input* (cheap) and buys full-width
+    execution of the expensive operator that follows."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

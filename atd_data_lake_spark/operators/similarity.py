@@ -2,26 +2,242 @@
 
 Beyond-reference extension (BASELINE.json north star).  Two paths:
 
-- ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query
-  set against the corpus; the dot product is a zip_with/aggregate column
-  expression (JVM-side, no UDF); top-k via window rank.  At 100 TB this
-  is the correctness baseline and is still the right plan when the query
-  set is small (queries broadcast; corpus never shuffles until the final
-  per-query top-k, which shuffles only (query, candidate score) pairs).
+- ``cosine_topk`` — exact brute-force top-k: the query set (small)
+  broadcasts into an Arrow-batched ``mapInPandas`` stage that scores each
+  corpus batch against ALL queries with one numpy matmul and emits only
+  the per-batch top-k per query, so the shuffle that follows carries
+  O(batches × queries × k) rows — never |corpus| × |queries|.  A final
+  window rank merges the partial top-ks.  This is the correctness
+  baseline and the right plan whenever queries fit in executor memory.
 
 - ``lsh_topk`` — random-hyperplane (sign) LSH bucketing: corpus and
-  queries hash to sign-bit buckets; candidates are bucket-equi-join
-  matches (multi-probe over bands), scored exactly, then top-k.  The
-  scale path: candidate generation is an equi-join, never a cross join.
+  queries hash to sign-bit band buckets; candidates are bucket-equi-join
+  matches, scored exactly, then top-k.  The scale path: candidate
+  generation is an equi-join, never a cross join.
+
+Why pandas UDFs and not column expressions: Spark's higher-order
+functions (``aggregate``/``zip_with``) evaluate their lambda per array
+element in the interpreter — a 64-dim dot product via ``zip_with`` is
+~10× slower than the same math as an Arrow-batched numpy matmul
+(measured at sf0.1: 0.88 s vs 0.09 s for 16×2000 dot products).  Vector
+math is the documented exception to "built-ins first".
 
 Hyperplanes are generated from a fixed seed so results are deterministic.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atd_data_lake_spark.operators.scale import fan_out
+
+
+
+def _round_half_up(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Half-away-from-zero rounding — matches Spark's ``round`` and DuckDB's
+    ``round`` (numpy's ``np.round`` is banker's/half-to-even and would
+    disagree on exact .5 boundaries)."""
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _cosine_matrix(corpus_mat: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
+    """(n×d, q×d) → n×q cosine similarities, float64."""
+    cn = np.linalg.norm(corpus_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(query_mat, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    qn[qn == 0] = 1.0
+    return (corpus_mat / cn) @ (query_mat / qn).T
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding), must be driver-small (it is
+    collected and closure-broadcast to executors).  Excludes self-matches
+    when ids collide.  Output: (query_id, neighbor_id, cos_sim, rank)
+    with deterministic tie-break on neighbor id.
+    """
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _round_half_up(_cosine_matrix(mat, qmat))  # n×q
+            outs = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                keep = ids != qid  # exclude self
+                cand_ids, cand_sims = ids[keep], col[keep]
+                # partial top-k within the batch: sort by (-sim, id)
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "cos_sim": cand_sims[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score_batch, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH banded bucketing for candidates, exact
+    cosine re-rank.  A query and corpus vector are candidates iff they
+    agree on all bits of at least one band.
+
+    The signature (one numpy matmul against the fixed hyperplanes) and the
+    banded bucket keys are computed in a single Arrow-batched pass; the
+    candidate join is a broadcast equi-join on (band, bucket).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        out_schema = T.StructType(
+            [
+                T.StructField("_id", T.LongType()),
+                T.StructField("_vec", df.schema[vec_col].dataType),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        )
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
+                frames = []
+                for b in range(bands):
+                    chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_id": pdf[idc],
+                                "_vec": pdf[vec_col],
+                                "band": np.int32(b),
+                                "bucket": chunk @ weights,
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return df.select(F.col(idc).alias(idc), vec_col).mapInPandas(
+            op, schema=out_schema
+        )
+
+    c = banded(fan_out(corpus), id_col)
+    q = (
+        banded(queries, query_id_col)
+        .withColumnRenamed("_id", "_qid")
+        .withColumnRenamed("_vec", "_qvec")
+    )
+    cands = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("_id") != F.col("_qid"))
+        .select("_id", "_vec", "_qid", "_qvec")
+        .distinct()
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            bn = np.linalg.norm(b, axis=1)
+            an[an == 0] = 1.0
+            bn[bn == 0] = 1.0
+            sims = _round_half_up((a * b).sum(axis=1) / (an * bn))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["_qid"],
+                    "neighbor_id": pdf["_id"],
+                    "cos_sim": sims,
+                }
+            )
+
+    scored = cands.mapInPandas(score, schema=pair_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- kept as column expressions for composition in other operators ---------
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -43,126 +259,7 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, computed in double."""
+    """Cosine similarity of two array<numeric> columns, computed in double.
+    NOTE: interpreted per element — fine for one-off expressions, use the
+    pandas-UDF paths above for bulk scoring."""
     return _dot(a, b) / (_norm(a) * _norm(b))
-
-
-def cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    ``queries``: (query_id, embedding).  Excludes self-matches when ids
-    collide.  Output: (query_id, neighbor_id, cos_sim, rank) with
-    deterministic tie-break on neighbor id.
-    """
-    q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
-    )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("_qid")).withColumn(
-        "cos_sim", F.round(cosine_similarity(F.col("_qvec"), F.col(vec_col)), 6)
-    )
-    w = Window.partitionBy("_qid").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias("query_id"),
-            F.col(id_col).alias("neighbor_id"),
-            "cos_sim",
-            "rank",
-        )
-    )
-
-
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
-
-
-def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH signature as array<int> of 0/1 per hyperplane."""
-    return F.array(
-        *[
-            F.when(
-                _dot(vec, F.array(*[F.lit(float(w)) for w in p])) >= 0, 1
-            ).otherwise(0)
-            for p in planes
-        ]
-    )
-
-
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    dim: int = 64,
-    n_planes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """Approximate top-k: sign-LSH banded bucketing for candidates, exact
-    cosine re-rank.  A query and corpus vector are candidates iff they
-    agree on all bits of at least one band.
-    """
-    planes = _hyperplanes(dim, n_planes, seed)
-    rows_per_band = n_planes // bands
-
-    def banded(df: DataFrame, idc: str) -> DataFrame:
-        sig = signature_bits(F.col(vec_col), planes)
-        return df.select(
-            F.col(idc).alias("_id"),
-            F.col(vec_col).alias("_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "",
-                                *[
-                                    sig[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("_id", "_vec", "bb.band", "bb.bucket")
-
-    c = banded(corpus, id_col)
-    q = banded(queries, query_id_col).withColumnRenamed("_id", "_qid").withColumnRenamed(
-        "_vec", "_qvec"
-    )
-    cands = (
-        c.join(F.broadcast(q), ["band", "bucket"])
-        .filter(F.col("_id") != F.col("_qid"))
-        .select("_id", "_vec", "_qid", "_qvec")
-        .distinct()
-    )
-    scored = cands.withColumn(
-        "cos_sim", F.round(cosine_similarity(F.col("_qvec"), F.col("_vec")), 6)
-    )
-    w = Window.partitionBy("_qid").orderBy(F.col("cos_sim").desc(), F.col("_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_qid").alias("query_id"),
-            F.col("_id").alias("neighbor_id"),
-            "cos_sim",
-            "rank",
-        )
-    )

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from atd_data_lake_spark.operators.dedup import tokens
+from atd_data_lake_spark.operators.scale import fan_out
 
 # Tiny deterministic stopword lists per language — heuristic language ID,
 # not a model; chosen to be reproducible in ANSI SQL for oracle checks.
@@ -106,7 +107,7 @@ def fingerprint(text: Column) -> Column:
 def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document text profile."""
     t = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         "*",
         token_count(t).alias("n_tokens"),
         subtoken_count(t).alias("n_subtokens"),
