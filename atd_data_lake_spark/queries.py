@@ -1037,6 +1037,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_media_features": mm_media_features_q,
 }
 
+from atd_data_lake_spark.pipeline_queries import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
+QUERIES.update(PIPELINE_QUERIES)
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "a1_tumbling_window_15min": A1_SQL,
@@ -1069,3 +1076,5 @@ ORACLES: dict[str, str] = {
     "text_profile": _text_profile_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,
 }
+
+ORACLES.update(PIPELINE_ORACLES)
