@@ -405,6 +405,202 @@ FROM pub
 """
 
 
+# ---------------------------------------------------------------------------
+# GS chain
+# ---------------------------------------------------------------------------
+
+
+def _gs_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → v8-count-shaped rows with integer-valued measures (exact
+    double sums ⇒ cross-engine avg parity)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp_adj"),
+        F.concat(F.lit("z"), (F.col("user_id") % 8).cast("string")).alias("zone"),
+        F.element_at(
+            F.array(F.lit("S"), F.lit("L"), F.lit("R"), F.lit("U")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("turn"),
+        F.floor(F.col("value") * 3).cast("double").alias("vehicle_length"),
+        F.floor(F.col("value") * 5).cast("double").alias("speed"),
+        F.floor(F.col("value")).cast("double").alias("seconds_in_zone"),
+    )
+
+
+_GS_COUNTS_SQL = """
+    SELECT ts AS timestamp_adj,
+           'z' || CAST(user_id % 8 AS VARCHAR) AS zone,
+           (['S','L','R','U'])[CAST(event_id % 4 + 1 AS INT)] AS turn,
+           CAST(floor(value * 3) AS DOUBLE) AS vehicle_length,
+           CAST(floor(value * 5) AS DOUBLE) AS speed,
+           CAST(floor(value) AS DOUBLE) AS seconds_in_zone
+    FROM events
+"""
+
+
+def _gs_movements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 zones cycling through the five reference approaches."""
+    approaches = ["Northbound", "Southbound", "Eastbound", "Westbound", "Unassigned"]
+    rows = [(f"z{i}", approaches[i % 5], "Straight") for i in range(8)]
+    return spark.createDataFrame(
+        rows, "zone string, zone_approach string, turn_type string"
+    )
+
+
+_GS_MOVEMENTS_SQL = """
+    SELECT 'z' || CAST(i AS VARCHAR) AS zone,
+           (['Northbound','Southbound','Eastbound','Westbound','Unassigned'])
+               [CAST(i % 5 + 1 AS INT)] AS zone_approach,
+           'Straight' AS turn_type
+    FROM UNNEST(range(8)) AS t(i)
+"""
+
+
+def pipe_gs_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gs_ready_agg.py:69-92 (A1) over the REAL gs.agg_interval operator:
+    heavy-vehicle split, movements join, 15-min tumbling window.  The two
+    stddev columns are dropped for the oracle (incremental-moment float
+    noise vs DuckDB; covered exactly in tests + a1's exact-sum variant)."""
+    from atd_data_lake_spark.pipelines import gs
+
+    out = gs.agg_interval(_gs_counts(spark, sf_dir), _gs_movements(spark, sf_dir))
+    return out.select(
+        "timestamp",
+        "zone_approach",
+        "turn",
+        F.col("heavy_vehicle").cast("int").alias("heavy_vehicle"),
+        "volume",
+        "speed_avg",
+        "seconds_in_zone_avg",
+    )
+
+
+PIPE_GS_AGG_SQL = f"""
+WITH counts AS ({_GS_COUNTS_SQL}), moves AS ({_GS_MOVEMENTS_SQL})
+SELECT make_timestamp(CAST(floor(epoch(timestamp_adj) / 900) AS BIGINT) * 900 * 1000000) AS timestamp,
+       zone_approach, turn,
+       CASE WHEN vehicle_length < 17 THEN 0 ELSE 1 END AS heavy_vehicle,
+       count(*) AS volume,
+       round(avg(speed), 3) AS speed_avg,
+       round(avg(seconds_in_zone), 3) AS seconds_in_zone_avg
+FROM counts JOIN moves USING (zone)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def pipe_gs_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gs_agg_extract_soc.py:78-135 (P12 + record_id) over the REAL
+    gs.publish_agg: approach/turn normalization (unknowns skipped,
+    UNASSIGNED kept), boolean heavy_vehicle hashed as Python "True"/
+    "False", date parts, md5 record_id."""
+    from atd_data_lake_spark.pipelines import gs
+
+    agg = gs.agg_interval(_gs_counts(spark, sf_dir), _gs_movements(spark, sf_dir))
+    device = spark.createDataFrame(
+        [(72, " LAMAR BLVD", " MANCHACA RD")],
+        "atd_device_id int, primary_st string, cross_st string",
+    )
+    out = gs.publish_agg(agg, device)
+    return out.select(
+        "atd_device_id",
+        "read_date",
+        "intersection_name",
+        "direction",
+        "movement",
+        "heavy_vehicle",
+        "volume",
+        "month",
+        "day",
+        "year",
+        "hour",
+        "minute",
+        "day_of_week",
+        "bin_duration",
+        "record_id",
+    )
+
+
+PIPE_GS_PUBLISH_SQL = f"""
+WITH counts AS ({_GS_COUNTS_SQL}), moves AS ({_GS_MOVEMENTS_SQL}),
+agg AS (
+    SELECT make_timestamp(CAST(floor(epoch(timestamp_adj) / 900) AS BIGINT) * 900 * 1000000) AS ts,
+           zone_approach, turn,
+           CASE WHEN vehicle_length < 17 THEN 0 ELSE 1 END AS hv,
+           count(*) AS volume
+    FROM counts JOIN moves USING (zone)
+    GROUP BY 1, 2, 3, 4
+),
+pub AS (
+    SELECT 72 AS atd_device_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS read_date,
+           'LAMAR BLVD / MANCHACA RD' AS intersection_name,
+           CASE zone_approach
+               WHEN 'Southbound' THEN 'SOUTHBOUND' WHEN 'Northbound' THEN 'NORTHBOUND'
+               WHEN 'Eastbound' THEN 'EASTBOUND' WHEN 'Westbound' THEN 'WESTBOUND'
+               WHEN 'Unassigned' THEN 'UNASSIGNED' END AS direction,
+           CASE turn WHEN 'S' THEN 'THRU' WHEN 'L' THEN 'LEFT TURN'
+                     WHEN 'R' THEN 'RIGHT TURN' WHEN 'U' THEN 'U-TURN'
+                     ELSE turn END AS movement,
+           hv <> 0 AS heavy_vehicle,
+           volume,
+           month(ts) AS month, day(ts) AS day, year(ts) AS year,
+           hour(ts) AS hour, minute(ts) AS minute,
+           dayofweek(ts) AS day_of_week,
+           900 AS bin_duration
+    FROM agg
+    WHERE zone_approach IN
+          ('Southbound','Northbound','Eastbound','Westbound','Unassigned')
+)
+SELECT *, md5(intersection_name || read_date
+              || CASE WHEN heavy_vehicle THEN 'True' ELSE 'False' END
+              || direction || movement) AS record_id
+FROM pub
+"""
+
+
+def pipe_gs_clock_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gs_json_standard.py:219-260: the v8 clock-drift arithmetic over the
+    REAL gs operators — site timeDelta from two differently-formatted
+    device timestamps, HHMMSS.f expansion, utc_offset back-out."""
+    from atd_data_lake_spark.pipelines import gs
+
+    e = _t(spark, sf_dir, "events")
+    derived = e.select(
+        "event_id",
+        F.lit("2024-01-15").cast("timestamp").alias("collection_date"),
+        (
+            F.hour("ts") * 10000
+            + F.minute("ts") * 100
+            + F.second("ts")
+            + (F.col("event_id") % 10) / 10.0
+        ).cast("double").alias("timestamp"),
+        F.lit(-300).cast("int").alias("utc_offset"),
+    ).withColumn(
+        "time_delta_sec",
+        gs.site_time_delta_seconds(
+            F.lit("06/03/2019 07:34:06 AM"),
+            F.lit("6/3/2019 2:32:13 AM"),
+            F.lit("(UTC-05:00) Central Time (US & Canada)"),
+        ),
+    )
+    out = gs.standardize_v8(derived)
+    return out.select("event_id", "time_delta_sec", "timestamp_adj")
+
+
+PIPE_GS_CLOCK_DRIFT_SQL = """
+SELECT event_id,
+       CAST(113 AS BIGINT) AS time_delta_sec,
+       make_timestamp(
+           (CAST(epoch(TIMESTAMP '2024-01-15') AS BIGINT)
+            + hour(ts) * 3600 + minute(ts) * 60
+            + CAST(floor(date_part('second', ts)) AS BIGINT)
+            + 300 * 60 + 113) * 1000000
+           + (event_id % 10) * 100000
+       ) AS timestamp_adj
+FROM events
+"""
+
+
 PIPELINE_QUERIES = {
     "pipe_wt_standardize": pipe_wt_standardize,
     "pipe_wt_ready": pipe_wt_ready,
@@ -413,6 +609,9 @@ PIPELINE_QUERIES = {
     "pipe_bt_publish_unmatched": pipe_bt_publish_unmatched,
     "pipe_bt_ready_matched": pipe_bt_ready_matched,
     "pipe_bt_publish_matched": pipe_bt_publish_matched,
+    "pipe_gs_agg": pipe_gs_agg,
+    "pipe_gs_publish": pipe_gs_publish,
+    "pipe_gs_clock_drift": pipe_gs_clock_drift,
 }
 
 PIPELINE_ORACLES = {
@@ -423,4 +622,7 @@ PIPELINE_ORACLES = {
     "pipe_bt_publish_unmatched": PIPE_BT_PUBLISH_UNMATCHED_SQL,
     "pipe_bt_ready_matched": PIPE_BT_READY_MATCHED_SQL,
     "pipe_bt_publish_matched": PIPE_BT_PUBLISH_MATCHED_SQL,
+    "pipe_gs_agg": PIPE_GS_AGG_SQL,
+    "pipe_gs_publish": PIPE_GS_PUBLISH_SQL,
+    "pipe_gs_clock_drift": PIPE_GS_CLOCK_DRIFT_SQL,
 }
