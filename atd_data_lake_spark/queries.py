@@ -1037,12 +1037,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_media_features": mm_media_features_q,
 }
 
+from atd_data_lake_spark.coverage_queries import (  # noqa: E402
+    COVERAGE_ORACLES,
+    COVERAGE_QUERIES,
+)
 from atd_data_lake_spark.pipeline_queries import (  # noqa: E402
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
 )
 
 QUERIES.update(PIPELINE_QUERIES)
+QUERIES.update(COVERAGE_QUERIES)
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
@@ -1078,3 +1083,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(PIPELINE_ORACLES)
+ORACLES.update(COVERAGE_ORACLES)

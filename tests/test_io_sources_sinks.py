@@ -1,0 +1,180 @@
+"""Sources/sinks tests: S1 dated-filename scan, S5 zip extraction (both
+layouts), S9/S12 layered writer with partition pruning, S13 publisher
+merge + chunked REST push, S14 CSV sink, S15 perfmet composition."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.io.date_dirs import DatePattern, scan_dated_files
+from atd_data_lake_spark.io.publish import merge_public, push_rest, write_csv
+from atd_data_lake_spark.io.writer import manifest_row, read_layer, write_layer
+from atd_data_lake_spark.io.zip_extract import extract_to_dir, extract_zip_bytes
+from atd_data_lake_spark.pipelines import perfmet
+
+
+def test_s1_dated_filename_scan(spark, tmp_path):
+    d = tmp_path / "drop"
+    d.mkdir()
+    for name in [
+        "Austin_bt_12-03-2019.txt",
+        "Austin_bt_12-04-2019.txt",
+        "Austin_btmatch_12-03-2019.txt",
+        "unrelated.txt",
+    ]:
+        (d / name).write_text("x")
+    pats = [
+        DatePattern("unmatched", "Austin_bt_", ".txt"),
+        DatePattern("matched", "Austin_btmatch_", ".txt"),
+    ]
+    out = scan_dated_files(spark, str(d), pats).collect()
+    got = {(r["kind"], str(r["file_date"])) for r in out}
+    assert got == {
+        ("unmatched", "2019-12-03"),
+        ("unmatched", "2019-12-04"),
+        ("matched", "2019-12-03"),
+    }
+    # matched files only; unrelated.txt excluded
+    assert all("unrelated" not in r["path"] for r in out)
+
+
+def _make_zip(path, layout):
+    with zipfile.ZipFile(path, "w") as zf:
+        if layout == "A":
+            zf.writestr("00-0A-0B-0C-0D-0E/2019-06-03/abc123.csv", "8,23,1,2\n")
+            zf.writestr("00-0A-0B-0C-0D-0E/2019-06-03/def456.csv", "8,23,3,4\n")
+            zf.writestr("11-1A-1B-1C-1D-1E/2019-06-03/ggg789.csv", "8,23,5,6\n")
+        else:
+            import io as _io
+
+            inner = _io.BytesIO()
+            with zipfile.ZipFile(inner, "w") as izf:
+                izf.writestr("abc123.csv", "8,23,1,2\n")
+            zf.writestr("00-0A-0B-0C-0D-0E/2019-06-03.zip", inner.getvalue())
+
+
+def test_s5_zip_layout_a_extracts_all_macs(tmp_path):
+    zp = tmp_path / "day.zip"
+    _make_zip(zp, "A")
+    zones = extract_zip_bytes(zp.read_bytes())
+    assert {(z.mac, z.guid) for z in zones} == {
+        ("00-0A-0B-0C-0D-0E", "abc123"),
+        ("00-0A-0B-0C-0D-0E", "def456"),
+        ("11-1A-1B-1C-1D-1E", "ggg789"),  # reference only took the first MAC
+    }
+    paths = extract_to_dir(str(zp), str(tmp_path / "out"))
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+
+
+def test_s5_zip_layout_b_nested(tmp_path):
+    zp = tmp_path / "day_b.zip"
+    _make_zip(zp, "B")
+    zones = extract_zip_bytes(zp.read_bytes())
+    assert [(z.mac, z.date, z.guid) for z in zones] == [
+        ("00-0A-0B-0C-0D-0E", "2019-06-03", "abc123")
+    ]
+    assert zones[0].data == b"8,23,1,2\n"
+
+
+def test_s9_layer_write_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("bt", "2019-12-03", 1), ("bt", "2019-12-04", 2), ("wt", "2019-12-03", 3)],
+        "data_source string, collection_date string, v int",
+    )
+    write_layer(df, str(tmp_path / "lake"), "raw")
+    back = read_layer(spark, str(tmp_path / "lake"), "raw", data_source="bt")
+    assert back.count() == 2
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning reached the scan
+    # dynamic-overwrite idempotent re-run of one partition
+    df2 = spark.createDataFrame(
+        [("bt", "2019-12-03", 99)], "data_source string, collection_date string, v int"
+    )
+    write_layer(df2, str(tmp_path / "lake"), "raw", mode="overwrite")
+    after = read_layer(spark, str(tmp_path / "lake"), "raw").collect()
+    # partition values come back type-inferred (string -> date)
+    vals = {(r["data_source"], str(r["collection_date"])): r["v"] for r in after}
+    assert vals[("bt", "2019-12-03")] == 99  # replaced
+    assert vals[("bt", "2019-12-04")] == 2  # untouched
+    assert vals[("wt", "2019-12-03")] == 3  # untouched
+
+
+def test_s12_manifest_row(spark):
+    df = spark.range(5)
+    m = manifest_row(df, data_type="bluetooth", file_type="unmatched").collect()[0]
+    assert m["records"] == 5 and m["data_type"] == "bluetooth"
+
+
+def test_s13_merge_and_chunked_push(spark, tmp_path):
+    existing = spark.createDataFrame(
+        [("r1", 10), ("r2", 20)], "record_id string, v int"
+    )
+    updates = spark.createDataFrame(
+        [("r2", 99), ("r3", 30)], "record_id string, v int"
+    )
+    merged = merge_public(existing, updates)
+    got = {r["record_id"]: r["v"] for r in merged.collect()}
+    assert got == {"r1": 10, "r2": 99, "r3": 30}
+
+    # chunked REST push via an accumulator directory (executor-side writes)
+    out_dir = tmp_path / "chunks"
+    out_dir.mkdir()
+
+    def send(batch):
+        import uuid
+
+        (out_dir / f"{uuid.uuid4().hex}.txt").write_text(str(len(batch)))
+
+    push_rest(spark.range(25).repartition(2), send, chunk_size=10)
+    sizes = sorted(int(p.read_text()) for p in out_dir.iterdir())
+    assert sum(sizes) == 25
+    assert all(s <= 10 for s in sizes)
+
+
+def test_s14_csv_sink(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    write_csv(df.coalesce(1), str(tmp_path / "csv_out"))
+    files = [p for p in (tmp_path / "csv_out").iterdir() if p.suffix == ".csv"]
+    content = files[0].read_text().strip().splitlines()
+    assert content[0] == "id,s" and len(content) == 3
+
+
+def test_s15_perfmet_composition(spark):
+    obs = spark.createDataFrame(
+        [
+            ("s1", "Unmatched Entries", 10.0, datetime(2019, 12, d), 5)
+            for d in range(1, 9)
+        ]
+        + [("s2", "Unmatched Entries", 4.0, datetime(2019, 12, 8), 2)],
+        "sensor_name string, data_type string, data double, "
+        "collection_date timestamp, n_obs int",
+    )
+    with_exp = perfmet.with_expected(obs)
+    r = {
+        (x["sensor_name"], x["collection_date"].day): x["expected"]
+        for x in with_exp.collect()
+    }
+    assert r[("s1", 8)] == 10.0 and r[("s2", 8)] == 4.0
+
+    latest = perfmet.latest_obs(obs)
+    assert latest.filter(F.col("sensor_name") == "s1").collect()[0][
+        "collection_date"
+    ] == datetime(2019, 12, 8)
+
+    job = perfmet.job_row(
+        obs,
+        "bt",
+        "Standardize",
+        1.25,
+        ts_col="collection_date",
+        end_col="collection_date",
+    ).collect()[0]
+    assert job["records"] == 42 and job["stage"] == "Standardize"
+
+    sensors = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "sensor_name string")
+    miss = perfmet.missing_data_sentinel(obs, sensors).collect()
+    assert [(m["sensor_name"], m["data"]) for m in miss] == [("s3", -1.0)]

@@ -50,10 +50,12 @@ def _norm(v):
 
 
 def _rows(cols, rows):
-    """Sort columns by name (driver semantics), normalize, sort rows."""
+    """Sort columns by name (driver semantics), normalize, sort rows
+    (null-safe: None orders before any value)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = (tuple(_norm(r[i]) for i in order) for r in rows)
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        normed, key=lambda t: tuple((x is not None, str(type(x)), x) for x in t)
     )
 
 
