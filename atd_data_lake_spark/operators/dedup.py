@@ -195,7 +195,10 @@ def minhash_lsh_candidates(
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n)
+    # the signature frame feeds both sides of the bucket self-join; persist
+    # so the Python signature stage runs once (it is tiny: docs x num_hashes
+    # longs; MEMORY_AND_DISK spills gracefully at any scale)
+    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n).persist()
     banded = sig.select(
         "_id",
         F.explode(
@@ -291,7 +294,7 @@ def simhash_near_dups(
     Output: (id_a, id_b, hamming).
     """
     n_blocks = 64 // block_bits
-    sh = simhash_df(df, id_col, text_col)
+    sh = simhash_df(df, id_col, text_col).persist()  # both join sides reuse
     mask = (1 << block_bits) - 1
     blocked = sh.select(
         "_id",
@@ -348,7 +351,9 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) for pairs ≥ threshold, jaccard rounded
     to 6 places.
     """
-    sh = shingle_hash_rows(df, id_col, text_col, n)
+    # three consumers (sizes, both join sides): persist so the Python
+    # shingling stage runs once instead of three times
+    sh = shingle_hash_rows(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
