@@ -21,16 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "a1_tumbling_window_15min",
+    "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j8_asof_backward",
     "j10_fuzzy_match",
     "w1_daily_cumulative",
+    "pipe_wt_publish",
+    "pipe_bt_publish_unmatched",
+    "pipe_gs_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "text_profile",
     "sim_knn_bruteforce",
     "sim_ann_lsh",
+    "mm_media_features",
 ]
 
 
@@ -58,6 +64,9 @@ def main() -> None:
             t0 = time.perf_counter()  # spin-up + codegen, like a live cluster)
             n = fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        # operators persist multi-consumer intermediates; drop them so one
+        # query's cache never skews the next query's measurement
+        spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
