@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): engine scalar semantics vs direct
+Python reference implementations, and operator invariants that must hold
+on any input — the automated test discipline the reference lacks
+(SURVEY §5)."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.functions.datetime_fns import day_of_week_ref, timebin_15min
+from atd_data_lake_spark.functions.ids import md5_concat
+
+TS = st.datetimes(
+    min_value=datetime(2018, 1, 1), max_value=datetime(2026, 1, 1)
+).map(lambda d: d.replace(microsecond=0))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=8, unique=True))
+def test_timebin_matches_reference_python(spark, tss):
+    """timebin ≡ '%02d:%02d' % (h, round(m/15)*15) — Python 3 banker's
+    round, including the HH:60 quirk (wt_extract_soc.py:79)."""
+    df = spark.createDataFrame([(t,) for t in tss], "ts timestamp")
+    got = {
+        str(r["ts"]): r["tb"]
+        for r in df.select("ts", timebin_15min("ts").alias("tb")).collect()
+    }
+    for t in tss:
+        want = "%02d:%02d" % (t.hour, round(t.minute / 15.0) * 15)
+        assert got[str(t)] == want, t
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TS, min_size=1, max_size=8, unique=True))
+def test_day_of_week_matches_reference_python(spark, tss):
+    """(weekday()+1)%7 — Sunday=0 (wt_extract_soc.py:78)."""
+    df = spark.createDataFrame([(t,) for t in tss], "ts timestamp")
+    got = {
+        str(r["ts"]): r["dow"]
+        for r in df.select("ts", day_of_week_ref("ts").alias("dow")).collect()
+    }
+    for t in tss:
+        assert got[str(t)] == (t.weekday() + 1) % 7
+
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT, TEXT), min_size=1, max_size=6))
+def test_md5_concat_matches_hashlib(spark, rows):
+    """record_id/device_id md5 ≡ hashlib.md5 of the raw concatenation
+    (bt_ready.py:81-88 et al.)."""
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = [r["h"] for r in df.select(md5_concat("a", "b", "c").alias("h")).collect()]
+    want = [
+        hashlib.md5((a + b + c).encode("utf-8")).hexdigest() for a, b, c in rows
+    ]
+    assert sorted(got) == sorted(want)
+
+
+DOC = st.text(
+    alphabet=st.sampled_from("ab cd ef gh ij k l m n o p q r s t "),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=12))
+def test_jaccard_pairs_match_python_sets(spark, docs):
+    """ngram_jaccard_pairs ≡ exact set-Jaccard computed in Python."""
+    from atd_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.01).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        } if len(toks) >= 2 else set()
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            if a and b and a & b:
+                jac = round(len(a & b) / len(a | b), 6)
+                if jac >= 0.01:
+                    want[(i, j)] = jac
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_backward_matches_bruteforce(spark, pairs):
+    """asof_join(backward) ≡ per-row max of eligible right timestamps."""
+    from atd_data_lake_spark.operators.asof import asof_join
+
+    base = datetime(2020, 1, 1)
+    left_rows = [
+        (k, base + timedelta(minutes=m), i) for i, (k, m) in enumerate(pairs)
+    ]
+    right_rows = [
+        (k, base + timedelta(minutes=m * 2)) for k, m in {(k, m // 2) for k, m in pairs}
+    ]
+    left = spark.createDataFrame(left_rows, "k int, ts timestamp, row_id long")
+    right = spark.createDataFrame(right_rows, "k int, rts timestamp")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    direction="backward")
+    got = {r["row_id"]: r["rts"] for r in out.collect()}
+    for k, ts, rid in left_rows:
+        elig = [rt for rk, rt in right_rows if rk == k and rt <= ts]
+        assert got[rid] == (max(elig) if elig else None)
