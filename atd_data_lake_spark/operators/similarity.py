@@ -263,3 +263,137 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     NOTE: interpreted per element — fine for one-off expressions, use the
     pandas-UDF paths above for bulk scoring."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample.  At 100 TB
+    the quantizer trains on a bounded sample (centroids are the model,
+    not the data) — this is how IVF indexes are built everywhere."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].astype(np.float64)
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus rows land
+    in their nearest cell (one Arrow pass, no shuffle) → each query
+    probes its ``n_probe`` nearest cells → candidate equi-join on cell id
+    → exact cosine re-rank.
+
+    Recall/cost dial: n_probe/n_cells is the fraction of the corpus
+    scored per query (n_probe=n_cells degenerates to exact).  The
+    centroid model is driver-trained on a bounded sample and
+    closure-broadcast — at any corpus size the shuffled data is the
+    candidate set, never the corpus.
+    """
+    # orderBy before limit: a bare limit picks arbitrary partitions and
+    # would make the trained quantizer (and thus results) nondeterministic
+    sample_rows = corpus.orderBy(id_col).select(vec_col).limit(train_sample).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_centroids(sample, n_cells, seed=seed)
+
+    cell_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_vec", corpus.schema[vec_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "_vec": pdf[vec_col],
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    c = (
+        fan_out(corpus)
+        .select(F.col(id_col), vec_col)
+        .mapInPandas(assign_cells, schema=cell_schema)
+    )
+
+    # queries: driver-small → probe lists computed locally, broadcast join
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), qmat[i].tolist(), int(cell))
+        for i, qid in enumerate(qids)
+        for cell in probes[i]
+    ]
+    q = corpus.sparkSession.createDataFrame(
+        probe_rows, "_qid long, _qvec array<double>, cell int"
+    )
+
+    cands = c.join(F.broadcast(q), "cell").filter(F.col("_id") != F.col("_qid"))
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+            an, bn = np.linalg.norm(a, axis=1), np.linalg.norm(b, axis=1)
+            an[an == 0] = 1.0
+            bn[bn == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["_qid"],
+                    "neighbor_id": pdf["_id"],
+                    "cos_sim": _round_half_up((a * b).sum(axis=1) / (an * bn)),
+                }
+            )
+
+    scored = cands.mapInPandas(score, schema=pair_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -974,6 +974,21 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer approximate top-k (BASELINE.md scale path;
+    deterministic seeded k-means; no SQL oracle)."""
+    from atd_data_lake_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def mm_media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → binary payload column → Arrow-batched
     mapInPandas feature extraction (stub decode; no SQL oracle)."""
@@ -1034,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
     "sim_ann_lsh": sim_ann_lsh_q,
+    "sim_ann_ivf": sim_ann_ivf_q,
     "mm_media_features": mm_media_features_q,
 }
 
