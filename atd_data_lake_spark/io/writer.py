@@ -28,7 +28,7 @@ def write_layer(
     """Partitioned write into one layer.  ``dynamic`` overwrite replaces
     only the partitions present in ``df`` — the engine's idempotent
     re-run/force semantics (a re-run of day D rewrites day D only)."""
-    if layer not in LAYERS:
+    if layer.removesuffix("-test") not in LAYERS:  # --debug targets <layer>-test
         raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
     writer = df.write.mode(mode)
     if mode == "overwrite":
