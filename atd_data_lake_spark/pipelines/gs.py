@@ -348,3 +348,53 @@ def publish_agg(
             F.col("movement"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ready composition (gs_ready.py:106-317)
+# ---------------------------------------------------------------------------
+
+
+def configured_zones(site: DataFrame) -> DataFrame:
+    """The zones that actually produce counts (gs_ready.py:222-233):
+    cameras must be IsConfigured, zones must be IncludeInData; emits the
+    dashed GUID that names each zone's counts file."""
+    cams = site.select("*", F.explode("site.CameraDevices").alias("_cam")).drop(
+        "site"
+    )
+    cams = cams.filter(F.col("_cam.Fisheye.IsConfigured"))
+    zones = cams.select(
+        "*", F.explode("_cam.Fisheye.CameraMasks.ZoneMasks").alias("_zm")
+    ).drop("_cam")
+    return (
+        zones.filter(
+            F.col("_zm.Vehicle").isNotNull() & F.col("_zm.Vehicle.IncludeInData")
+        )
+        .select(
+            "*",
+            F.col("_zm.Vehicle.Id").alias("zone"),
+            redash_guid(F.col("_zm.Vehicle.Id")).alias("zone_guid_dashed"),
+            F.col("_zm.Vehicle.ApproachType").alias("zone_approach"),
+            F.col("_zm.Vehicle.TurnType").alias("turn_type"),
+        )
+        .drop("_zm")
+    )
+
+
+def ready_counts(
+    std_counts: DataFrame,
+    site: DataFrame,
+    date_col: str = "collection_date",
+    ts_col: str = "timestamp_adj",
+) -> DataFrame:
+    """The gs_ready consolidation: keep counts only for configured +
+    included zones (semi-join against the exploded site), complete each
+    day from the neighbouring partitions' spill (the caller passes a
+    3-day read as ``std_counts``), order by corrected time
+    (gs_ready.py:236-287).
+
+    One broadcast semi-join + one day-window filter; the reference's
+    per-day buffering and per-zone file fetches disappear."""
+    zones = configured_zones(site).select("zone").distinct()
+    kept = std_counts.join(F.broadcast(zones), "zone", "left_semi")
+    return day_window_filter(kept, date_col, ts_col).orderBy(ts_col)
