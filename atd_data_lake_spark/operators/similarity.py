@@ -397,3 +397,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs: (id_a, id_b, cos_sim) for cos ≥ threshold,
+    id_a < id_b.
+
+    Plan: the corpus is collected once into a closure-broadcast matrix
+    (valid while vectors fit executor memory — 10⁶ × 64 floats ≈ 256 MB);
+    each Arrow batch block-matmuls against it and emits only pairs over
+    the threshold.  Shuffled data = the near-dup pairs themselves.  For
+    corpora beyond broadcast size, use ``lsh_topk``-style banded
+    bucketing as the candidate generator (the approximate scale path) —
+    same output schema, recall < 1.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[id_col].to_numpy()
+            bmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0] = 1.0
+            sims = _round_half_up((bmat / bn[:, None]) @ unit.T)
+            keep_r, keep_c = np.where(
+                (sims >= threshold) & (bids[:, None] < ids[None, :])
+            )
+            if len(keep_r):
+                yield pd.DataFrame(
+                    {
+                        "id_a": bids[keep_r],
+                        "id_b": ids[keep_c],
+                        "cos_sim": sims[keep_r, keep_c],
+                    }
+                )
+
+    return fan_out(corpus).select(id_col, vec_col).mapInPandas(op, schema=out_schema)

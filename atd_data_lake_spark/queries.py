@@ -30,7 +30,11 @@ from atd_data_lake_spark.operators.dedup import (
 )
 from atd_data_lake_spark.operators.fuzzy import levenshtein_ratio
 from atd_data_lake_spark.operators.incremental import incremental_plan
-from atd_data_lake_spark.operators.similarity import cosine_topk, lsh_topk
+from atd_data_lake_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
 from atd_data_lake_spark.operators.text import STOPWORDS, profile_documents
 from atd_data_lake_spark.operators.windows import (
     daily_cumulative,
@@ -974,6 +978,26 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, cos >= 0.4 (BASELINE.json dedup
+    list; exact block-matmul variant — LSH banding is the >broadcast
+    scale path).  The driver's embeddings are near-orthogonal (max
+    pairwise cos ~0.5-0.6), so the production-style 0.9 threshold would
+    assert on an empty set; 0.4 exercises real pair emission."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4)
+
+
+DEDUP_EMB_COS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
 def sim_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer approximate top-k (BASELINE.md scale path;
     deterministic seeded k-means; no SQL oracle)."""
@@ -1045,6 +1069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_profile": text_profile_q,
     "sim_knn_bruteforce": sim_knn_bruteforce_q,
+    "dedup_embedding_cosine": dedup_embedding_cosine_q,
     # rows-only (no SQL oracle)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
@@ -1096,6 +1121,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_profile": _text_profile_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
 }
 
 ORACLES.update(PIPELINE_ORACLES)
