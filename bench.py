@@ -53,8 +53,14 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    # warm the JVM / IO path once with a trivial action
+    # warm the JVM / IO path and the Python-worker pool once (a live
+    # cluster has both standing; first-use costs are not query costs)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    import pandas as _pd
+
+    spark.range(1000, numPartitions=int(cpus) if cpus != "*" else 8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
