@@ -255,9 +255,10 @@ pub AS (
     SELECT detID AS detid, intID AS int_id,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS curdatetime,
            intName AS intname, detName AS detname, volume, occupancy, speed,
-           month(ts) AS month, day(ts) AS day, year(ts) AS year,
-           hour(ts) AS hour, minute(ts) AS minute,
-           dayofweek(ts) AS day_of_week,
+           CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day,
+           CAST(year(ts) AS INT) AS year, CAST(hour(ts) AS INT) AS hour,
+           CAST(minute(ts) AS INT) AS minute,
+           CAST(dayofweek(ts) AS INT) AS day_of_week,
            printf('%02d:%02d', hour(ts),
                   CAST(round(minute(ts) / 15.0, 0) AS INT) * 15) AS timebin,
            str_split(detName, '_')[1] AS direction
@@ -543,9 +544,10 @@ pub AS (
                      ELSE turn END AS movement,
            hv <> 0 AS heavy_vehicle,
            volume,
-           month(ts) AS month, day(ts) AS day, year(ts) AS year,
-           hour(ts) AS hour, minute(ts) AS minute,
-           dayofweek(ts) AS day_of_week,
+           CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day,
+           CAST(year(ts) AS INT) AS year, CAST(hour(ts) AS INT) AS hour,
+           CAST(minute(ts) AS INT) AS minute,
+           CAST(dayofweek(ts) AS INT) AS day_of_week,
            900 AS bin_duration
     FROM agg
     WHERE zone_approach IN

@@ -401,7 +401,9 @@ def j1_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate"
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
 
 
@@ -511,7 +513,10 @@ def j8_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(
         e, o, on=["user_id"], left_ts="ts", right_ts="o_orderdate", direction="backward"
     )
-    return out.select("event_id", F.col("o_orderdate").alias("last_order_date"))
+    return out.select(
+        "event_id",
+        F.col("o_orderdate").cast("timestamp").alias("last_order_date"),
+    )
 
 
 J8_SQL = """
