@@ -14,6 +14,7 @@ to streaming constructs; this package provides them:
 - stateful per-sensor sessionization via ``applyInPandasWithState``.
 """
 
+from atd_data_lake_spark.streaming.stateful import sessionize  # noqa: F401
 from atd_data_lake_spark.streaming.windowed import (  # noqa: F401
     sensor_obs_stream,
     stream_csv_source,

@@ -1,0 +1,51 @@
+"""applyInPandasWithState sessionization test: gap-closed sessions emit
+with exact boundaries; the still-open tail session stays in state."""
+
+from __future__ import annotations
+
+import pytest
+
+from atd_data_lake_spark.streaming.stateful import sessionize
+
+CSV = """\
+2019-06-03T10:00:00,reader_a
+2019-06-03T10:05:00,reader_a
+2019-06-03T10:10:00,reader_a
+2019-06-03T12:00:00,reader_a
+2019-06-03T12:01:00,reader_a
+2019-06-03T15:00:00,reader_a
+2019-06-03T10:00:00,reader_b
+2019-06-03T11:30:00,reader_b
+"""
+
+
+def test_sessionize_gap_splits(spark, tmp_path):
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "r.csv").write_text(CSV)
+    schema = "ts timestamp, sensor string"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .csv(str(tmp_path / "in"))
+    )
+    sessions = sessionize(stream, gap_seconds=1800)  # 30-min gap
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    got = {
+        (r["sensor"], str(r["session_start"])): (str(r["session_end"]), r["n_readings"])
+        for r in rows
+    }
+    # reader_a: session 1 = 10:00-10:10 (3 readings), closed by the 12:00 gap;
+    # session 2 = 12:00-12:01 (2), closed by the 15:00 gap; the 15:00 session
+    # is still open (only a timeout would close it) -> not emitted.
+    assert got[("reader_a", "2019-06-03 10:00:00")] == ("2019-06-03 10:10:00", 3)
+    assert got[("reader_a", "2019-06-03 12:00:00")] == ("2019-06-03 12:01:00", 2)
+    # reader_b: 10:00 closed by the 11:30 gap (1 reading)
+    assert got[("reader_b", "2019-06-03 10:00:00")] == ("2019-06-03 10:00:00", 1)
+    assert len(got) == 3
