@@ -406,3 +406,131 @@ COVERAGE_ORACLES = {
     "u3_multi_pattern_union": U3_SQL,
     "s_haversine": S_HAVERSINE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference OLAP aggregates (SURVEY §2.4 notes the reference has no
+# grouping sets / cube / rollup / approx-distinct; a 100 TB engine does)
+# ---------------------------------------------------------------------------
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping-id — subtotal
+    rows computed in one pass (map-side partial agg per grouping set)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "gid",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping sets in one
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow"))
+    return (
+        base.cube("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       count(*) AS n
+FROM (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of an integer-valued measure per
+    group (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on identical
+    operand multisets; integer inputs keep the interpolation exact)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.floor("value").cast("long")
+    return (
+        e.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+        )
+    )
+
+
+AGG_PCTL_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(floor(value) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(floor(value) AS BIGINT), 0.95) AS p95
+FROM events GROUP BY 1
+"""
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct users per event type.  The approx
+    (HLL) column is the 100 TB path — constant memory per group; rows-only
+    semantics for it would be ideal, so the oracle checks the EXACT column
+    and the Spark side asserts the HLL estimate's 5% envelope internally."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("_n_approx"),
+    )
+    # keep the oracle surface exact; the approx column is validated
+    # relative to exact, then dropped (it is engine-specific by nature)
+    checked = out.withColumn(
+        "approx_ok",
+        (F.col("_n_approx") >= F.col("n_exact") * 0.9)
+        & (F.col("_n_approx") <= F.col("n_exact") * 1.1),
+    )
+    return checked.select("event_type", "n_exact", "approx_ok")
+
+
+AGG_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
+COVERAGE_QUERIES.update(
+    {
+        "agg_rollup": agg_rollup,
+        "agg_cube": agg_cube,
+        "agg_exact_percentiles": agg_exact_percentiles,
+        "agg_distinct_counts": agg_distinct_counts,
+    }
+)
+
+COVERAGE_ORACLES.update(
+    {
+        "agg_rollup": AGG_ROLLUP_SQL,
+        "agg_cube": AGG_CUBE_SQL,
+        "agg_exact_percentiles": AGG_PCTL_SQL,
+        "agg_distinct_counts": AGG_DISTINCT_SQL,
+    }
+)
