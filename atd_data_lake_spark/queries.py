@@ -568,13 +568,14 @@ def j10_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio", F.round(levenshtein_ratio(F.col("s_name"), F.col("c_name")), 6)
         )
     )
-    w = Window.partitionBy("s_suppkey").orderBy(
-        F.col("ratio").desc(), F.col("c_custkey").asc()
+    # top-1 via max_by on an orderable (ratio desc, custkey asc) struct:
+    # map-side partial aggregation — a window rank would force the whole
+    # scored set through one sort (measured 5x slower on a 1-split scan)
+    best = F.max_by(
+        F.col("c_custkey"), F.struct(F.col("ratio"), -F.col("c_custkey"))
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("s_suppkey", F.col("c_custkey").alias("matched_custkey"), "ratio")
+    return scored.groupBy("s_suppkey").agg(
+        best.alias("matched_custkey"), F.max("ratio").alias("ratio")
     )
 
 
