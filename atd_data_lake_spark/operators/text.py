@@ -25,9 +25,65 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer, simplified to the subset whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB oracle): no lookahead,
+# leftmost-first alternation.  Contractions, letter runs, digit runs,
+# punctuation runs; whitespace is a separator, not a token.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+# Distinctive character trigrams per language (space-padded = word
+# boundary).  Deterministic n-gram language ID — the counting is a
+# non-overlapping left-to-right scan so it is exactly reproducible with
+# replace() arithmetic in ANSI SQL.
+TRIGRAM_PROFILES = {
+    "en": ["the", " th", "he ", "ing", " an", "nd "],
+    "es": [" de", " la", "os ", " qu", "ue ", " el"],
+    "de": ["der", "ein", "ich", "sch", "und", "die"],
+    "fr": [" le", " de", "es ", "ent", "que", "ion"],
+}
+
+# Rabin-Karp rolling-hash parameters (winnowing, Schleimer et al. 2003).
+RK_BASE = 257
+RK_MOD = 1_000_000_007
+RK_K = 8  # character k-gram width
+RK_W = 4  # winnowing window (fingerprints per ~w grams)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (empty/blank text → 0)."""
     return F.size(tokens(text))
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """BPE-ish token count: number of GPT-2-style pre-tokenizer matches.
+    JVM-side regexp_count — stays inside whole-stage codegen."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).cast("long")
+
+
+def trigram_hits(text: Column, lang: str) -> Column:
+    """Non-overlapping occurrences of the language's profile trigrams in
+    space-padded lowercased text (padding makes ' th' match at string
+    start)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = F.lit(0).cast("long")
+    for needle in TRIGRAM_PROFILES[lang]:
+        out = out + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)
+        ).cast("long")
+    return out
+
+
+def trigram_language_id(text: Column) -> tuple[Column, Column]:
+    """(predicted language, score) from character-trigram profiles —
+    argmax of profile hits, 'und' if all zero, ties to the first language
+    in TRIGRAM_PROFILES order."""
+    hits = {lang: trigram_hits(text, lang) for lang in TRIGRAM_PROFILES}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(TRIGRAM_PROFILES)):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr, F.when(best > 0, best).otherwise(F.lit(0)).cast("long")
 
 
 def subtoken_count(text: Column) -> Column:
@@ -195,5 +251,137 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
                 hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm
             ]
             yield out
+
+    return fan_out(df).mapInPandas(op, schema=out_schema)
+
+
+def langid_trigram_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bulk character-trigram language ID (Arrow-batched pandas).
+
+    Value-identical to ``trigram_language_id`` — pandas ``str.count`` and
+    SQL ``replace()`` arithmetic are both non-overlapping left-to-right
+    scans — but the plan is one mapInPandas node instead of ~270 repeated
+    replace() expressions (column-expression variant measured ~3.5 s of
+    driver-side plan build alone).
+    """
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("lang_trigram", T.StringType()),
+            T.StructField("tri_score", T.LongType()),
+        ]
+    )
+    langs = list(TRIGRAM_PROFILES)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            padded = " " + pdf[text_col].str.lower() + " "
+            H = np.stack(
+                [
+                    sum(
+                        padded.str.count(re.escape(g)).to_numpy()
+                        for g in TRIGRAM_PROFILES[lang]
+                    )
+                    for lang in langs
+                ]
+            )
+            best = H.max(axis=0)
+            arg = H.argmax(axis=0)  # first max wins = TRIGRAM_PROFILES order
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "lang_trigram": np.where(
+                        best > 0, np.array(langs, dtype=object)[arg], "und"
+                    ),
+                    "tri_score": best.astype(np.int64),
+                }
+            )
+
+    return fan_out(df).mapInPandas(op, schema=out_schema)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = RK_K,
+    w: int = RK_W,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD'03): Rabin-Karp hash every character ``k``-gram of the
+    normalized text, slide a ``w``-wide window over the gram hashes and
+    keep each window's minimum; the distinct minima are the document's
+    fingerprint set.
+
+    Output per document: ``n_grams`` (k-gram count), ``rk_min`` (global
+    minimum hash, -1 when the text is shorter than ``k`` — sentinel
+    instead of NULL so driver-side row sorting stays well-defined) and
+    ``n_fingerprints`` (distinct winnowed minima; documents with
+    0 < n_grams < w contribute exactly one fingerprint).
+
+    Arrow-batched numpy: the hash fold is vectorized across all grams of
+    a document (k sequential steps, not len(text) steps), mod-reduced at
+    every step so values stay < 2**38 — no overflow under ANSI or int64.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_grams", T.LongType()),
+            T.StructField("rk_min", T.LongType()),
+            T.StructField("n_fingerprints", T.LongType()),
+        ]
+    )
+
+    def one(s: str) -> tuple[int, int, int]:
+        codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        n = len(codes) - k + 1
+        if n <= 0:
+            return 0, -1, 0
+        h = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            h = (h * RK_BASE + codes[j : j + n]) % RK_MOD
+        if n < w:
+            mins = np.array([h.min()])
+        else:
+            mins = sliding_window_view(h, w).min(axis=1)
+        return n, int(h.min()), len(np.unique(mins))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            norm = (
+                pdf[text_col]
+                .str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True)
+                .str.strip()
+            )
+            res = [one(s) for s in norm]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_grams": np.array([r[0] for r in res], dtype=np.int64),
+                    "rk_min": np.array([r[1] for r in res], dtype=np.int64),
+                    "n_fingerprints": np.array([r[2] for r in res], dtype=np.int64),
+                }
+            )
 
     return fan_out(df).mapInPandas(op, schema=out_schema)

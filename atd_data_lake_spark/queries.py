@@ -35,7 +35,11 @@ from atd_data_lake_spark.operators.similarity import (
     embedding_near_dups,
     lsh_topk,
 )
-from atd_data_lake_spark.operators.text import STOPWORDS, profile_documents
+from atd_data_lake_spark.operators.text import (
+    BPE_PRETOKEN_RE,
+    STOPWORDS,
+    profile_documents,
+)
 from atd_data_lake_spark.operators.windows import (
     daily_cumulative,
     first_seen_rank,
@@ -921,6 +925,122 @@ FROM documents
 """
 
 
+def text_bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenizer regex, counted
+    JVM-side (operators/text.bpe_pretoken_count).  chars_per_token is the
+    compression-ratio proxy used for quality filtering."""
+    from atd_data_lake_spark.operators.text import bpe_pretoken_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = bpe_pretoken_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n.alias("n_pretokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(F.length("text") / n.cast("double"), 6))
+        .alias("chars_per_token"),
+    )
+
+
+def _text_bpe_tokens_sql() -> str:
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    n = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+SELECT doc_id,
+       CAST({n} AS BIGINT) AS n_pretokens,
+       CASE WHEN {n} = 0 THEN 0.0
+            ELSE round(length(text) / CAST({n} AS DOUBLE), 6) END AS chars_per_token
+FROM documents
+"""
+
+
+def text_langid_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (operators/text.langid_trigram_documents):
+    argmax of per-language profile-trigram hits, 'und' when no profile
+    trigram occurs."""
+    from atd_data_lake_spark.operators.text import langid_trigram_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_trigram_documents(d, text_col="text", id_col="doc_id")
+
+
+def _text_langid_ngram_sql() -> str:
+    """Oracle generated from the same TRIGRAM_PROFILES the Spark side
+    uses; replace() arithmetic = the same non-overlapping scan."""
+    from atd_data_lake_spark.operators.text import TRIGRAM_PROFILES
+
+    hit_exprs = {}
+    for lang, grams in TRIGRAM_PROFILES.items():
+        terms = [
+            f"CAST((length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{g}', ''))) "
+            f"/ {len(g)} AS BIGINT)"
+            for g in grams
+        ]
+        hit_exprs[lang] = "(" + " + ".join(terms) + ")"
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {best} > 0 AND {hit_exprs[lang]} = {best} THEN '{lang}'"
+            for lang in TRIGRAM_PROFILES
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+SELECT doc_id,
+       {lang_case} AS lang_trigram,
+       CAST(CASE WHEN {best} > 0 THEN {best} ELSE 0 END AS BIGINT) AS tri_score
+FROM documents
+"""
+
+
+def text_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting (operators/text.winnow_fingerprints):
+    Rabin-Karp k-gram hashes + winnowing window minima."""
+    from atd_data_lake_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, text_col="text", id_col="doc_id")
+
+
+def _text_winnow_sql() -> str:
+    """Same normalization / fold / window semantics in DuckDB: list_reduce
+    is the sequential Rabin-Karp fold, a ROWS window min is the winnow."""
+    from atd_data_lake_spark.operators.text import RK_BASE, RK_K, RK_MOD, RK_W
+
+    return f"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+    FROM documents
+),
+g AS (
+    SELECT doc_id, i,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(0, {RK_K}),
+                                           j -> CAST(unicode(substr(s, i + j, 1)) AS BIGINT))),
+               (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS h
+    FROM n, UNNEST(range(1, length(s) - {RK_K} + 2)) AS u(i)
+),
+w AS (
+    SELECT doc_id, i, h,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {RK_W - 1} FOLLOWING) AS wm,
+           count(*) OVER (PARTITION BY doc_id) AS ng
+    FROM g
+)
+SELECT n.doc_id,
+       CAST(coalesce(max(w.ng), 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(min(w.h), -1) AS BIGINT) AS rk_min,
+       CAST(count(DISTINCT CASE WHEN w.i - 1 <= greatest(w.ng - {RK_W}, 0)
+                                THEN w.wm END) AS BIGINT) AS n_fingerprints
+FROM n LEFT JOIN w ON n.doc_id = w.doc_id
+GROUP BY n.doc_id
+"""
+
+
 def sim_knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors vec_id < 5
     (operators/similarity.cosine_topk)."""
@@ -1074,6 +1194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_profile": text_profile_q,
+    "text_bpe_tokens": text_bpe_tokens_q,
+    "text_langid_ngram": text_langid_ngram_q,
+    "text_winnow_fingerprint": text_winnow_fingerprint_q,
     "sim_knn_bruteforce": sim_knn_bruteforce_q,
     "dedup_embedding_cosine": dedup_embedding_cosine_q,
     # rows-only (no SQL oracle)
@@ -1126,6 +1249,9 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_profile": _text_profile_sql(),
+    "text_bpe_tokens": _text_bpe_tokens_sql(),
+    "text_langid_ngram": _text_langid_ngram_sql(),
+    "text_winnow_fingerprint": _text_winnow_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
 }

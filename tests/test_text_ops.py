@@ -1,0 +1,122 @@
+"""Text-analysis operators named by the north star: BPE-ish regex token
+counting, character-trigram language ID, rolling-hash (winnowing)
+fingerprinting.  Edge cases the sf-table oracle gate can't reach: empty
+text, text shorter than the k-gram width, deterministic tie-breaks, and
+a pure-Python winnowing reference."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from atd_data_lake_spark.operators.text import (
+    RK_BASE,
+    RK_K,
+    RK_MOD,
+    RK_W,
+    TRIGRAM_PROFILES,
+    bpe_pretoken_count,
+    langid_trigram_documents,
+    winnow_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_pretokens_gpt2_style(spark):
+    df = _docs(spark, [(1, "Don't stop, it's 42 héllo-world!"), (2, ""), (3, "   ")])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_pretoken_count(F.col("text")).alias("n")).collect()
+    }
+    # Don|'t| stop|,| it|'s| 42| héllo|-|world|! = 11; whitespace is not a token
+    assert got == {1: 11, 2: 0, 3: 0}
+
+
+def test_langid_trigram_basic_and_ties(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the thing and the other thing"),
+            (2, "la casa de los que viven"),
+            (3, "der ich sch und ein die"),
+            (4, "xyzzy qqq"),  # no profile trigram -> und
+            (5, ""),  # empty -> und
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["lang_trigram"], r["tri_score"])
+        for r in langid_trigram_documents(df).collect()
+    }
+    assert got[1][0] == "en"
+    assert got[2][0] == "es"
+    assert got[3][0] == "de"
+    assert got[4] == ("und", 0)
+    assert got[5] == ("und", 0)
+
+
+def test_langid_trigram_tie_break_first_lang_wins(spark):
+    # " de" is in both es and fr profiles; a text hitting only that trigram
+    # scores es=1, fr=1 -> es (first in TRIGRAM_PROFILES order).
+    assert list(TRIGRAM_PROFILES) == ["en", "es", "de", "fr"]
+    df = _docs(spark, [(1, "zz de zz")])
+    row = langid_trigram_documents(df).collect()[0]
+    assert (row["lang_trigram"], row["tri_score"]) == ("es", 1)
+
+
+def _winnow_ref(text: str, k: int = RK_K, w: int = RK_W):
+    """Pure-Python winnowing reference (Schleimer et al. 2003)."""
+    import re
+
+    s = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    n = len(s) - k + 1
+    if n <= 0:
+        return 0, -1, 0
+    hs = []
+    for i in range(n):
+        h = 0
+        for ch in s[i : i + k]:
+            h = (h * RK_BASE + ord(ch)) % RK_MOD
+        hs.append(h)
+    if n < w:
+        mins = {min(hs)}
+    else:
+        mins = {min(hs[p : p + w]) for p in range(n - w + 1)}
+    return n, min(hs), len(mins)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "short",  # normalized length < k
+        "exactly8",  # exactly one k-gram
+        "The quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaa",  # degenerate: all grams identical -> 1 fingerprint
+        "Punct!!! and    WHITESPACE\t\tnoise...",
+    ],
+)
+def test_winnow_matches_python_reference(spark, text):
+    df = _docs(spark, [(1, text)])
+    row = winnow_fingerprints(df).collect()[0]
+    n, rk_min, n_fp = _winnow_ref(text)
+    assert (row["n_grams"], row["rk_min"], row["n_fingerprints"]) == (n, rk_min, n_fp)
+
+
+def test_winnow_fingerprint_stable_under_formatting_noise(spark):
+    # Normalization makes the fingerprint set invariant to case /
+    # punctuation / whitespace — the property that makes it a near-dup
+    # signal rather than an exact hash.
+    df = _docs(
+        spark,
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "the QUICK,  brown... FOX jumps over THE lazy dog!!"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    assert rows[1]["rk_min"] == rows[2]["rk_min"]
+    assert rows[1]["n_fingerprints"] == rows[2]["n_fingerprints"]
+    assert rows[1]["n_grams"] == rows[2]["n_grams"]
