@@ -151,53 +151,76 @@ def lsh_topk(
     rows_per_band = n_planes // bands
     weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
 
-    def banded(df: DataFrame, idc: str) -> DataFrame:
-        out_schema = T.StructType(
-            [
-                T.StructField("_id", T.LongType()),
-                T.StructField("_vec", df.schema[vec_col].dataType),
-                T.StructField("band", T.IntegerType()),
-                T.StructField("bucket", T.LongType()),
-            ]
-        )
-
-        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
-                frames = []
-                for b in range(bands):
-                    chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "_id": pdf[idc],
-                                "_vec": pdf[vec_col],
-                                "band": np.int32(b),
-                                "bucket": chunk @ weights,
-                            }
-                        )
-                    )
-                yield pd.concat(frames, ignore_index=True)
-
-        return df.select(F.col(idc).alias(idc), vec_col).mapInPandas(
-            op, schema=out_schema
-        )
-
-    c = banded(fan_out(corpus), id_col)
-    q = (
-        banded(queries, query_id_col)
-        .withColumnRenamed("_id", "_qid")
-        .withColumnRenamed("_vec", "_qvec")
+    band_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
-    cands = (
+
+    def band_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
+            frames = []
+            for b in range(bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": pdf[id_col],
+                            "band": np.int32(b),
+                            "bucket": chunk @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    # corpus band keys: 3 small columns — the vectors stay in their scan
+    # partitions until the (tiny) candidate set is known
+    c = (
+        fan_out(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(band_corpus, schema=band_schema)
+    )
+
+    # queries are driver-small (same contract as cosine_topk/ivf_topk):
+    # band them locally — no Spark stage, no Arrow roundtrip
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qbits = (qmat @ planes.T >= 0).astype(np.int64)
+    q_band_rows = [
+        (int(qid), int(b), int(qbits[i, b * rows_per_band : (b + 1) * rows_per_band] @ weights))
+        for i, qid in enumerate(qids)
+        for b in range(bands)
+    ]
+    q = corpus.sparkSession.createDataFrame(q_band_rows, "_qid long, band int, bucket long")
+
+    # candidate (corpus, query) id pairs: equi-join on band buckets, then
+    # distinct over the 16-byte id pair — NOT over the vectors (a pair that
+    # collides in several bands would otherwise shuffle its vectors once
+    # per band)
+    pair_ids = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("_id") != F.col("_qid"))
-        .select("_id", "_vec", "_qid", "_qvec")
+        .select("_id", "_qid")
         .distinct()
     )
+
+    # rejoin the (small) candidate set to the corpus vectors; query vectors
+    # ride along in the closure keyed by query id
+    qvec_by_id = {int(qid): qmat[i] for i, qid in enumerate(qids)}
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    qnorm_by_id = {int(qid): float(qnorms[i]) for i, qid in enumerate(qids)}
+
+    cands = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).join(F.broadcast(pair_ids), "_id")
 
     pair_schema = T.StructType(
         [
@@ -212,15 +235,15 @@ def lsh_topk(
             if len(pdf) == 0:
                 continue
             a = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-            b = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
             an = np.linalg.norm(a, axis=1)
-            bn = np.linalg.norm(b, axis=1)
             an[an == 0] = 1.0
-            bn[bn == 0] = 1.0
+            qid_arr = pdf["_qid"].to_numpy()
+            b = np.stack([qvec_by_id[int(qid)] for qid in qid_arr])
+            bn = np.array([qnorm_by_id[int(qid)] for qid in qid_arr])
             sims = _round_half_up((a * b).sum(axis=1) / (an * bn))
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["_qid"],
+                    "query_id": qid_arr,
                     "neighbor_id": pdf["_id"],
                     "cos_sim": sims,
                 }
