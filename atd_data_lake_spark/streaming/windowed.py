@@ -76,6 +76,31 @@ def tumbling_agg_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exact streaming dedup: the first arrival of each key survives;
+    re-deliveries within the watermark horizon are dropped with BOUNDED
+    state (``dropDuplicatesWithinWatermark`` expires a key's state once
+    the watermark passes it — plain ``dropDuplicates`` on a stream would
+    grow state forever).
+
+    This is the streaming analog of both ``operators/dedup.exact_dedup``
+    (key = content hash) and the reference's J1 incremental anti-join
+    guard against reprocessing already-cataloged items
+    (support/etl_app.py:257-285): at-least-once upstream delivery
+    becomes exactly-once downstream within the horizon.  On a batch
+    DataFrame the same call degrades to a plain dropDuplicates (Spark
+    routes by execution mode), keeping the batch ≡ stream contract."""
+    out = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        return out.dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
+
+
 def sensor_obs_stream(
     df: DataFrame,
     sensor_col: str,

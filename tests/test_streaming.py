@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from atd_data_lake_spark.pipelines import gs
 from atd_data_lake_spark.streaming import (
+    dedup_stream,
     sensor_obs_stream,
     stream_csv_source,
     tumbling_agg_stream,
@@ -104,6 +105,42 @@ def test_stream_agg_matches_gs_batch_operator(spark, tmp_path):
     a = {key(r): (r["volume"], r["speed_avg"], r["speed_std"]) for r in stream_style}
     b = {key(r): (r["volume"], r["speed_avg"], r["speed_std"]) for r in batch_style}
     assert a == b
+
+
+def test_dedup_stream_drops_redeliveries_across_microbatches(spark, tmp_path):
+    """A key re-delivered in a later file (micro-batch) is dropped while
+    its state is inside the watermark horizon; distinct keys all pass."""
+    (tmp_path / "d4").mkdir()
+    # file 1: two distinct keys + an in-batch duplicate of k1
+    (tmp_path / "d4" / "a.csv").write_text(
+        "2019-06-03T10:01:00,k1,10.0\n"
+        "2019-06-03T10:01:30,k1,11.0\n"
+        "2019-06-03T10:02:00,k2,20.0\n"
+    )
+    # file 2: k1 re-delivered (same key, later ts) + a new key
+    (tmp_path / "d4" / "b.csv").write_text(
+        "2019-06-03T10:03:00,k1,12.0\n"
+        "2019-06-03T10:04:00,k3,30.0\n"
+    )
+    schema = spark.createDataFrame([], "ts timestamp, k string, v double").schema
+    stream = stream_csv_source(
+        spark, str(tmp_path / "d4"), schema, max_files_per_trigger=1
+    )
+    deduped = dedup_stream(stream, ["k"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_dedup").collect()
+    assert sorted(r["k"] for r in rows) == ["k1", "k2", "k3"]
+
+    # batch execution of the same call keeps one row per key too
+    batch = spark.read.csv(str(tmp_path / "d4"), schema=schema)
+    assert dedup_stream(batch, ["k"], ts_col="ts").count() == 3
 
 
 def test_sensor_obs_stream(spark, tmp_path):
