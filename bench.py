@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_profile",
+    "text_bpe_tokens",
+    "text_langid_ngram",
+    "text_winnow_fingerprint",
     "sim_knn_bruteforce",
     "sim_ann_lsh",
     "mm_media_features",
@@ -62,19 +65,23 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    # Three full sweeps over the query list, min per query.  Interleaving
+    # the repeats (sweep-major, not query-major) decorrelates this host's
+    # multi-second noisy-neighbor stalls from any single query: back-to-back
+    # repeats all land in the same stall window, sweep-spaced repeats don't.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for sweep in range(3):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            rows[name] = QUERIES[name](spark, sf_dir).count()
+            runs[name].append(time.perf_counter() - t0)
+            # operators persist multi-consumer intermediates; drop them so
+            # one query's cache never skews the next query's measurement
+            spark.catalog.clearCache()
+    timings = {name: round(min(runs[name]), 3) for name in HEADLINE}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(2):  # steady-state: min of 2 (amortizes Python-worker
-            t0 = time.perf_counter()  # spin-up + codegen, like a live cluster)
-            n = fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        # operators persist multi-consumer intermediates; drop them so one
-        # query's cache never skews the next query's measurement
-        spark.catalog.clearCache()
-        timings[name] = round(min(runs), 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
