@@ -101,6 +101,58 @@ def extract_features(
     return fan_out(media).mapInPandas(op, schema=out_schema)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resize: returns a payload
+    whose length scales with the target pixel count and whose content is
+    derived from the source bytes (so tests can assert determinism and
+    size behavior).  A real implementation (PIL thumbnail → re-encode)
+    plugs in behind the same signature."""
+    if payload is None:
+        return b""
+    digest = hashlib.sha256(payload).digest()
+    n = max(1, (width * height) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn=fake_resize,
+) -> DataFrame:
+    """(media_id, payload, meta) → same schema with the payload replaced by
+    the resized rendition and meta.width/height/n_bytes updated.
+
+    The Spark-side contract is the real deliverable here: payloads stay
+    executor-side in bounded Arrow batches, the output schema is identical
+    to the input (so renditions drop into the same lake layout), and the
+    stage is a pure map — zero shuffle at any corpus size.  The codec is
+    stubbed (``fake_resize``) because image libraries are absent in this
+    container."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            resized = [resize_fn(p, width, height) for p in pdf["payload"]]
+            out["payload"] = resized
+            out["meta"] = [
+                {
+                    **(m if isinstance(m, dict) else m.asDict()),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(r),
+                }
+                for m, r in zip(pdf["meta"], resized)
+            ]
+            yield out
+
+    from atd_data_lake_spark.operators.scale import fan_out
+
+    return fan_out(media).mapInPandas(op, schema=media.schema)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

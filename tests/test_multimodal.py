@@ -13,8 +13,10 @@ from atd_data_lake_spark.operators.multimodal import (
     MEDIA_META,
     extract_features,
     fake_decode,
+    fake_resize,
     frame_sample_plan,
     real_decode,
+    resize_media,
 )
 
 
@@ -54,6 +56,25 @@ def test_fake_decode_matches_spark_path(media):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         real_decode(b"anything")
+
+
+def test_resize_media_schema_and_meta(media):
+    out = resize_media(media, width=16, height=16)
+    # schema-preserving: renditions drop into the same lake layout
+    assert out.schema == media.schema
+    rows = {r["media_id"]: r for r in out.collect()}
+    expect_len = (16 * 16) // 64
+    assert len(rows[1]["payload"]) == expect_len
+    assert rows[1]["meta"]["width"] == 16 and rows[1]["meta"]["height"] == 16
+    assert rows[1]["meta"]["n_bytes"] == expect_len
+    # untouched meta fields pass through
+    assert rows[1]["meta"]["media_type"] == "image"
+    assert rows[2]["meta"]["format"] == "jpeg"
+    # NULL payload -> empty rendition, deterministic duplicate payloads agree
+    assert rows[3]["payload"] == b"" and rows[3]["meta"]["n_bytes"] == 0
+    assert rows[1]["payload"] == rows[4]["payload"]
+    # matches the local stub byte-for-byte
+    assert bytes(rows[1]["payload"]) == fake_resize(b"payload-one", 16, 16)
 
 
 def test_frame_sample_plan_explosion(media):
