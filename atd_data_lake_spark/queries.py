@@ -172,6 +172,68 @@ FROM (
 """
 
 
+def olap_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: revenue by nation for one region/year
+    with the local-supplier condition (c_nationkey = s_nationkey).
+
+    Plan shape (the point of this query): region/nation are explicit
+    broadcasts, the region filter prunes customers BEFORE any fact-table
+    shuffle, and the two fact joins (orders⋈customer-set, lineitem⋈orders)
+    are the only key shuffles — AQE upgrades them to broadcasts when the
+    pruned side is small.  The date filter pushes to the orders scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    n_r = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    c2 = c.join(F.broadcast(n_r), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    o2 = o.join(c2, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    j = l.join(o2, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        s,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    ep = F.col("l_extendedprice").cast(D2)
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(ep * one_minus_disc).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+OLAP_STAR_JOIN_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def a1_tumbling_window_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — the reference's flagship 15-min tumbling aggregation
     (gs_ready_agg.py:69-92: volume=size, avg, sample-std→0 fill, round 3).
@@ -1166,6 +1228,7 @@ def mm_media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
+    "olap_star_join": olap_star_join,
     "a1_tumbling_window_15min": a1_tumbling_window_15min,
     "a2_daily_counts": a2_daily_counts,
     "a3_sensor_daily_obs": a3_sensor_daily_obs,
@@ -1221,6 +1284,7 @@ QUERIES.update(COVERAGE_QUERIES)
 
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
+    "olap_star_join": OLAP_STAR_JOIN_SQL,
     "a1_tumbling_window_15min": A1_SQL,
     "a2_daily_counts": A2_SQL,
     "a3_sensor_daily_obs": A3_SQL,

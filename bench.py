@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "olap_star_join",
     "a1_tumbling_window_15min",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
