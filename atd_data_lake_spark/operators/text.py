@@ -308,7 +308,9 @@ def langid_trigram_documents(
                 }
             )
 
-    return fan_out(df).mapInPandas(op, schema=out_schema)
+    # project BEFORE the pandas stage: mapInPandas consumes whole rows, so
+    # without this the scan reads every column of the table
+    return fan_out(df.select(id_col, text_col)).mapInPandas(op, schema=out_schema)
 
 
 def winnow_fingerprints(
@@ -384,4 +386,6 @@ def winnow_fingerprints(
                 }
             )
 
-    return fan_out(df).mapInPandas(op, schema=out_schema)
+    # project BEFORE the pandas stage: mapInPandas consumes whole rows, so
+    # without this the scan reads every column of the table
+    return fan_out(df.select(id_col, text_col)).mapInPandas(op, schema=out_schema)

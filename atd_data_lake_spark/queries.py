@@ -922,7 +922,9 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation ratio, heuristic language
     ID, quality score, fingerprint (operators/text.profile_documents)."""
     d = _t(spark, sf_dir, "documents")
-    out = profile_documents(d, text_col="text")
+    # profile_documents passes through its input columns; project first so
+    # the scan reads only what the profile needs
+    out = profile_documents(d.select("doc_id", "text"), text_col="text")
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -26,3 +26,33 @@ def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
         )
+
+
+# Queries over `documents` that derive everything from (doc_id, text):
+# their scan must read exactly those two columns.  mapInPandas consumes
+# whole rows, so a missing pre-projection silently reads the full table —
+# invisible at sf0.001, ruinous on a wide 100 TB corpus.
+DOC_PRUNED = [
+    "text_profile",
+    "text_bpe_tokens",
+    "text_langid_ngram",
+    "text_winnow_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+]
+
+
+@pytest.mark.parametrize("name", DOC_PRUNED)
+def test_documents_scan_prunes_to_id_and_text(spark, sf_dir, name):
+    import re
+
+    plan = (
+        QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"{name}: no parquet scan found in plan"
+    for s in schemas:
+        cols = sorted(f.split(":")[0] for f in s.split(",") if f)
+        assert cols == ["doc_id", "text"], f"{name} scan reads {cols}"

@@ -131,3 +131,55 @@ def test_asof_backward_matches_bruteforce(spark, pairs):
     for k, ts, rid in left_rows:
         elig = [rt for rk, rt in right_rows if rk == k and rt <= ts]
         assert got[rid] == (max(elig) if elig else None)
+
+
+WINNOW_TEXT = st.text(
+    alphabet=st.sampled_from("abcdefgh XYZ.,!019 "),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(WINNOW_TEXT, min_size=1, max_size=8))
+def test_winnow_matches_python_reference_random(spark, docs):
+    """winnow_fingerprints ≡ the pure-Python Rabin-Karp + winnowing
+    reference on arbitrary mixed-case/punctuation/digit text."""
+    from atd_data_lake_spark.operators.text import winnow_fingerprints
+    from tests.test_text_ops import _winnow_ref
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["rk_min"], r["n_fingerprints"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    for i, text in enumerate(docs):
+        assert got[i] == _winnow_ref(text), f"doc {i}: {text!r}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(WINNOW_TEXT, min_size=1, max_size=8))
+def test_bpe_pretoken_count_matches_python_re(spark, docs):
+    """bpe_pretoken_count (Java regex, JVM-side) ≡ Python re.findall of
+    the same pattern — guards the cross-engine regex-semantics assumption
+    the DuckDB oracle also relies on."""
+    import re
+
+    from atd_data_lake_spark.operators.text import BPE_PRETOKEN_RE, bpe_pretoken_count
+
+    # Python re lacks \p{...}; translate to the ASCII-equivalent classes
+    # (inputs here are ASCII-only by construction)
+    py_pat = (
+        BPE_PRETOKEN_RE.replace(r"[^\s\p{L}\p{N}]", r"[^\sa-zA-Z0-9]")
+        .replace(r"\p{L}", "[a-zA-Z]")
+        .replace(r"\p{N}", "[0-9]")
+    )
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_pretoken_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        assert got[i] == len(re.findall(py_pat, text)), f"doc {i}: {text!r}"
