@@ -44,8 +44,15 @@ DOC_PRUNED = [
 ]
 
 
-@pytest.mark.parametrize("name", DOC_PRUNED)
-def test_documents_scan_prunes_to_id_and_text(spark, sf_dir, name):
+EMB_PRUNED = [
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_embedding_cosine",
+]
+
+
+def _scan_columns(spark, sf_dir, name):
     import re
 
     plan = (
@@ -53,6 +60,16 @@ def test_documents_scan_prunes_to_id_and_text(spark, sf_dir, name):
     )
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas, f"{name}: no parquet scan found in plan"
-    for s in schemas:
-        cols = sorted(f.split(":")[0] for f in s.split(",") if f)
+    return [sorted(f.split(":")[0] for f in s.split(",") if f) for s in schemas]
+
+
+@pytest.mark.parametrize("name", DOC_PRUNED)
+def test_documents_scan_prunes_to_id_and_text(spark, sf_dir, name):
+    for cols in _scan_columns(spark, sf_dir, name):
         assert cols == ["doc_id", "text"], f"{name} scan reads {cols}"
+
+
+@pytest.mark.parametrize("name", EMB_PRUNED)
+def test_embeddings_scan_prunes_to_id_and_vector(spark, sf_dir, name):
+    for cols in _scan_columns(spark, sf_dir, name):
+        assert cols == ["embedding", "vec_id"], f"{name} scan reads {cols}"
