@@ -989,6 +989,36 @@ FROM documents
 """
 
 
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite: profile → quality +
+    language gate → near-identical dedup on the normalized fingerprint
+    (canonical = min doc_id).  The whole chain is one map stage plus ONE
+    shuffle (the fingerprint groupBy) — the shape a 100 TB corpus-prep
+    job runs nightly."""
+    d = _t(spark, sf_dir, "documents")
+    prof = profile_documents(d.select("doc_id", "text"), text_col="text")
+    kept = prof.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    return kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_dups"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    )
+
+
+def _corpus_curation_sql() -> str:
+    return f"""
+SELECT fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups,
+       min_by(n_tokens, doc_id) AS n_tokens,
+       min_by(quality, doc_id) AS quality
+FROM ({_text_profile_sql()})
+WHERE quality >= 0.5 AND lang_pred = 'en'
+GROUP BY fingerprint
+"""
+
+
 def text_bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: GPT-2-style pre-tokenizer regex, counted
     JVM-side (operators/text.bpe_pretoken_count).  chars_per_token is the
@@ -1260,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_profile": text_profile_q,
     "text_bpe_tokens": text_bpe_tokens_q,
+    "corpus_curation": corpus_curation_q,
     "text_langid_ngram": text_langid_ngram_q,
     "text_winnow_fingerprint": text_winnow_fingerprint_q,
     "sim_knn_bruteforce": sim_knn_bruteforce_q,
@@ -1316,6 +1347,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "text_profile": _text_profile_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
+    "corpus_curation": _corpus_curation_sql(),
     "text_langid_ngram": _text_langid_ngram_sql(),
     "text_winnow_fingerprint": _text_winnow_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,

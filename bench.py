@@ -38,6 +38,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "text_langid_ngram",
     "text_winnow_fingerprint",
+    "corpus_curation",
     "sim_knn_bruteforce",
     "sim_ann_lsh",
     "mm_media_features",
