@@ -8,19 +8,21 @@ Reference semantics:
   (support/unitdata.py:40-63; docs/datasrc_wt.md:58).
 
 Spark-first design: a range-condition join + per-left-row best-match
-selection via row_number.  The dimension side (site files / unit-data
-snapshots: one row per (entity, day)) is tiny relative to fact data, so
-it is broadcast and the join is shuffle-free on the fact side; the
-row_number partitions by a synthetic left-row id, which AQE handles
-without a global sort.  For a dimension too big to broadcast, drop the
-broadcast hint and the same plan degrades to one sort-merge join — still
-no driver loop (the reference's bisect search, support/catalog.py:63-74,
-is subsumed).
+selection via ``max_by``/``min_by`` aggregation (NOT a row_number
+window: an aggregate gets map-side partial aggregation, so the matches
+a broadcast join emits for one left row — all in one task — collapse
+to a single row before the shuffle, and nothing is ever sorted).  The
+dimension side (site files / unit-data snapshots: one row per
+(entity, day)) is tiny relative to fact data, so it is broadcast and
+the fact side never shuffles pre-join.  For a dimension too big to
+broadcast, drop the broadcast hint and the same plan degrades to one
+shuffled join — still no driver loop (the reference's bisect search,
+support/catalog.py:63-74, is subsumed).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,12 +58,10 @@ def asof_join(
         cond = F.col(ts_col) <= F.col(left_ts)
         if tolerance is not None:
             cond = cond & (F.col(ts_col) >= F.col(left_ts) - tolerance)
-        order = F.col(ts_col).desc()
     else:
         cond = F.col(ts_col) >= F.col(left_ts)
         if tolerance is not None:
             cond = cond & (F.col(ts_col) <= F.col(left_ts) + tolerance)
-        order = F.col(ts_col).asc()
 
     left_tagged = left.withColumn("_l_uid", F.monotonically_increasing_id())
     jc = cond
@@ -70,14 +70,24 @@ def asof_join(
     rside = F.broadcast(r) if broadcast_right else r
     joined = left_tagged.join(rside, jc, "left")
 
-    w = Window.partitionBy("_l_uid").orderBy(order)
-    best = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    for k in on:
-        best = best.drop(r[k])
-    out = best.drop("_rn", "_l_uid")
+    # argmax/argmin by (ts, remaining right cols): the struct key gives a
+    # deterministic total order on ts ties; NULL keys (unmatched left
+    # rows) are ignored by min_by/max_by, yielding a NULL payload — the
+    # left-join semantics fall out for free
+    key = F.struct(
+        F.col(ts_col), *[F.col(f"_r_{c}") for c in right_cols if c != right_ts]
+    )
+    payload = F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols])
+    pick = F.max_by(payload, key) if direction == "backward" else F.min_by(
+        payload, key
+    )
+    best = joined.groupBy("_l_uid", *[left_tagged[c] for c in left.columns]).agg(
+        pick.alias("_best")
+    )
+    out = best
     if how == "inner":
-        out = out.filter(F.col(ts_col).isNotNull())
+        out = out.filter(F.col(f"_best.{right_ts}").isNotNull())
     for c in right_cols:
         target = c if c not in left.columns else f"{c}_right"
-        out = out.withColumnRenamed(f"_r_{c}", target)
-    return out
+        out = out.withColumn(target, F.col(f"_best.{c}"))
+    return out.drop("_best", "_l_uid")
