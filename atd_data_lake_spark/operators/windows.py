@@ -70,14 +70,19 @@ def latest_per_group(
     df: DataFrame, group_cols: list[str], order_col: str, tiebreak: list[str] | None = None
 ) -> DataFrame:
     """A7 — latest row per group (perfmet_knack.py:141-142 groupby tail(1) /
-    idxmax).  Deterministic: ties broken by ``tiebreak`` columns desc."""
-    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
-    w = Window.partitionBy(*group_cols).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    idxmax).  Deterministic: ties broken by ``tiebreak`` columns desc.
+
+    max_by over a (order, *tiebreak) struct rather than a row_number
+    window: the aggregate gets map-side partial aggregation (the shuffle
+    carries one candidate per group per task, not every row) and avoids
+    the window sort entirely."""
+    others = [c for c in df.columns if c not in group_cols]
+    key = F.struct(F.col(order_col), *[F.col(c) for c in (tiebreak or [])])
+    payload = F.struct(*[F.col(c).alias(c) for c in others])
+    out = df.groupBy(*group_cols).agg(F.max_by(payload, key).alias("_best"))
+    for c in others:
+        out = out.withColumn(c, F.col(f"_best.{c}"))
+    return out.drop("_best").select(*df.columns)
 
 
 def daily_cumulative(
