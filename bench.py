@@ -41,6 +41,7 @@ HEADLINE = [
     "corpus_curation",
     "sim_knn_bruteforce",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "mm_media_features",
 ]
 
