@@ -293,6 +293,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _sq_dists(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (n×d, k×d) → n×k via the matmul
+    identity |x−c|² = |x|² + |c|² − 2x·c — one BLAS call instead of
+    materializing an n×k×d broadcast tensor (~10× faster, ~k× less
+    memory)."""
+    return (
+        (x * x).sum(axis=1)[:, None]
+        + (c * c).sum(axis=1)[None, :]
+        - 2.0 * (x @ c.T)
+    )
+
+
 def _kmeans_centroids(
     sample: np.ndarray, n_cells: int, n_iter: int = 10, seed: int = 42
 ) -> np.ndarray:
@@ -303,8 +315,7 @@ def _kmeans_centroids(
     idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
     centroids = sample[np.sort(idx)].astype(np.float64)
     for _ in range(n_iter):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _sq_dists(sample, centroids).argmin(axis=1)
         for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
@@ -354,12 +365,11 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {
                     "_id": pdf[id_col],
                     "_vec": pdf[vec_col],
-                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "cell": _sq_dists(mat, centroids).argmin(axis=1).astype(np.int32),
                 }
             )
 
@@ -373,8 +383,7 @@ def ivf_topk(
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-    probes = np.argsort(qd, axis=1)[:, :n_probe]
+    probes = np.argsort(_sq_dists(qmat, centroids), axis=1)[:, :n_probe]
     probe_rows = [
         (int(qid), qmat[i].tolist(), int(cell))
         for i, qid in enumerate(qids)
