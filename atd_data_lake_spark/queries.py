@@ -572,7 +572,9 @@ GROUP BY c_mktsegment
 def j8_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — backward as-of join (support/catalog.py:123-188 getForPrevDate):
     each event matched to the user's latest order dated ≤ the event."""
-    e = _t(spark, sf_dir, "events")
+    # pre-project: asof_join carries every left column through its
+    # aggregation, so the scan reads exactly what is selected here
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
@@ -597,7 +599,9 @@ def j9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 — forward as-of join (support/unitdata.py:40-63: closest *future*
     snapshot): for each error event, the user's next purchase event."""
     e = _t(spark, sf_dir, "events")
-    errors = e.filter(F.col("event_type") == "error")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts")
     )
