@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 import zipfile
+
+import pytest
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -178,3 +180,14 @@ def test_s15_perfmet_composition(spark):
     sensors = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "sensor_name string")
     miss = perfmet.missing_data_sentinel(obs, sensors).collect()
     assert [(m["sensor_name"], m["data"]) for m in miss] == [("s3", -1.0)]
+
+
+def test_bogus_sf_dir_raises_clean_analysis_exception(spark):
+    """A wrong data directory fails fast with PATH_NOT_FOUND at plan
+    time — not a mid-job executor error."""
+    from pyspark.errors import AnalysisException
+
+    from atd_data_lake_spark.queries import QUERIES
+
+    with pytest.raises(AnalysisException):
+        QUERIES["q1_pricing_summary"](spark, "/nonexistent/sfX").collect()
