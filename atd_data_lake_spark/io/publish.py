@@ -60,6 +60,58 @@ def push_rest(
     df.foreachPartition(_part)
 
 
+def publish_stream(
+    stream_df: DataFrame,
+    public_path: str,
+    checkpoint: str,
+    send: Callable[[list[dict]], None] | None = None,
+    chunk_size: int = SOC_CHUNK,
+):
+    """S13 as a streaming sink — merge-on-read upsert over plain parquet.
+
+    Each micro-batch APPENDS with a monotonically increasing ``_pub_seq``
+    (the batch id): appends are atomic and cheap, and ``read_public``
+    resolves the latest version of each record_id at read time (the
+    Hudi/Iceberg merge-on-read pattern; with Delta available this
+    becomes a real MERGE).  Re-delivered batches (checkpoint replay)
+    rewrite the same records and the read view is unchanged —
+    exactly-once publish semantics from at-least-once delivery, same as
+    the reference's content-hash upsert (docs/reprocessing.md:5-17).
+    ``send``: optional chunked REST push per batch (S13's process
+    boundary).  Returns the started StreamingQuery.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_pub_seq", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(public_path)
+        if send is not None:
+            push_rest(batch_df, send, chunk_size)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_public(spark, public_path: str, key: str = "record_id") -> DataFrame:
+    """Read view over a ``publish_stream`` layer: latest version per
+    record (max_by on the append sequence — one shuffle on the key)."""
+    from atd_data_lake_spark.operators.windows import latest_per_group
+
+    df = spark.read.parquet(public_path)
+    return latest_per_group(df, [key], "_pub_seq").drop("_pub_seq")
+
+
+def compact_public(spark, public_path: str, key: str = "record_id") -> DataFrame:
+    """Compaction job for the merge-on-read layer: returns the resolved
+    frame for the runner to rewrite (write_layer) once the append count
+    warrants it — read cost returns to one row per record."""
+    return read_public(spark, public_path, key)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S14: header'd CSV output (header from the schema rather than the
     first row — same wire format, deterministic)."""

@@ -154,3 +154,45 @@ def test_sensor_obs_stream(spark, tmp_path):
     assert str(rows["Northbound"]["min_ts"]) == "2019-06-03 10:01:00"
     assert str(rows["Northbound"]["max_ts"]) == "2019-06-03 10:05:00"
     assert str(rows["Northbound"]["day"]) == "2019-06-03 00:00:00"
+
+
+def test_publish_stream_merge_on_read(spark, tmp_path):
+    """Streaming publish: micro-batches append with _pub_seq; the read
+    view resolves the latest version per record_id and matches the batch
+    merge_public result on the same data."""
+    from atd_data_lake_spark.io.publish import merge_public, publish_stream, read_public
+
+    (tmp_path / "drop5").mkdir()
+    # batch 0: two records; batch 1: re-publishes r1 with a new value
+    (tmp_path / "drop5" / "a.csv").write_text("r1,10.0\nr2,20.0\n")
+    (tmp_path / "drop5" / "b.csv").write_text("r1,11.0\nr3,30.0\n")
+    schema = spark.createDataFrame([], "record_id string, v double").schema
+    stream = stream_csv_source(
+        spark, str(tmp_path / "drop5"), schema, max_files_per_trigger=1
+    )
+    # send runs executor-side: record through the filesystem, not a closure
+    sent_dir = tmp_path / "sent"
+    sent_dir.mkdir()
+
+    def send(batch):
+        import uuid
+
+        (sent_dir / f"{uuid.uuid4().hex}.txt").write_text(str(len(batch)))
+
+    q = publish_stream(
+        stream,
+        str(tmp_path / "public"),
+        str(tmp_path / "ckpt"),
+        send=send,
+    )
+    q.awaitTermination(120)
+
+    got = {r["record_id"]: r["v"] for r in read_public(spark, str(tmp_path / "public")).collect()}
+    assert got == {"r1": 11.0, "r2": 20.0, "r3": 30.0}
+    # equals the batch-side merge of the same two deliveries
+    b0 = spark.createDataFrame([("r1", 10.0), ("r2", 20.0)], schema)
+    b1 = spark.createDataFrame([("r1", 11.0), ("r3", 30.0)], schema)
+    want = {r["record_id"]: r["v"] for r in merge_public(b0, b1).collect()}
+    assert got == want
+    # REST push saw every row, chunked
+    assert sum(int(p.read_text()) for p in sent_dir.iterdir()) == 4
