@@ -1,0 +1,87 @@
+"""Connected components over near-duplicate candidate pairs.
+
+Beyond-reference extension (BASELINE.json north star): pair lists from
+MinHash/SimHash/Jaccard/embedding dedup are only actionable once grouped
+— a cluster keeps ONE canonical document.  Components are computed by
+min-label propagation (each node repeatedly takes the minimum label in
+its neighborhood), the standard distributed formulation: every iteration
+is one equi-join + one min-aggregation, converging in graph-diameter
+iterations.  Near-dup graphs are unions of small dense cliques, so the
+diameter — and the iteration count — is tiny regardless of corpus size.
+
+Determinism: the fixpoint (min node id per component) is unique and
+independent of execution order, so results are stable across runs and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) edge list → (node, component) with component = min node
+    id reachable.  Nodes appear iff they occur in an edge (isolated
+    documents are trivially their own component — no work to do).
+
+    Each iteration persists its label frame and unpersists the previous
+    one, so lineage stays two steps deep; convergence is detected by the
+    label-sum invariant (labels only decrease, so an unchanged sum is a
+    fixpoint — one scalar action per iteration, no join-and-compare).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pair list → per-document cluster assignment:
+    (doc_id, component, n_members).  The canonical document of a cluster
+    is its component id (the minimum doc id); everything else in the
+    cluster is droppable."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(F.col("node").alias("doc_id"), "component", "n_members")
+    )

@@ -1023,6 +1023,42 @@ GROUP BY fingerprint
 """
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: n-gram-Jaccard pairs ≥ 0.1 grouped into
+    connected components (operators/components.dedup_clusters) — the
+    keep-one-per-cluster step that makes pair lists actionable."""
+    from atd_data_lake_spark.operators.components import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.1).persist()
+    return dedup_clusters(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle: transitive closure by recursive CTE over the same pair
+    list; component = min reachable node (incl. self)."""
+    return f"""
+WITH RECURSIVE pairs AS ({DEDUP_JACCARD_SQL}),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS n_members
+FROM comp
+"""
+
+
 def text_bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: GPT-2-style pre-tokenizer regex, counted
     JVM-side (operators/text.bpe_pretoken_count).  chars_per_token is the
@@ -1295,6 +1331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": text_profile_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
+    "dedup_clusters": dedup_clusters_q,
     "text_langid_ngram": text_langid_ngram_q,
     "text_winnow_fingerprint": text_winnow_fingerprint_q,
     "sim_knn_bruteforce": sim_knn_bruteforce_q,
@@ -1352,6 +1389,7 @@ ORACLES: dict[str, str] = {
     "text_profile": _text_profile_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "corpus_curation": _corpus_curation_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "text_langid_ngram": _text_langid_ngram_sql(),
     "text_winnow_fingerprint": _text_winnow_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,

@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_simhash",
     "text_profile",
     "text_bpe_tokens",

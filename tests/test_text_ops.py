@@ -120,3 +120,28 @@ def test_winnow_fingerprint_stable_under_formatting_noise(spark):
     assert rows[1]["rk_min"] == rows[2]["rk_min"]
     assert rows[1]["n_fingerprints"] == rows[2]["n_fingerprints"]
     assert rows[1]["n_grams"] == rows[2]["n_grams"]
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation reaches across multi-hop chains (diameter >
+    1) and merges cliques that share a member; singletons-with-an-edge
+    keep their own pair component."""
+    from atd_data_lake_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, bridge 12-13,
+        # isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    clusters = {
+        r["doc_id"]: (r["component"], r["n_members"])
+        for r in dedup_clusters(edges).collect()
+    }
+    assert clusters[4] == (1, 4) and clusters[13] == (10, 4) and clusters[21] == (20, 2)
