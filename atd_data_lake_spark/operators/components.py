@@ -30,28 +30,35 @@ def connected_components(
     id reachable.  Nodes appear iff they occur in an edge (isolated
     documents are trivially their own component — no work to do).
 
-    Each iteration persists its label frame and unpersists the previous
-    one, so lineage stays two steps deep; convergence is detected by the
-    label-sum invariant (labels only decrease, so an unchanged sum is a
-    fixpoint — one scalar action per iteration, no join-and-compare).
+    Each iteration ``localCheckpoint``s its label frame: iterative
+    DataFrame algorithms grow their logical plan by one join per round,
+    and without truncation the analysis/recompute cost compounds (on a
+    cluster, swap in reliable ``checkpoint`` with a checkpoint dir).
+    Convergence is detected by the label-sum invariant (labels only
+    decrease, so an unchanged sum is a fixpoint — one scalar action per
+    iteration, no join-and-compare).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # symmetrize once and persist: every iteration reuses the edge frame
+    # instead of recomputing it from the (possibly expensive) pair source
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
             .select(
                 "node",
@@ -59,14 +66,13 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sym.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
 
