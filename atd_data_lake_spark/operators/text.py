@@ -255,6 +255,62 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return fan_out(df).mapInPandas(op, schema=out_schema)
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of word-bigram occurrences taken by the most frequent bigram
+    and the fraction of duplicate tokens — high values mark boilerplate /
+    degenerate text that quality gates drop before training.
+
+    One Arrow-batched map stage, no shuffle.  Docs with < 2 tokens score
+    0.0 on both (nothing to repeat); fractions are rounded half-up to 6
+    places for oracle parity.
+    """
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("top_bigram_frac", T.DoubleType()),
+            T.StructField("dup_token_frac", T.DoubleType()),
+        ]
+    )
+
+    def _hu6(x: float) -> float:
+        return np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    def one(text: str) -> tuple[float, float]:
+        toks = text.split()
+        if not toks:
+            return 0.0, 0.0
+        dup = _hu6(1.0 - len(set(toks)) / len(toks))
+        if len(toks) < 2:
+            return 0.0, dup
+        grams = Counter(zip(toks, toks[1:]))
+        return _hu6(max(grams.values()) / (len(toks) - 1)), dup
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "top_bigram_frac": [r[0] for r in res],
+                    "dup_token_frac": [r[1] for r in res],
+                }
+            )
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(op, schema=out_schema)
+
+
 def langid_trigram_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1023,6 +1023,45 @@ GROUP BY fingerprint
 """
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.repetition_profile): top-bigram occurrence fraction +
+    duplicate-token fraction per document."""
+    from atd_data_lake_spark.operators.text import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d, text_col="text", id_col="doc_id")
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_distinct
+    FROM t
+),
+b AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+    FROM t, UNNEST(range(1, len(toks))) AS u(i)
+    WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM c GROUP BY 1)
+SELECT tok.doc_id,
+       coalesce(round(agg.mx / CAST(agg.tot AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+       CASE WHEN tok.n_tok = 0 THEN 0.0
+            ELSE round(1.0 - tok.n_distinct / CAST(tok.n_tok AS DOUBLE), 6) END
+           AS dup_token_frac
+FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
+"""
+
+
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: n-gram-Jaccard pairs ≥ 0.1 grouped into
     connected components (operators/components.dedup_clusters) — the
@@ -1332,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "dedup_clusters": dedup_clusters_q,
+    "text_repetition": text_repetition_q,
     "text_langid_ngram": text_langid_ngram_q,
     "text_winnow_fingerprint": text_winnow_fingerprint_q,
     "sim_knn_bruteforce": sim_knn_bruteforce_q,
@@ -1390,6 +1430,7 @@ ORACLES: dict[str, str] = {
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "corpus_curation": _corpus_curation_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_langid_ngram": _text_langid_ngram_sql(),
     "text_winnow_fingerprint": _text_winnow_sql(),
     "sim_knn_bruteforce": SIM_KNN_SQL,

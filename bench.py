@@ -39,6 +39,7 @@ HEADLINE = [
     "text_bpe_tokens",
     "text_langid_ngram",
     "text_winnow_fingerprint",
+    "text_repetition",
     "corpus_curation",
     "sim_knn_bruteforce",
     "sim_ann_lsh",

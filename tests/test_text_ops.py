@@ -145,3 +145,26 @@ def test_connected_components_chain_and_cliques(spark):
         for r in dedup_clusters(edges).collect()
     }
     assert clusters[4] == (1, 4) and clusters[13] == (10, 4) and clusters[21] == (20, 2)
+
+
+def test_repetition_profile_edges(spark):
+    from atd_data_lake_spark.operators.text import repetition_profile
+
+    df = _docs(
+        spark,
+        [
+            (1, ""),                      # no tokens -> 0, 0
+            (2, "one"),                   # single token -> 0 bigrams, 0 dups
+            (3, "a a a a"),               # one repeated bigram + dup tokens
+            (4, "w x y z"),               # all distinct
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_token_frac"])
+        for r in repetition_profile(df).collect()
+    }
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (1.0, 0.75)
+    # all-distinct bigrams: the max still takes 1 of 3 occurrences
+    assert got[4] == (0.333333, 0.0)
