@@ -25,8 +25,10 @@ CSV_CHUNK = 1_000  # support/publish.py:151-155
 
 
 def merge_public(existing: DataFrame, updates: DataFrame, key: str = "record_id") -> DataFrame:
-    """Upsert into the public layer on the content-hash key: new rows win
-    (Socrata upsert semantics; Delta MERGE equivalent)."""
+    """Upsert on the content-hash key: new rows win (Socrata upsert
+    semantics; Delta MERGE equivalent).  Pure transform over whatever
+    ``existing`` holds — at scale, hand it the PRUNED slice of the public
+    layer (see ``merge_public_layer``), not the whole table."""
     tagged = existing.withColumn("_pri", F.lit(0)).unionByName(
         updates.withColumn("_pri", F.lit(1))
     )
@@ -35,6 +37,72 @@ def merge_public(existing: DataFrame, updates: DataFrame, key: str = "record_id"
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_pri", "_rn")
+    )
+
+
+def merge_public_layer(
+    spark,
+    public_path: str,
+    updates: DataFrame,
+    key: str = "record_id",
+    partition_cols: tuple[str, ...] = ("data_source", "collection_date"),
+) -> None:
+    """Partition-scoped batch upsert into the public layer: only the
+    partitions TOUCHED by ``updates`` are read, merged, and rewritten.
+
+    An un-scoped union+window upsert rewrites the whole table on every
+    publish — O(table) write amplification on an unboundedly-growing
+    layer.  This path is O(touched partitions):
+
+    1. the distinct partition tuples in ``updates`` are collected (a
+       publish batch touches a handful of days — driver-small by
+       construction, never row data);
+    2. the existing layer is read with a static partition-value filter,
+       so the scan prunes to exactly those directories;
+    3. ``merge_public`` resolves the upsert within the touched slice;
+    4. dynamic partition overwrite replaces only the partitions present
+       in the merged frame — untouched partitions' files are never
+       rewritten (asserted by test).
+
+    First publish (no existing layer) degrades to a plain partitioned
+    write of the deduped updates.
+    """
+    from functools import reduce
+    from operator import and_, or_
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(public_path)
+        have_existing = True
+    except AnalysisException:
+        have_existing = False
+
+    if have_existing:
+        touched = updates.select(*partition_cols).distinct().collect()
+        cond = reduce(
+            or_,
+            [
+                reduce(and_, [F.col(c) == r[c] for c in partition_cols])
+                for r in touched
+            ],
+        )
+        # materialize the merged slice before writing: Spark (rightly)
+        # refuses to overwrite a path its own plan is still reading.  The
+        # slice is bounded by the touched partitions, so the checkpoint is
+        # small; on a cluster use reliable checkpoint or Delta MERGE.
+        merged = merge_public(existing.filter(cond), updates, key).localCheckpoint(
+            eager=True
+        )
+    else:
+        # still dedupe within the batch: latest-wins is arbitrary among
+        # equal keys, matching merge_public's update-side semantics
+        merged = merge_public(updates.limit(0), updates, key)
+
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(public_path)
     )
 
 

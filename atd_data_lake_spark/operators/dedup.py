@@ -292,8 +292,21 @@ def simhash_near_dups(
     distance ≤ 3 ⇒ at least one of 4 chunks equal), so the join is an
     equi-join on (chunk_idx, chunk_value) — no cross join at scale.
     Output: (id_a, id_b, hamming).
+
+    Raises ``ValueError`` when the pigeonhole guarantee does not hold:
+    with ``n_blocks = 64 // block_bits`` blocks, a pair at Hamming
+    distance ``d`` is only guaranteed to share a block when
+    ``d < n_blocks`` — a larger ``max_hamming`` would silently miss
+    qualifying pairs instead of failing.
     """
     n_blocks = 64 // block_bits
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee for "
+            f"block_bits={block_bits} ({n_blocks} blocks): need "
+            f"max_hamming < {n_blocks}; use smaller blocks (more of them) "
+            f"for larger distances"
+        )
     sh = simhash_df(df, id_col, text_col).persist()  # both join sides reuse
     mask = (1 << block_bits) - 1
     blocked = sh.select(

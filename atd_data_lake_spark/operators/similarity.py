@@ -127,6 +127,51 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _band_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Sign-LSH banded bucket keys: one Arrow pass emitting ``bands`` rows
+    (_id, band, bucket) per vector.  The bucket is the band's sign-bit
+    pattern packed into an int, so candidate generation downstream is a
+    plain equi-join on (band, bucket)."""
+    weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
+
+    band_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
+            frames = []
+            for b in range(bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": pdf[id_col],
+                            "band": np.int32(b),
+                            "bucket": chunk @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return fan_out(df).select(id_col, vec_col).mapInPandas(op, schema=band_schema)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,41 +196,9 @@ def lsh_topk(
     rows_per_band = n_planes // bands
     weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
 
-    band_schema = T.StructType(
-        [
-            T.StructField("_id", T.LongType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
-    )
-
-    def band_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
-            frames = []
-            for b in range(bands):
-                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "_id": pdf[id_col],
-                            "band": np.int32(b),
-                            "bucket": chunk @ weights,
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
     # corpus band keys: 3 small columns — the vectors stay in their scan
     # partitions until the (tiny) candidate set is known
-    c = (
-        fan_out(corpus)
-        .select(id_col, vec_col)
-        .mapInPandas(band_corpus, schema=band_schema)
-    )
+    c = _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band)
 
     # queries are driver-small (same contract as cosine_topk/ivf_topk):
     # band them locally — no Spark stage, no Arrow roundtrip
@@ -441,18 +454,36 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 500_000,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact near-dup pairs: (id_a, id_b, cos_sim) for cos ≥ threshold,
-    id_a < id_b.
+    """Near-dup pairs: (id_a, id_b, cos_sim) for cos ≥ threshold, id_a < id_b.
 
-    Plan: the corpus is collected once into a closure-broadcast matrix
-    (valid while vectors fit executor memory — 10⁶ × 64 floats ≈ 256 MB);
-    each Arrow batch block-matmuls against it and emits only pairs over
-    the threshold.  Shuffled data = the near-dup pairs themselves.  For
-    corpora beyond broadcast size, use ``lsh_topk``-style banded
-    bucketing as the candidate generator (the approximate scale path) —
-    same output schema, recall < 1.
+    Two plans behind one signature, gated on corpus size (one 1-column
+    count() action):
+
+    - ``≤ max_collect_rows`` — EXACT: the corpus is collected once into a
+      closure-broadcast matrix (10⁶ × 64 floats ≈ 256 MB); each Arrow
+      batch block-matmuls against it and emits only pairs over the
+      threshold.  Shuffled data = the near-dup pairs themselves.
+    - ``> max_collect_rows`` — the scale path: the corpus NEVER reaches
+      the driver.  Banded sign-LSH keys (``_band_keys``, shared with
+      ``lsh_topk``) self-equi-join on (band, bucket) to generate candidate
+      id pairs; candidates rejoin their vectors and are exact-cosine
+      re-ranked against the threshold.  Every returned pair is a true
+      near-dup (exact re-rank); recall < 1 — with the defaults (16 planes,
+      8 bands of 2) recall ≈ 0.999 at threshold 0.9.  Skew note: a band
+      bucket of b vectors yields b² candidate rows, so raise
+      ``rows_per_band`` (fewer, wider bands) if a dense corpus produces
+      hot buckets.
     """
+    if corpus.count() > max_collect_rows:
+        return _near_dups_lsh(
+            corpus, threshold, id_col, vec_col, dim, n_planes, bands, seed
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -490,3 +521,68 @@ def embedding_near_dups(
                 )
 
     return fan_out(corpus).select(id_col, vec_col).mapInPandas(op, schema=out_schema)
+
+
+def _near_dups_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Distributed near-dup path: banded sign-LSH candidate self-join +
+    exact cosine re-rank.  No driver collect at any corpus size."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+
+    # band keys computed once, consumed by both sides of the self-join
+    # (multi-consumer mapInPandas output → persist, or the Python stage
+    # runs twice)
+    sig = _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band).persist()
+    left = sig.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = sig.select(F.col("_id").alias("id_b"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        # distinct over the 16-byte id pair BEFORE vectors join in: a pair
+        # colliding in several bands must not shuffle its vectors per band
+        .distinct()
+    )
+
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cands = pairs.join(va, "id_a").join(vb, "id_b")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            an, bn = np.linalg.norm(a, axis=1), np.linalg.norm(b, axis=1)
+            an[an == 0] = 1.0
+            bn[bn == 0] = 1.0
+            sims = _round_half_up((a * b).sum(axis=1) / (an * bn))
+            keep = sims >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cos_sim": sims[keep],
+                    }
+                )
+
+    return cands.mapInPandas(score, schema=out_schema)

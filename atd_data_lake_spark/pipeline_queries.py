@@ -459,9 +459,9 @@ _GS_MOVEMENTS_SQL = """
 
 def pipe_gs_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gs_ready_agg.py:69-92 (A1) over the REAL gs.agg_interval operator:
-    heavy-vehicle split, movements join, 15-min tumbling window.  The two
-    stddev columns are dropped for the oracle (incremental-moment float
-    noise vs DuckDB; covered exactly in tests + a1's exact-sum variant)."""
+    heavy-vehicle split, movements join, 15-min tumbling window, full
+    projection including both sample-stddev columns (exact decimal-sum
+    construction in ``gs._exact_std`` ⇒ cross-engine hash parity)."""
     from atd_data_lake_spark.pipelines import gs
 
     out = gs.agg_interval(_gs_counts(spark, sf_dir), _gs_movements(spark, sf_dir))
@@ -472,7 +472,22 @@ def pipe_gs_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("heavy_vehicle").cast("int").alias("heavy_vehicle"),
         "volume",
         "speed_avg",
+        "speed_std",
         "seconds_in_zone_avg",
+        "seconds_in_zone_std",
+    )
+
+
+def _gs_std_sql(col: str) -> str:
+    """DuckDB twin of gs._exact_std: sample stddev from exact
+    DECIMAL(12,2) sums, rounded 3, stddev-of-one → 0."""
+    d = f"CAST({col} AS DECIMAL(12,2))"
+    return (
+        f"round(CASE WHEN count(*) > 1 THEN sqrt(greatest("
+        f"(CAST(sum({d} * {d}) AS DOUBLE)"
+        f" - CAST(sum({d}) AS DOUBLE) * CAST(sum({d}) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE))"
+        f" / (CAST(count(*) AS DOUBLE) - 1), 0.0)) ELSE 0.0 END, 3)"
     )
 
 
@@ -483,7 +498,9 @@ SELECT make_timestamp(CAST(floor(epoch(timestamp_adj) / 900) AS BIGINT) * 900 * 
        CASE WHEN vehicle_length < 17 THEN 0 ELSE 1 END AS heavy_vehicle,
        count(*) AS volume,
        round(avg(speed), 3) AS speed_avg,
-       round(avg(seconds_in_zone), 3) AS seconds_in_zone_avg
+       {_gs_std_sql("speed")} AS speed_std,
+       round(avg(seconds_in_zone), 3) AS seconds_in_zone_avg,
+       {_gs_std_sql("seconds_in_zone")} AS seconds_in_zone_std
 FROM counts JOIN moves USING (zone)
 GROUP BY 1, 2, 3, 4
 """
@@ -603,7 +620,51 @@ FROM events
 """
 
 
+def a1_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream≡batch: the SAME transform that runs under
+    ``readStream`` (``streaming.windowed.tumbling_agg_stream`` — watermark
+    + windowed agg + exact-decimal stddev) applied to a batch frame, so
+    the driver oracle externally checks the streaming aggregation logic.
+    On a batch input ``withWatermark`` is a no-op and the windowed agg is
+    the complete (final) result — the fixture for the stream≡batch pytest
+    (tests/test_streaming.py), now driver-gated."""
+    from atd_data_lake_spark.streaming.windowed import tumbling_agg_stream
+
+    counts = _gs_counts(spark, sf_dir)
+    out = tumbling_agg_stream(
+        counts,
+        ts_col="timestamp_adj",
+        keys=["zone", "turn"],
+        interval_sec=900,
+    )
+    return out.select(
+        "timestamp",
+        "zone",
+        "turn",
+        "volume",
+        "speed_avg",
+        "speed_std",
+        "seconds_in_zone_avg",
+        "seconds_in_zone_std",
+    )
+
+
+A1_STREAMING_PARITY_SQL = f"""
+WITH counts AS ({_GS_COUNTS_SQL})
+SELECT make_timestamp(CAST(floor(epoch(timestamp_adj) / 900) AS BIGINT) * 900 * 1000000) AS timestamp,
+       zone, turn,
+       count(*) AS volume,
+       round(avg(speed), 3) AS speed_avg,
+       {_gs_std_sql("speed")} AS speed_std,
+       round(avg(seconds_in_zone), 3) AS seconds_in_zone_avg,
+       {_gs_std_sql("seconds_in_zone")} AS seconds_in_zone_std
+FROM counts
+GROUP BY 1, 2, 3
+"""
+
+
 PIPELINE_QUERIES = {
+    "a1_streaming_parity": a1_streaming_parity,
     "pipe_wt_standardize": pipe_wt_standardize,
     "pipe_wt_ready": pipe_wt_ready,
     "pipe_wt_publish": pipe_wt_publish,
@@ -617,6 +678,7 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLES = {
+    "a1_streaming_parity": A1_STREAMING_PARITY_SQL,
     "pipe_wt_standardize": PIPE_WT_STANDARDIZE_SQL,
     "pipe_wt_ready": PIPE_WT_READY_SQL,
     "pipe_wt_publish": PIPE_WT_PUBLISH_SQL,

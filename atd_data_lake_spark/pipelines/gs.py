@@ -206,6 +206,20 @@ def heavy_vehicle_flag(vehicle_length: Column) -> Column:
     return F.when(vehicle_length < 17, 0).otherwise(1)
 
 
+def _exact_std(col: str) -> F.Column:
+    """Sample stddev from exact decimal(12,2) sums: Σx and Σx² accumulate
+    in decimal (order-independent, exact for 2-dp inputs), the variance
+    formula then runs on identical doubles on any engine/partitioning —
+    bit-identical results where incremental-moment ``stddev_samp`` has
+    summation-order float noise.  stddev-of-one → 0 (pandas semantics)."""
+    d = F.col(col).cast("decimal(12,2)")
+    n = F.count("*").cast("double")
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(0.0)
+
+
 def agg_interval(
     counts: DataFrame,
     movements: DataFrame,
@@ -219,7 +233,9 @@ def agg_interval(
     The reference aggregates in UTC to dodge a pandas DST grouper bug and
     converts back after (gs_ready_agg.py:71-73,90-92); Spark's
     ``window()`` on UTC timestamps has the same semantics natively.
-    pandas ``std`` is sample stddev ⇒ ``stddev_samp``."""
+    pandas ``std`` is sample stddev; it is computed via ``_exact_std``
+    (exact decimal sums — GS measures are 2-dp CSV values) so the result
+    is deterministic across partitionings and engines."""
     j = counts.withColumn("heavy_vehicle", heavy_vehicle_flag(F.col("vehicle_length"))).join(
         F.broadcast(movements), "zone"
     )
@@ -233,13 +249,9 @@ def agg_interval(
         .agg(
             F.count("*").alias("volume"),
             F.round(F.avg("speed"), 3).alias("speed_avg"),
-            F.coalesce(F.round(F.stddev_samp("speed"), 3), F.lit(0.0)).alias(
-                "speed_std"
-            ),
+            F.round(_exact_std("speed"), 3).alias("speed_std"),
             F.round(F.avg("seconds_in_zone"), 3).alias("seconds_in_zone_avg"),
-            F.coalesce(
-                F.round(F.stddev_samp("seconds_in_zone"), 3), F.lit(0.0)
-            ).alias("seconds_in_zone_std"),
+            F.round(_exact_std("seconds_in_zone"), 3).alias("seconds_in_zone_std"),
         )
     )
     return grouped.select(

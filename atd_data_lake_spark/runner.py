@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from atd_data_lake_spark import catalog as cat
@@ -131,21 +131,36 @@ def run_stage(
     plan = incremental_plan(
         src, tgt, force=force, last_run_date=last_run_date
     )
-    planned = plan.count()
-    if planned == 0:
+    # empty-plan gate: scans until the first row, not the whole plan
+    if plan.isEmpty():
         return StageRun(0, 0, time.perf_counter() - t0, simulate, catalog_df)
 
-    out = stage.transform(spark, plan)
-    written = out.count()
+    # metrics ride the ONE real action as observations (accumulator-backed
+    # CollectMetrics) instead of extra count() jobs — the old written =
+    # out.count() ran the whole transform a second time before the write
+    obs_planned = Observation()
+    obs_written = Observation()
+    out = stage.transform(
+        spark, plan.observe(obs_planned, F.count(F.lit(1)).alias("n"))
+    )
 
     if simulate:
+        out.count()  # the only action in simulate mode
         return StageRun(
-            planned, 0, time.perf_counter() - t0, simulate, catalog_df, out
+            int(obs_planned.get["n"]),
+            0,
+            time.perf_counter() - t0,
+            simulate,
+            catalog_df,
+            out,
         )
 
+    out = out.observe(obs_written, F.count(F.lit(1)).alias("n"))
     layer = stage.tgt_repo + ("-test" if debug else "")
     write_layer(out, lake_root, layer, mode="overwrite",
                 partition_cols=stage.partition_cols)
+    planned = int(obs_planned.get["n"])
+    written = int(obs_written.get["n"])
 
     new_rows = plan.select(
         F.lit(stage.tgt_repo).alias("repository"),

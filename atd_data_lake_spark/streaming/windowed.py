@@ -54,7 +54,14 @@ def tumbling_agg_stream(
 
     Late data within the watermark updates its window (replacing U1's
     cross-day union); rows later than the watermark are dropped (the
-    streaming form of P6's same-day exclusion)."""
+    streaming form of P6's same-day exclusion).
+
+    Stddev uses the exact decimal-sum construction (``gs._exact_std``):
+    the sums are plain associative aggregates, so the same expression is
+    incrementally maintainable by the streaming state store, and batch
+    and streaming runs produce bit-identical doubles."""
+    from atd_data_lake_spark.pipelines.gs import _exact_std
+
     keys = keys if keys is not None else ["zone_approach", "turn", "heavy_vehicle"]
     a, b = value_cols
     grouped = (
@@ -65,9 +72,9 @@ def tumbling_agg_stream(
         .agg(
             F.count("*").alias("volume"),
             F.round(F.avg(a), 3).alias(f"{a}_avg"),
-            F.coalesce(F.round(F.stddev_samp(a), 3), F.lit(0.0)).alias(f"{a}_std"),
+            F.round(_exact_std(a), 3).alias(f"{a}_std"),
             F.round(F.avg(b), 3).alias(f"{b}_avg"),
-            F.coalesce(F.round(F.stddev_samp(b), 3), F.lit(0.0)).alias(f"{b}_std"),
+            F.round(_exact_std(b), 3).alias(f"{b}_std"),
         )
     )
     return grouped.select(

@@ -30,7 +30,9 @@ HEADLINE = [
     "pipe_wt_publish",
     "pipe_bt_publish_unmatched",
     "pipe_gs_agg",
+    "a1_streaming_parity",
     "dedup_exact",
+    "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -85,8 +87,16 @@ def main() -> None:
             # one query's cache never skews the next query's measurement
             spark.catalog.clearCache()
     timings = {name: round(min(runs[name]), 3) for name in HEADLINE}
+    # median-of-3 alongside min: the delta between them shows how much of a
+    # round-over-round change is host noise vs real (this host has documented
+    # multi-second noisy-neighbor stall windows)
+    medians = {name: round(sorted(runs[name])[1], 3) for name in HEADLINE}
     for name in HEADLINE:
-        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s (median {medians[name]:.3f}s, "
+            f"{rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -96,6 +106,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -137,6 +137,58 @@ def test_s13_merge_and_chunked_push(spark, tmp_path):
     assert all(s <= 10 for s in sizes)
 
 
+def test_s13_merge_public_layer_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """The batch upsert is partition-scoped: files of partitions not
+    present in the update batch are byte-identical after the merge (same
+    names, same mtimes) — no O(table) rewrite."""
+    from atd_data_lake_spark.io.publish import merge_public_layer
+
+    path = str(tmp_path / "public")
+    initial = spark.createDataFrame(
+        [
+            ("bt", "2019-12-01", "r1", 10),
+            ("bt", "2019-12-01", "r2", 20),
+            ("bt", "2019-12-02", "r3", 30),
+            ("wt", "2019-12-01", "r4", 40),
+        ],
+        "data_source string, collection_date string, record_id string, v int",
+    )
+    merge_public_layer(spark, path, initial)
+
+    def files_of(part: str) -> dict[str, float]:
+        import os
+
+        d = f"{path}/{part}"
+        return {
+            f: os.path.getmtime(f"{d}/{f}")
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = {
+        p: files_of(p)
+        for p in (
+            "data_source=bt/collection_date=2019-12-02",
+            "data_source=wt/collection_date=2019-12-01",
+        )
+    }
+
+    updates = spark.createDataFrame(
+        [("bt", "2019-12-01", "r2", 99), ("bt", "2019-12-01", "r9", 90)],
+        "data_source string, collection_date string, record_id string, v int",
+    )
+    merge_public_layer(spark, path, updates)
+
+    got = {
+        r["record_id"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"r1": 10, "r2": 99, "r3": 30, "r4": 40, "r9": 90}
+    for part, before in untouched_before.items():
+        assert files_of(part) == before, f"{part} was rewritten"
+
+
 def test_s14_csv_sink(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
     write_csv(df.coalesce(1), str(tmp_path / "csv_out"))

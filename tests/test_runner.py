@@ -102,6 +102,36 @@ def test_simulate_writes_nothing(spark, catalog_df, tmp_path):
     assert run.catalog is catalog_df
 
 
+def test_run_stage_executes_transform_once(spark, catalog_df, tmp_path):
+    """Metrics ride the write action as observations — the transform's
+    rows must flow exactly once (the old written=count() ran the whole
+    transform a second time before the write)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def transform(spark_, plan):
+        def tick(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf[["data_source"]].assign(
+                    collection_date="2019-12-01", v=1
+                )
+
+        return plan.mapInPandas(
+            tick, schema="data_source string, collection_date string, v int"
+        )
+
+    stage = Stage(
+        name="wt_standardize",
+        data_source="wt",
+        src_repo="raw",
+        tgt_repo="standardized",
+        transform=transform,
+    )
+    run = run_stage(spark, stage, catalog_df, str(tmp_path / "lake"))
+    assert run.planned == 3 and run.written == 3
+    assert acc.value == 3  # transform ran once, not once per metric
+
+
 def test_debug_targets_test_layer(spark, catalog_df, tmp_path):
     run = run_stage(
         spark, _stage(), catalog_df, str(tmp_path / "lake"), debug=True

@@ -147,6 +147,34 @@ def test_connected_components_chain_and_cliques(spark):
     assert clusters[4] == (1, 4) and clusters[13] == (10, 4) and clusters[21] == (20, 2)
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 300-node chain (diameter 299) must converge well within 25
+    rounds: the hook+shortcut scheme is O(log n), where pure min-label
+    propagation would need ~300 rounds and (now) raise."""
+    from atd_data_lake_spark.operators.components import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges, max_iter=15)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest
+
+    from atd_data_lake_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_repetition_profile_edges(spark):
     from atd_data_lake_spark.operators.text import repetition_profile
 
