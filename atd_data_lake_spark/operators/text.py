@@ -9,7 +9,7 @@ column expressions — each query is one scan + optional one shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from atd_data_lake_spark.operators.dedup import tokens
@@ -445,3 +445,57 @@ def winnow_fingerprints(
     # project BEFORE the pandas stage: mapInPandas consumes whole rows, so
     # without this the scan reads every column of the table
     return fan_out(df.select(id_col, text_col)).mapInPandas(op, schema=out_schema)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by a TF-IDF-shaped score, entirely in JVM
+    expressions (regexp tokenize → explode → two keyed aggregations → one
+    window) — zero Python stages at any corpus size.
+
+    Beyond-reference training-data op: surfacing each document's most
+    characteristic terms (keyword extraction for corpus exploration and
+    quality audits).  The score is integer-exact for engine parity:
+    ``score = tf * 1_000_000 // df`` (term frequency in the doc, divided
+    by the term's document frequency) — rank-equivalent to tf·idf with
+    idf = 1/df, no float log in the comparison path.  Ties break on the
+    lexically smallest term.  Stopwords and short tokens are excluded.
+
+    Shuffle inventory: 1 on (doc, term) for the tf count, 1 on term for
+    the df count (both with map-side partial agg), 1 broadcast-join of
+    the df dimension (bounded by vocabulary size), 1 on doc for the
+    window — each keyed by small reduced data, never raw text.
+    """
+    stop_list = sorted(STOPWORDS)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    ).filter(
+        (F.length("term") >= min_len) & ~F.col("term").isin(stop_list)
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        # integer div, no float in the comparison path (`div` is Spark's
+        # integral division; DuckDB's `//` on integers matches)
+        F.expr("tf * 1000000L div df").alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

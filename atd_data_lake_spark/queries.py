@@ -1405,6 +1405,81 @@ FROM documents, UNNEST(range(doc_id % 30 + 1)) AS t(i)
 """
 
 
+def sessionize_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 custom stateful operator, driver-gated: the gaps-and-islands
+    batch twin of the ``applyInPandasWithState`` sessionizer (identical
+    sessions on a static input — asserted against the stateful operator
+    in tests/test_stateful_streaming.py)."""
+    from atd_data_lake_spark.streaming.stateful import sessionize_batch
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select(F.col("user_id").cast("string").alias("sensor"), "ts")
+    return sessionize_batch(src, gap_seconds=1800)
+
+
+SESSIONIZE_BATCH_SQL = """
+WITH lagged AS (
+    SELECT CAST(user_id AS VARCHAR) AS sensor, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT sensor, ts,
+           sum(new_sess) OVER (PARTITION BY sensor ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM lagged
+)
+SELECT sensor, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_readings
+FROM sess
+GROUP BY 1, 2
+"""
+
+
+def text_tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference keyword extraction: per-doc top-3 terms by the
+    integer-exact TF-IDF-shaped score (operators/text.py
+    ``tfidf_top_terms`` — all-JVM tokenize/explode/agg/window)."""
+    from atd_data_lake_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+def _text_tfidf_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+    WHERE length(t.term) >= 3 AND t.term NOT IN ({stop})
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+    SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score
+    FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1450,6 +1525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine_q,
     "mm_media_features": mm_media_features_q,
     "mm_frame_sample": mm_frame_sample_q,
+    "sessionize_batch": sessionize_batch_q,
+    "text_tfidf_top_terms": text_tfidf_top_terms_q,
     # rows-only (no SQL oracle)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
@@ -1510,6 +1587,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
     "mm_media_features": _mm_media_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "sessionize_batch": SESSIONIZE_BATCH_SQL,
+    "text_tfidf_top_terms": _text_tfidf_sql(),
 }
 
 ORACLES.update(PIPELINE_ORACLES)
@@ -1527,6 +1606,8 @@ _DRIVER_PRIORITY = [
     # changed / new this round
     "mm_media_features",
     "mm_frame_sample",
+    "sessionize_batch",
+    "text_tfidf_top_terms",
     "pipe_gs_agg",
     "a1_streaming_parity",
     "dedup_embedding_cosine",

@@ -120,3 +120,47 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    sensor_col: str = "sensor",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of ``sessionize``: the gaps-and-islands window
+    formulation (new-session flag via lag, running sum as session id,
+    group to (start, end, count)).  Pure JVM window + agg — the
+    SQL-expressible shape that gives the stateful operator an external
+    oracle: on a static input, ``sessionize``'s closed+open sessions
+    equal exactly this result (asserted in tests).
+
+    Session boundaries depend only on the multiset of timestamps per
+    sensor (ties land in the same session either way), so the output is
+    deterministic regardless of ``tiebreak_col``; pass one to pin the
+    window order anyway when timestamps repeat."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(sensor_col).orderBy(*order)
+    # fractional-second exactness: cast-to-double is epoch µs-precision,
+    # where unix_timestamp would truncate to whole seconds
+    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+    new_sess = F.when(
+        gap.isNull() | (gap >= gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = df.withColumn(
+        "_sid",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy(
+        F.col(sensor_col).alias("sensor"), F.col("_sid").cast("long").alias("session_id")
+    ).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_readings"),
+    )

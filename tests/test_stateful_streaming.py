@@ -49,3 +49,46 @@ def test_sessionize_gap_splits(spark, tmp_path):
     # reader_b: 10:00 closed by the 11:30 gap (1 reading)
     assert got[("reader_b", "2019-06-03 10:00:00")] == ("2019-06-03 10:00:00", 1)
     assert len(got) == 3
+
+
+def test_sessionize_batch_matches_stateful_closed_sessions(spark, tmp_path):
+    """The gaps-and-islands batch twin produces the SAME sessions as the
+    stateful streaming operator — the batch result is the closed sessions
+    plus each sensor's still-open tail session."""
+    from atd_data_lake_spark.streaming.stateful import sessionize_batch
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "r.csv").write_text(CSV)
+    schema = "ts timestamp, sensor string"
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .csv(str(tmp_path / "in"))
+    )
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("t_sessions_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {
+        (r["sensor"], str(r["session_start"]), str(r["session_end"]), r["n_readings"])
+        for r in spark.sql("SELECT * FROM t_sessions_eq").collect()
+    }
+
+    batch_df = spark.read.schema(
+        spark.createDataFrame([], schema).schema
+    ).csv(str(tmp_path / "in"))
+    batch = {
+        (r["sensor"], str(r["session_start"]), str(r["session_end"]), r["n_readings"])
+        for r in sessionize_batch(batch_df, gap_seconds=1800).collect()
+    }
+    # open tails (last session per sensor) exist only in the batch view
+    open_tails = {
+        ("reader_a", "2019-06-03 15:00:00", "2019-06-03 15:00:00", 1),
+        ("reader_b", "2019-06-03 11:30:00", "2019-06-03 11:30:00", 1),
+    }
+    assert batch == closed | open_tails
