@@ -1,0 +1,318 @@
+"""Dataset-curation operators for training-data pipelines.
+
+Beyond-reference capabilities a corpus-prep pipeline needs at 100 TB:
+deterministic train/val/test splitting, benchmark decontamination
+(n-gram overlap against a held-out eval set), token-window chunking,
+and per-stratum deterministic sampling.
+
+All of these are pure JVM column expressions or broadcast-join shapes —
+no Python stages, no driver collects, no cross joins — so they scale
+with the scan.  The split/sample primitives hash with ``md5`` (not
+xxhash64) on purpose: md5 is the one hash every engine computes
+identically, which makes assignments reproducible across Spark, DuckDB,
+and anything else that reads the corpus, and lets the driver oracle
+re-derive them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.operators.dedup import tokens, word_shingles
+
+# hash_u16 yields 0..65535; split thresholds quantize fractions to
+# 1/65536 granularity
+_HASH_SPACE = 1 << 16
+
+
+def _hex_val(h: Column, pos: int) -> Column:
+    """Value 0..15 of the hex digit at 1-based ``pos`` of lowercase hex
+    string ``h`` — ascii arithmetic only, so the same expression exists
+    verbatim in any SQL dialect (no conv()/strtol dependence)."""
+    c = F.substring(h, pos, 1)
+    return F.ascii(c) - F.when(c <= "9", F.lit(48)).otherwise(F.lit(87))
+
+
+def hash_u16(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform value in [0, 65536) from the first 4 hex
+    digits of md5(salt || key).  Engine-portable (md5 + ascii math) and
+    stable across runs, partitionings, and cluster sizes — the property
+    a train/test split must have so no document ever migrates between
+    splits when the corpus is re-processed."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    v = _hex_val(h, 1)
+    for i in (2, 3, 4):
+        v = v * 16 + _hex_val(h, i)
+    return v.cast("long")
+
+
+def split_dataset(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by
+    thresholding ``hash_u16`` against cumulative fractions.
+
+    Zero shuffles: the assignment is a per-row expression evaluated
+    inside the scan stage.  Changing ``salt`` re-rolls the assignment;
+    changing ``fractions`` only moves rows across adjacent boundaries
+    (a doc in train at 80% is still in train at 85%) — the standard
+    monotone-threshold property hash splits are chosen for.
+
+    Fractions are quantized to 1/65536; documented, not a defect.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    v = hash_u16(F.col(key_col), salt=salt)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * _HASH_SPACE))
+        clause = F.when(v < bound, F.lit(name))
+        expr = clause if expr is None else expr.when(v < bound, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("bucket", v).withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its
+    ``hash_u16`` falls below the stratum's fraction threshold.
+
+    Unlike ``DataFrame.sample``, membership is a pure function of
+    (key, salt), so re-runs, retried tasks, and different partitionings
+    all select the same rows — required for reproducible corpus mixes
+    (e.g. "3% web, 30% code, 100% books").  Zero shuffles.
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {s!r} outside [0, 1]: {frac}")
+    v = hash_u16(F.col(key_col), salt=salt)
+    thresh = F.lit(int(round(default_fraction * _HASH_SPACE)))
+    for s, frac in fractions.items():
+        thresh = (
+            F.when(F.col(strata_col) == s, int(round(frac * _HASH_SPACE)))
+            .otherwise(thresh)
+        )
+    return df.filter(v < thresh)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with a held-out
+    eval set's word n-grams.
+
+    Returns (id, n_shingles, n_overlap, contam_ratio, is_contaminated)
+    for every document with >= n tokens; ``is_contaminated`` is true
+    when contam_ratio > threshold (the conventional policy is any-hit:
+    threshold 0).  Join the clean side back with
+    ``docs.join(result.filter(~is_contaminated), id_col, 'left_semi')``.
+
+    Scale shape: the benchmark's distinct shingle set is bounded by the
+    eval suite size (thousands of docs), so it is BROADCAST; the corpus
+    side streams through a map-side hash join — the corpus text never
+    shuffles.  The only exchange is the (id, count) aggregation, which
+    is map-side-combined.  At 100 TB this is one scan + one narrow agg.
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
+        )
+        .distinct()
+    )
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    out = sizes.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+    )
+    ratio = F.round(
+        F.col("n_overlap") / F.col("n_shingles").cast("double"), 6
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("contam_ratio"),
+        (ratio > threshold).alias("is_contaminated"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into overlapping token windows for context-length
+    packing: chunk i covers tokens [i*stride, i*stride + chunk_tokens).
+
+    n_chunks = 1 + ceil(max(n_tokens - chunk_tokens, 0) / stride), so a
+    short doc yields exactly one chunk and every token lands in at least
+    one chunk.  Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Pure JVM sequence/explode/slice — the explode happens AFTER the scan
+    projects (id, text) only, and there is no shuffle at all: chunking
+    is embarrassingly parallel and the output partitioning inherits the
+    input's.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError("stride > chunk_tokens would drop tokens")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        id_col,
+        *keep_cols,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    context_tokens: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: within each shard, lay the
+    chunks end to end in (id, chunk_id) order and cut every
+    ``context_tokens`` — each chunk's pack is the context window its
+    FIRST token falls in (floor(cum_tokens_before / context)).
+
+    This is the standard LLM-pretraining packing (documents
+    concatenated, context windows cut regardless of boundaries), made
+    deterministic by the explicit ordering.  Packing is per-shard on
+    purpose: a single global running sum would serialize the whole
+    corpus through one partition, while per-shard windows parallelize
+    across shards and still produce contiguous, reproducible packs —
+    shard identity simply becomes part of the pack key.
+
+    One shuffle (the window partition on shard).  Output adds
+    (cum_before, pack_id) keyed by (shard, pack_id).
+    """
+    if context_tokens <= 0:
+        raise ValueError("context_tokens must be positive")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return chunks.select(
+        shard_col,
+        id_col,
+        chunk_col,
+        tokens_col,
+        cum.cast("long").alias("cum_before"),
+        F.floor(cum / context_tokens).cast("long").alias("pack_id"),
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    max_per_source: int = 10,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-source document cap (the Common-Crawl-style per-domain
+    quota): keep at most ``max_per_source`` rows per source, chosen by
+    the deterministic ``hash_u16`` order (hash asc, key asc tiebreak) so
+    the retained set is a stable pseudo-random sample, not
+    first-in-file-order.
+
+    One shuffle (window on source); the rank filter keeps only k rows
+    per group downstream.
+    """
+    from pyspark.sql import Window
+
+    v = hash_u16(F.col(key_col), salt=salt)
+    w = Window.partitionBy(source_col).orderBy(
+        v.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )
+
+
+def quality_gate_percentile(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str | None = None,
+    min_percentile: float = 0.1,
+) -> DataFrame:
+    """Drop the bottom ``min_percentile`` of rows by a quality metric,
+    optionally within groups (e.g. per language, so high-resource
+    languages don't crowd out low-resource ones).
+
+    Uses ``percent_rank`` — rank-based, so it needs no global scan to
+    find the threshold value and is deterministic under ties (equal
+    metric values share a rank and are kept or dropped together).
+    One shuffle (the window partition).
+    """
+    if not 0.0 <= min_percentile < 1.0:
+        raise ValueError("min_percentile must be in [0, 1)")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(F.col(metric_col).asc())
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") >= min_percentile)
+        .drop("_pr")
+    )

@@ -1481,6 +1481,235 @@ FROM ranked WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Dataset-curation queries (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+# the engine-portable hex→int math of curation.hash_u16, as SQL text
+# (identical semantics: first 4 md5 hex digits via ascii arithmetic)
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    h = f"md5('{salt}' || CAST({key_expr} AS VARCHAR))"
+    digits = []
+    for i in (1, 2, 3, 4):
+        c = f"substr({h}, {i}, 1)"
+        digits.append(
+            f"(ascii({c}) - (CASE WHEN {c} <= '9' THEN 48 ELSE 87 END))"
+        )
+    d1, d2, d3, d4 = digits
+    return f"((({d1} * 16 + {d2}) * 16 + {d3}) * 16 + {d4})"
+
+
+def cur_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 bucket
+    (operators/curation.split_dataset) — zero-shuffle, engine-portable,
+    stable across re-runs and cluster sizes."""
+    from atd_data_lake_spark.operators.curation import split_dataset
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_dataset(d, key_col="doc_id", salt="v1")
+
+
+def _cur_split_sql() -> str:
+    b = _bucket_sql("doc_id", "v1")
+    return f"""
+SELECT doc_id, CAST({b} AS BIGINT) AS bucket,
+       CASE WHEN {b} < 52429 THEN 'train'
+            WHEN {b} < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def cur_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling for corpus mixing
+    (operators/curation.stratified_sample): keep 25% of en, 100% of de,
+    50% of es, 75% of zh, 10% of everything else — membership is a pure
+    function of (doc_id, salt)."""
+    from atd_data_lake_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d,
+        strata_col="lang",
+        fractions={"en": 0.25, "de": 1.0, "es": 0.5, "zh": 0.75},
+        key_col="doc_id",
+        default_fraction=0.1,
+        salt="v1",
+    )
+
+
+def _cur_sample_sql() -> str:
+    b = _bucket_sql("doc_id", "v1")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < (CASE lang WHEN 'en' THEN 16384 WHEN 'de' THEN 65536
+                       WHEN 'es' THEN 32768 WHEN 'zh' THEN 49152
+                       ELSE 6554 END)
+"""
+
+
+def cur_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.decontaminate):
+    per-doc 3-gram overlap against the held-out eval set doc_id % 20 = 0;
+    the benchmark shingle set is broadcast, the corpus never shuffles."""
+    from atd_data_lake_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(d, bench, n=3)
+
+
+CUR_DECONTAMINATE_SQL = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 20 = 0),
+sz AS (SELECT doc_id, count(*) AS n_shingles FROM g GROUP BY 1),
+hits AS (
+    SELECT g.doc_id, count(*) AS n_overlap
+    FROM g JOIN bench USING (shingle) GROUP BY 1
+)
+SELECT sz.doc_id AS doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) / CAST(n_shingles AS DOUBLE), 6)
+           AS contam_ratio,
+       round(coalesce(n_overlap, 0) / CAST(n_shingles AS DOUBLE), 6) > 0.0
+           AS is_contaminated
+FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+"""
+
+
+def cur_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for context-length packing
+    (operators/curation.chunk_documents): 64-token chunks, stride 48 —
+    shuffle-free sequence/explode/slice."""
+    from atd_data_lake_spark.operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+CUR_CHUNK_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, i AS chunk_id,
+           list_slice(toks, i * 48 + 1, i * 48 + 64) AS piece
+    FROM t, UNNEST(range(0,
+        1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT)
+    )) AS u(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM c
+"""
+
+
+def cur_pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing (operators/curation.pack_chunks):
+    chunk the corpus, then assign each chunk to the 512-token context
+    window its first token falls in, packed per source shard so the
+    running sum parallelizes across shards."""
+    from atd_data_lake_spark.operators.curation import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunks = chunk_documents(
+        d, chunk_tokens=64, stride=48, keep_cols=("source",)
+    ).drop("chunk_text")
+    return pack_chunks(chunks, context_tokens=512, shard_col="source")
+
+
+CUR_PACK_SQL = """
+WITH t AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, i AS chunk_id,
+           len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS n_chunk_tokens
+    FROM t, UNNEST(range(0,
+        1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT)
+    )) AS u(i)
+),
+p AS (
+    SELECT source, doc_id, chunk_id, n_chunk_tokens,
+           sum(n_chunk_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id, chunk_id
+               ROWS UNBOUNDED PRECEDING
+           ) - n_chunk_tokens AS cum_before
+    FROM c
+)
+SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(floor(cum_before / 512) AS BIGINT) AS pack_id
+FROM p
+"""
+
+
+def cur_cap_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (operators/curation.cap_per_source): keep at
+    most 10 docs per source, selected by deterministic hash order — the
+    per-domain cap a crawl-curation pipeline applies."""
+    from atd_data_lake_spark.operators.curation import cap_per_source
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(d, max_per_source=10, salt="v1")
+
+
+def _cur_cap_sql() -> str:
+    b = _bucket_sql("doc_id", "v1")
+    return f"""
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {b} ASC, doc_id ASC) AS rk
+    FROM documents
+)
+SELECT doc_id, source FROM r WHERE rk <= 10
+"""
+
+
+def cur_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate (operators/curation.quality_gate_percentile):
+    drop the shortest 10% of docs per language — rank-based, so no
+    global threshold scan and deterministic under ties."""
+    from atd_data_lake_spark.operators.curation import (
+        quality_gate_percentile,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quality_gate_percentile(
+        d, metric_col="n_chars", group_col="lang", min_percentile=0.1
+    )
+
+
+CUR_QUALITY_GATE_SQL = """
+WITH r AS (
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS pr
+    FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r WHERE pr >= 0.1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1527,6 +1756,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": mm_frame_sample_q,
     "sessionize_batch": sessionize_batch_q,
     "text_tfidf_top_terms": text_tfidf_top_terms_q,
+    "cur_split_assign": cur_split_assign_q,
+    "cur_stratified_sample": cur_stratified_sample_q,
+    "cur_decontaminate": cur_decontaminate_q,
+    "cur_chunk_documents": cur_chunk_documents_q,
+    "cur_pack_chunks": cur_pack_chunks_q,
+    "cur_cap_per_source": cur_cap_per_source_q,
+    "cur_quality_gate": cur_quality_gate_q,
     # rows-only (no SQL oracle)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
@@ -1589,6 +1825,13 @@ ORACLES: dict[str, str] = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "sessionize_batch": SESSIONIZE_BATCH_SQL,
     "text_tfidf_top_terms": _text_tfidf_sql(),
+    "cur_split_assign": _cur_split_sql(),
+    "cur_stratified_sample": _cur_sample_sql(),
+    "cur_decontaminate": CUR_DECONTAMINATE_SQL,
+    "cur_chunk_documents": CUR_CHUNK_SQL,
+    "cur_pack_chunks": CUR_PACK_SQL,
+    "cur_cap_per_source": _cur_cap_sql(),
+    "cur_quality_gate": CUR_QUALITY_GATE_SQL,
 }
 
 ORACLES.update(PIPELINE_ORACLES)
@@ -1608,6 +1851,13 @@ _DRIVER_PRIORITY = [
     "mm_frame_sample",
     "sessionize_batch",
     "text_tfidf_top_terms",
+    "cur_split_assign",
+    "cur_stratified_sample",
+    "cur_decontaminate",
+    "cur_chunk_documents",
+    "cur_pack_chunks",
+    "cur_cap_per_source",
+    "cur_quality_gate",
     "pipe_gs_agg",
     "a1_streaming_parity",
     "dedup_embedding_cosine",

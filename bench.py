@@ -47,6 +47,10 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "mm_media_features",
+    "sessionize_batch",
+    "text_tfidf_top_terms",
+    "cur_decontaminate",
+    "cur_chunk_documents",
 ]
 
 

@@ -41,6 +41,9 @@ DOC_PRUNED = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "cur_decontaminate",
+    "cur_chunk_documents",
+    "text_tfidf_top_terms",
 ]
 
 
