@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from atd_data_lake_spark.operators.dedup import tokens, word_shingles
+from atd_data_lake_spark.operators.dedup import shingle_hash_rows, tokens
 
 # hash_u16 yields 0..65535; split thresholds quantize fractions to
 # 1/65536 granularity
@@ -130,37 +130,39 @@ def decontaminate(
     threshold 0).  Join the clean side back with
     ``docs.join(result.filter(~is_contaminated), id_col, 'left_semi')``.
 
-    Scale shape: the benchmark's distinct shingle set is bounded by the
-    eval suite size (thousands of docs), so it is BROADCAST; the corpus
-    side streams through a map-side hash join — the corpus text never
-    shuffles.  The only exchange is the (id, count) aggregation, which
-    is map-side-combined.  At 100 TB this is one scan + one narrow agg.
+    Scale shape: the benchmark's distinct shingle-hash set is bounded by
+    the eval suite size (thousands of docs), so it is BROADCAST; the
+    corpus side streams through a map-side left join — the corpus text
+    never shuffles.  The only exchange is the (id, counts) aggregation,
+    which is map-side-combined.  At 100 TB this is one scan + one narrow
+    agg.
+
+    Both sides shingle through the Arrow-batched ``shingle_hash_rows``
+    (the interpreted higher-order array expressions measure 6-10× slower
+    on bulk text) and compare 64-bit shingle hashes, not strings — the
+    broadcast ships 8 bytes per benchmark shingle.
     """
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
-    )
-    bench_sh = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
-        )
+    doc_sh = shingle_hash_rows(docs, id_col, text_col, n, with_size=True)
+    bench_h = (
+        shingle_hash_rows(benchmark, id_col, text_col, n)
+        .select("_hash")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "_sh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    out = sizes.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+    # one pass: n_shingles = rows per doc, n_overlap = rows whose hash
+    # found a benchmark marker in the broadcast left join
+    rep = (
+        doc_sh.join(F.broadcast(bench_h), "_hash", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
     )
     ratio = F.round(
         F.col("n_overlap") / F.col("n_shingles").cast("double"), 6
     )
-    return out.select(
+    return rep.select(
         id_col,
         "n_shingles",
         "n_overlap",

@@ -84,18 +84,29 @@ def _doc_shingles(text: str, n: int) -> list[str] | None:
 
 
 def shingle_hash_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, text) → exploded (_id, _hash) rows: one 64-bit hash per distinct
     word n-gram shingle.  Joining on the hash instead of the shingle string
     keeps the inverted-index shuffle narrow (8 bytes vs the n-gram text);
-    64-bit collisions are negligible at any realistic corpus size."""
-    out_schema = T.StructType(
-        [
-            T.StructField("_id", df.schema[id_col].dataType),
-            T.StructField("_hash", T.LongType()),
-        ]
-    )
+    64-bit collisions are negligible at any realistic corpus size.
+
+    ``with_size=True`` adds the doc's shingle-set size ``_sz`` to every
+    row.  The size is already known inside the pandas stage, so emitting
+    it here costs 8 bytes/row of shuffle width but lets the Jaccard join
+    read |A| and |B| off the joined rows — removing the separate size
+    aggregation and the two pair-to-size re-join shuffles downstream."""
+    fields = [
+        T.StructField("_id", df.schema[id_col].dataType),
+        T.StructField("_hash", T.LongType()),
+    ]
+    if with_size:
+        fields.append(T.StructField("_sz", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,9 +125,11 @@ def shingle_hash_rows(
             hashes = pd.util.hash_array(np.array(all_sh, dtype=object)).astype(
                 np.int64
             )
-            yield pd.DataFrame(
-                {"_id": np.repeat(np.array(ids), counts), "_hash": hashes}
-            )
+            out = {"_id": np.repeat(np.array(ids), counts), "_hash": hashes}
+            if with_size:
+                cnt = np.array(counts, dtype=np.int64)
+                out["_sz"] = np.repeat(cnt, cnt)
+            yield pd.DataFrame(out)
 
     return fan_out(df).select(id_col, text_col).mapInPandas(op, schema=out_schema)
 
@@ -364,26 +377,27 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) for pairs ≥ threshold, jaccard rounded
     to 6 places.
     """
-    # three consumers (sizes, both join sides): persist so the Python
-    # shingling stage runs once instead of three times
-    sh = shingle_hash_rows(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    # both self-join sides consume the Python stage: persist so the
+    # shingling runs once.  Set sizes ride along as _sz (known inside the
+    # pandas stage anyway), so |A| and |B| come off the joined rows —
+    # no separate size aggregation, no pair-to-size re-join shuffles.
+    sh = shingle_hash_rows(df, id_col, text_col, n, with_size=True).persist()
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    pairs = (
         a.join(
             b,
             (F.col("a._hash") == F.col("b._hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a._sz").alias("sz_a"),
+            F.min("b._sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
