@@ -24,12 +24,31 @@ def write_layer(
     layer: str,
     mode: str = "append",
     partition_cols: tuple[str, ...] = ("data_source", "collection_date"),
+    cluster_by: tuple[str, ...] = (),
+    cluster_files: int | None = None,
 ) -> None:
     """Partitioned write into one layer.  ``dynamic`` overwrite replaces
     only the partitions present in ``df`` — the engine's idempotent
-    re-run/force semantics (a re-run of day D rewrites day D only)."""
+    re-run/force semantics (a re-run of day D rewrites day D only).
+
+    ``cluster_by`` range-partitions on (partition_cols, cluster_by) and
+    sorts within each task before writing — the OPTIMIZE-ZORDER-lite
+    layout: every file inside a day partition covers a disjoint, sorted
+    range of the cluster key, so readers filtering on it (timestamp
+    ranges inside a day) skip whole files/row groups via parquet min/max
+    stats.  Costs one range shuffle at write time; reads repay it on
+    every range query.  ``cluster_files`` pins the range-partition count
+    (file count per write); default lets AQE size it from the data.
+    """
     if layer.removesuffix("-test") not in LAYERS:  # --debug targets <layer>-test
         raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+    if cluster_by:
+        keys = [*partition_cols, *cluster_by]
+        if cluster_files:
+            df = df.repartitionByRange(cluster_files, *keys)
+        else:
+            df = df.repartitionByRange(*keys)
+        df = df.sortWithinPartitions(*keys)
     writer = df.write.mode(mode)
     if mode == "overwrite":
         writer = writer.option("partitionOverwriteMode", "dynamic")
@@ -45,6 +64,95 @@ def read_layer(
     for k, v in partition_filters.items():
         df = df.filter(F.col(k) == v)
     return df
+
+
+def plan_compaction(
+    spark: SparkSession,
+    lake_root: str,
+    layer: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> list[dict]:
+    """Small-file audit: walk the layer's partition directories (Hadoop
+    FileSystem API, so HDFS/S3A work the same as local) and return one
+    entry per partition that holds more files than its bytes warrant:
+    ``{partition, n_files, bytes, target_files}``.
+
+    Streaming appends and per-day incremental runs accrete small files;
+    at 100 TB each scan task then pays open/footer costs per file and
+    the NameNode/listing pays per object.  The plan is driver-side
+    metadata only — no Spark job runs.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{lake_root}/{layer}")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    plans: list[dict] = []
+
+    def walk(path, rel):
+        entries = fs.listStatus(path)
+        files = [
+            e for e in entries
+            if e.isFile() and e.getPath().getName().endswith(".parquet")
+        ]
+        dirs = [e for e in entries if e.isDirectory()]
+        if files:
+            total = sum(e.getLen() for e in files)
+            target = max(1, -(-total // target_file_bytes))
+            if len(files) > max(target, min_files - 1):
+                plans.append(
+                    {
+                        "partition": rel,
+                        "n_files": len(files),
+                        "bytes": total,
+                        "target_files": int(target),
+                    }
+                )
+        for d in dirs:
+            walk(d.getPath(), f"{rel}/{d.getPath().getName()}" if rel else d.getPath().getName())
+
+    walk(root, "")
+    return sorted(plans, key=lambda p: p["partition"])
+
+
+def compact_partitions(
+    spark: SparkSession,
+    lake_root: str,
+    layer: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> list[dict]:
+    """Execute ``plan_compaction``: rewrite each over-fragmented
+    partition into ``target_files`` parquet files via a partition-pruned
+    read + coalesce + dynamic-partition overwrite.
+
+    Untouched partitions' files are never opened or rewritten (the read
+    prunes to one partition; dynamic overwrite replaces only partitions
+    present in the written frame).  The per-partition loop is driver-side
+    orchestration over the *audit list* (typically the most recent days),
+    not over the lake — each iteration launches one narrow job whose
+    input is a single partition's bytes.  Returns the executed plan.
+    """
+    plans = plan_compaction(
+        spark, lake_root, layer, target_file_bytes, min_files
+    )
+    for p in plans:
+        # partition dir like "data_source=bt/collection_date=2019-06-03"
+        df = spark.read.parquet(f"{lake_root}/{layer}")
+        part_cols = []
+        for piece in p["partition"].split("/"):
+            k, v = piece.split("=", 1)
+            df = df.filter(F.col(k) == v)
+            part_cols.append(k)
+        (
+            df.coalesce(p["target_files"])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(f"{lake_root}/{layer}")
+        )
+    return plans
 
 
 def manifest_row(df: DataFrame, **header) -> DataFrame:

@@ -243,3 +243,90 @@ def test_bogus_sf_dir_raises_clean_analysis_exception(spark):
 
     with pytest.raises(AnalysisException):
         QUERIES["q1_pricing_summary"](spark, "/nonexistent/sfX").collect()
+
+
+def test_compaction_merges_small_files_and_leaves_neighbors(spark, tmp_path):
+    from atd_data_lake_spark.io.writer import compact_partitions, plan_compaction
+
+    lake = str(tmp_path / "lake")
+    # accrete 8 tiny files in one partition (per-append jobs), 1 in another
+    for i in range(8):
+        write_layer(
+            spark.createDataFrame(
+                [("bt", "2019-12-03", i)],
+                "data_source string, collection_date string, v int",
+            ).coalesce(1),
+            lake,
+            "raw",
+        )
+    write_layer(
+        spark.createDataFrame(
+            [("wt", "2019-12-03", 100)],
+            "data_source string, collection_date string, v int",
+        ).coalesce(1),
+        lake,
+        "raw",
+    )
+
+    def part_files(part):
+        d = os.path.join(lake, "raw", part)
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    frag = "data_source=bt/collection_date=2019-12-03"
+    neighbor = "data_source=wt/collection_date=2019-12-03"
+    assert len(part_files(frag)) == 8
+    neighbor_before = [
+        (f, os.path.getmtime(os.path.join(lake, "raw", neighbor, f)))
+        for f in part_files(neighbor)
+    ]
+
+    plans = plan_compaction(spark, lake, "raw", target_file_bytes=128 << 20)
+    assert [p["partition"] for p in plans] == [frag]
+    assert plans[0]["n_files"] == 8 and plans[0]["target_files"] == 1
+
+    executed = compact_partitions(spark, lake, "raw", target_file_bytes=128 << 20)
+    assert executed == plans
+    assert len(part_files(frag)) == 1
+    # all rows survive, neighbor partition files untouched (same mtimes)
+    back = read_layer(spark, lake, "raw").collect()
+    assert sorted(r["v"] for r in back) == list(range(8)) + [100]
+    neighbor_after = [
+        (f, os.path.getmtime(os.path.join(lake, "raw", neighbor, f)))
+        for f in part_files(neighbor)
+    ]
+    assert neighbor_after == neighbor_before
+    # idempotent: a second audit finds nothing to do
+    assert plan_compaction(spark, lake, "raw", target_file_bytes=128 << 20) == []
+
+
+def test_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions + sorts, so the files inside a day
+    partition cover disjoint cluster-key ranges — the property that lets
+    timestamp-range readers skip whole files via parquet min/max."""
+    import pyarrow.parquet as pq
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(0, 20000).selectExpr(
+        "'bt' AS data_source",
+        "'2019-12-03' AS collection_date",
+        "CAST(id * 2654435761 % 20000 AS BIGINT) AS ts",  # scrambled
+    )
+    write_layer(df, lake, "raw", cluster_by=("ts",), cluster_files=4)
+    part = os.path.join(lake, "raw", "data_source=bt/collection_date=2019-12-03")
+    ranges = []
+    for fname in os.listdir(part):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(part, fname)).metadata
+        s = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(x.min for x in s), max(x.max for x in s)))
+    assert len(ranges) > 1  # the range shuffle actually split the data
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint, ordered file ranges
+    # and every row survived the re-layout
+    assert (
+        read_layer(spark, lake, "raw").count() == 20000
+    )

@@ -183,3 +183,94 @@ def test_bpe_pretoken_count_matches_python_re(spark, docs):
     }
     for i, text in enumerate(docs):
         assert got[i] == len(re.findall(py_pat, text)), f"doc {i}: {text!r}"
+
+
+# ---------------------------------------------------------------------------
+# curation: chunking / packing vs pure-Python references
+# ---------------------------------------------------------------------------
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=4)
+DOC_TEXT = st.lists(WORD, min_size=0, max_size=30).map(" ".join)
+
+
+def _py_chunks(text: str, chunk: int, stride: int):
+    toks = text.split()
+    n = len(toks)
+    n_chunks = 1 + max(0, -(-max(n - chunk, 0) // stride))
+    return [
+        (i, toks[i * stride : i * stride + chunk]) for i in range(n_chunks)
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(DOC_TEXT, min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=8),
+)
+def test_chunk_documents_matches_python(spark, texts, stride):
+    from atd_data_lake_spark.operators.curation import chunk_documents
+
+    chunk = stride + 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        for cid, toks in _py_chunks(t, chunk, stride):
+            want[(i, cid)] = (len(toks), " ".join(toks))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.integers(0, 200)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_pack_chunks_matches_python(spark, rows, context):
+    from atd_data_lake_spark.operators.curation import pack_chunks
+
+    data = [
+        (src, i, 0, tok) for i, (src, tok) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "source string, doc_id long, chunk_id long, n_chunk_tokens long"
+    )
+    got = {
+        (r["source"], r["doc_id"]): (r["cum_before"], r["pack_id"])
+        for r in pack_chunks(df, context_tokens=context).collect()
+    }
+    want = {}
+    for src in {s for s, _ in rows}:
+        cum = 0
+        for did, (s, tok) in enumerate(rows):
+            if s != src:
+                continue
+            want[(src, did)] = (cum, cum // context)
+            cum += tok
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+def test_hash_u16_matches_hashlib(spark, keys):
+    from atd_data_lake_spark.operators.curation import hash_u16
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["v"]
+        for r in df.select("k", hash_u16(F.col("k"), salt="s").alias("v")).collect()
+    }
+    want = {
+        k: int(hashlib.md5(f"s{k}".encode()).hexdigest()[:4], 16) for k in keys
+    }
+    assert got == want
