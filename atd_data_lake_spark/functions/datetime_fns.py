@@ -17,6 +17,27 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def as_instant(df, ts_col: str) -> Column:
+    """Return ``ts_col`` as a TIMESTAMP (instant) column regardless of
+    whether the source stored TIMESTAMP or TIMESTAMP_NTZ.
+
+    Parquet `timestamp[us]` with isAdjustedToUTC=false reads as
+    TIMESTAMP_NTZ under Spark 4's NTZ inference, and NTZ forbids the
+    numeric casts (`CAST(ts AS DOUBLE)` → DATATYPE_MISMATCH) that
+    epoch-arithmetic operators rely on.  ``to_utc_timestamp(ntz, 'UTC')``
+    reinterprets the naive value as a UTC instant — a pure relabeling:
+    monotonic, µs-exact, independent of the session timezone — after
+    which every epoch cast/function works.  Already-instant columns pass
+    through untouched.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.to_utc_timestamp(col, "UTC")
+    return col
+
+
 def timebin_15min(ts: Column | str) -> Column:
     """``"%02d:%02d" % (hour, round(minute/15)*15)`` — reference quirk:
     round() not floor(), so :53-:59 emit "HH:60" (wt_extract_soc.py:79).

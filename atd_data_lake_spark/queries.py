@@ -1846,47 +1846,45 @@ ORACLES.update(COVERAGE_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # changed / new this round
-    "mm_media_features",
-    "mm_frame_sample",
+    # red in round 2 (TIMESTAMP_NTZ cast crash — fixed): re-verify first
     "sessionize_batch",
-    "text_tfidf_top_terms",
-    "cur_split_assign",
-    "cur_stratified_sample",
-    "cur_decontaminate",
-    "cur_chunk_documents",
-    "cur_pack_chunks",
-    "cur_cap_per_source",
-    "cur_quality_gate",
-    "pipe_gs_agg",
-    "a1_streaming_parity",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    # never driver-checked in round 1
-    "pipe_gs_publish",
-    "pipe_gs_clock_drift",
-    "p1_rename_map",
-    "p2_select_reorder",
-    "p3_null_safe_coercion",
-    "p6_same_day_exclusion",
-    "p7_file_kind_guard",
-    "p8_day_window",
-    "p9_regex_filter",
-    "p10_validity_filter",
-    "p11_dup_key_dedup",
-    "j5_left_join",
-    "a4_collect_range",
-    "a8_distinct_set",
-    "a9_item_count",
-    "o3_top1_latest",
-    "o5_fuzzy_top1_max_by",
-    "u2_union_distinct",
-    "u3_multi_pattern_union",
-    "s_haversine",
-    "agg_rollup",
-    "agg_cube",
-    "agg_exact_percentiles",
-    "agg_distinct_counts",
+    # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
+    "j1_incremental_antijoin",
+    "j2_enrich_broadcast",
+    "j3_double_enrich",
+    "j7_semi_join_pruning",
+    "j8_asof_backward",
+    "j9_asof_forward",
+    "j10_fuzzy_match",
+    "p4_pushdown_range",
+    "p12_case_normalize",
+    "p13_derived_flag",
+    "p14_split_extract",
+    "p15_guid_redash",
+    "u1_cross_day_union",
+    "s_scalar_record_id",
+    "s_scalar_timebin",
+    "s_date_parts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_profile",
+    "text_bpe_tokens",
+    "corpus_curation",
+    "dedup_clusters",
+    "text_repetition",
+    "text_langid_ngram",
+    "text_winnow_fingerprint",
+    "sim_knn_bruteforce",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "pipe_wt_standardize",
+    "pipe_wt_ready",
+    "pipe_wt_publish",
+    "pipe_bt_ready_unmatched",
+    "pipe_bt_publish_unmatched",
+    "pipe_bt_ready_matched",
+    "pipe_bt_publish_matched",
 ]
 
 

@@ -143,11 +143,15 @@ def sessionize_batch(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from atd_data_lake_spark.functions.datetime_fns import as_instant
+
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(sensor_col).orderBy(*order)
     # fractional-second exactness: cast-to-double is epoch µs-precision,
-    # where unix_timestamp would truncate to whole seconds
-    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+    # where unix_timestamp would truncate to whole seconds.  as_instant
+    # handles TIMESTAMP_NTZ parquet columns, which forbid the double cast.
+    instant = as_instant(df, ts_col)
+    gap = instant.cast("double") - F.lag(instant).over(w).cast("double")
     new_sess = F.when(
         gap.isNull() | (gap >= gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))

@@ -92,3 +92,25 @@ def test_sessionize_batch_matches_stateful_closed_sessions(spark, tmp_path):
         ("reader_b", "2019-06-03 11:30:00", "2019-06-03 11:30:00", 1),
     }
     assert batch == closed | open_tails
+
+
+def test_sessionize_batch_timestamp_ntz(spark, sf_dir):
+    """Parquet `timestamp[us]` (no tz) reads as TIMESTAMP_NTZ under Spark
+    4's NTZ inference; sessionize_batch must not hit the forbidden
+    `CAST(ts AS DOUBLE)` on it (the round-2 driver/bench crash).  The
+    session count must also equal the LTZ view of the same data — the
+    NTZ→instant relabeling may not move any session boundary."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from atd_data_lake_spark.streaming.stateful import sessionize_batch
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("sensor"), "ts"
+    )
+    assert isinstance(raw.schema["ts"].dataType, TimestampNTZType)
+    ntz_sessions = sessionize_batch(raw, gap_seconds=1800).count()
+    assert ntz_sessions > 0
+
+    ltz = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    assert sessionize_batch(ltz, gap_seconds=1800).count() == ntz_sessions
