@@ -1,0 +1,471 @@
+"""Round-3 query additions: classic OLAP shapes + LLM-curation composites.
+
+Two families:
+
+1. **TPC-H classics** (q3/q6/q14/q18 shapes) — the remaining canonical
+   join/agg patterns a warehouse engine must run: top-k over a 3-table
+   join (q3), scan-only predicate aggregate (q6), conditional-aggregate
+   ratio over a dimension join (q14), and group-having semi-join back to
+   detail (q18).  The reference's own workload is covered by SURVEY §2;
+   these prove the same engine handles the standard analytics the
+   reference's Socrata consumers would run downstream.
+2. **Curation composites** — PII scrubbing (operators/pii.py),
+   keep-best-per-near-dup-cluster (operators/curation.py), 3-step event
+   funnel, and SemDeDup-style semantic dedup (operators/semdedup.py).
+
+Decimal-exactness discipline: every money aggregate goes through the
+same exact-decimal-sum construction as q1 (queries.py D2 notes) so the
+driver's value-hash comparison is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+D2 = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from atd_data_lake_spark.io.reader import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    ep = F.col("l_extendedprice").cast(D2)
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    return F.round(F.sum(ep * one_minus_disc).cast("double"), 2)
+
+
+_REVENUE_SQL = (
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment.  Plan: the segment-filtered customer set broadcasts into
+    orders BEFORE the lineitem shuffle; top-k is a single ordered limit
+    (no global sort materialization — Spark's TakeOrderedAndProject)."""
+    cut = F.lit("1998-06-01").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    j = l.join(
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-only filtered aggregate — every predicate
+    pushes to the parquet scan, zero joins, one-row result.  The query
+    whose whole cost IS the scan; at 100 TB the plan must show
+    PushedFilters on shipdate/discount/quantity and a 3-column
+    ReadSchema."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    )
+    ep = F.col("l_extendedprice").cast(D2)
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return l.agg(
+        F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month —
+    conditional aggregate over a broadcast dimension join.  The ratio is
+    built from exact integer cents with HALF_UP division (queries.py
+    _avg_hu notes: round(double) diverges between engines on ties)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep = F.col("l_extendedprice").cast(D2)
+    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    # ep·(1-disc) is decimal(16,4): scale by 10⁴ for an EXACT integer —
+    # scaling by 100 would leave fractional cents, which Spark's long
+    # cast truncates but DuckDB's rounds (observed divergence)
+    units = (ep * one_minus_disc * 10000).cast("long")
+    agg = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))).alias(
+                "_promo_u"
+            ),
+            F.sum(units).alias("_total_u"),
+        )
+    )
+    # promo share in percent at 6 dp + revenues at 2 dp: all integer
+    # HALF_UP arithmetic (positive operands), engine-neutral
+    share = F.expr(
+        "CAST((CAST(_promo_u AS DECIMAL(38,0)) * 200000000 + _total_u)"
+        " div (2 * _total_u) AS DOUBLE) / 1000000.0"
+    )
+    return agg.select(
+        share.alias("promo_pct"),
+        (F.expr("(_promo_u + 50) div 100").cast("double") / 100.0).alias(
+            "promo_revenue"
+        ),
+        (F.expr("(_total_u + 50) div 100").cast("double") / 100.0).alias(
+            "total_revenue"
+        ),
+    )
+
+
+Q14_SQL = """
+WITH agg AS (
+    SELECT sum(CASE WHEN p_type = 'PROMO' THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT)
+                    ELSE 0 END) AS promo_u,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT))
+               AS total_u
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT ((CAST(promo_u AS HUGEINT) * 200000000 + total_u) // (2 * total_u)) / 1000000.0 AS promo_pct,
+       ((promo_u + 50) // 100) / 100.0 AS promo_revenue,
+       ((total_u + 50) // 100) / 100.0 AS total_revenue
+FROM agg
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to the customer.  Plan: the HAVING aggregate runs FIRST
+    (one lineitem shuffle producing a tiny key set), then the survivors
+    broadcast into orders/customer — the detail tables are never
+    re-shuffled on a fat key."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(D2)).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast(D2).cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, o_orderdate,
+       round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2) AS o_totalprice,
+       total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING total_qty > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event funnel
+# ---------------------------------------------------------------------------
+
+
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel over the events stream: first signup →
+    first click strictly after it → first purchase strictly after that,
+    plus a 1-hour click→purchase conversion flag.
+
+    Each step is a filtered min-aggregate keyed by user joined to the
+    previous step — three scan-pruned aggregations on the same key, so
+    at scale the event table shuffles on user_id once per step with
+    map-side partial mins, and no window sort over raw events is ever
+    materialized."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    stage = (
+        F.lit(1)
+        + F.col("first_click").isNotNull().cast("int")
+        + F.col("first_purchase").isNotNull().cast("int")
+    )
+    converted = F.coalesce(
+        F.col("first_purchase")
+        <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"),
+        F.lit(False),
+    )
+    return funnel.select(
+        "user_id",
+        "signup_ts",
+        "first_click",
+        "first_purchase",
+        stage.alias("stage"),
+        converted.alias("converted_1h"),
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS first_click
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+    GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, c.first_click, p.first_purchase,
+       1 + CASE WHEN c.first_click IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.first_purchase IS NULL THEN 0 ELSE 1 END AS stage,
+       coalesce(p.first_purchase <= c.first_click + INTERVAL 1 HOUR, false)
+           AS converted_1h
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/pii.py) demonstrated end-to-end: the
+    corpus is augmented with deterministic synthetic PII (an email, a
+    phone, an IP derived from doc_id — the env bakes no real PII into
+    the test tables), then counted and scrubbed.  The md5 of the
+    scrubbed text is the hard check: one mis-redacted character anywhere
+    fails the driver's value hash."""
+    from atd_data_lake_spark.operators.pii import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        sid,
+        F.lit("@example.com call 512-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3."),
+        ((F.col("doc_id") * 7) % 200).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cc admin@corp.example.org")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = d.select("doc_id", aug.alias("_aug"))
+    counts = pii_counts(F.col("_aug"))
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        F.md5(scrub_pii(F.col("_aug"))).alias("scrubbed_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from atd_data_lake_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    aug = (
+        "text || ' contact user' || doc_id || '@example.com call 512-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || (doc_id % 200) || '.3.' || ((doc_id * 7) % 200)"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin@corp.example.org' ELSE '' END"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{esc(EMAIL_RE)}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{esc(PHONE_RE)}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{esc(IPV4_RE)}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+               '{esc(EMAIL_RE)}', '{EMAIL_TOKEN}', 'g'),
+               '{esc(PHONE_RE)}', '{PHONE_TOKEN}', 'g'),
+               '{esc(IPV4_RE)}', '{IPV4_TOKEN}', 'g')) AS scrubbed_md5
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Keep-best-per-cluster + semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def cur_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: n-gram-Jaccard pairs →
+    connected components (the dedup_clusters machinery) → keep the
+    highest-quality member per cluster (operators/curation.py
+    keep_best_per_cluster)."""
+    from atd_data_lake_spark.operators.components import dedup_clusters
+    from atd_data_lake_spark.operators.curation import keep_best_per_cluster
+    from atd_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+    from atd_data_lake_spark.operators.text import profile_documents
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.1).persist()
+    comps = dedup_clusters(pairs).select("doc_id", "component")
+    quality = profile_documents(d.select("doc_id", "text"), text_col="text").select(
+        "doc_id", "quality"
+    )
+    return keep_best_per_cluster(comps, quality)
+
+
+def _keep_best_sql() -> str:
+    from atd_data_lake_spark.queries import _dedup_clusters_sql, _text_profile_sql
+
+    return f"""
+WITH comps AS ({_dedup_clusters_sql()}),
+prof AS ({_text_profile_sql()}),
+ranked AS (
+    SELECT comps.component AS cluster_id, comps.doc_id, prof.quality,
+           row_number() OVER (PARTITION BY comps.component
+                              ORDER BY prof.quality DESC, comps.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY comps.component) AS n_members
+    FROM comps JOIN prof ON comps.doc_id = prof.doc_id
+)
+SELECT cluster_id, doc_id AS kept_id, quality AS kept_quality, n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means
+    coarse clusters, greedy within-cluster cosine prune at 0.95.
+    Hash-dependent on the seeded k-means — driver check is rows-only;
+    determinism and the no-kept-pair-above-threshold invariant are
+    pytest-enforced."""
+    from atd_data_lake_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_clusters=32, threshold=0.95)
+
+
+ANALYTICS_QUERIES = {
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "evt_funnel": evt_funnel,
+    "text_pii_scrub": text_pii_scrub,
+    "cur_keep_best_per_cluster": cur_keep_best_per_cluster,
+    "sim_semantic_dedup": sim_semantic_dedup,
+}
+
+ANALYTICS_ORACLES = {
+    "q3_shipping_priority": Q3_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "evt_funnel": EVT_FUNNEL_SQL,
+    # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily
+    # (they import SQL fragments from queries.py); see queries.py wiring.
+    # sim_semantic_dedup: rows-only by design (seeded k-means is not
+    # SQL-expressible).
+}

@@ -318,3 +318,38 @@ def quality_gate_percentile(
         .filter(F.col("_pr") >= min_percentile)
         .drop("_pr")
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: given near-dup cluster assignments
+    (one row per clustered doc) and a per-doc quality frame, emit one row
+    per cluster carrying the member to KEEP — highest quality, smallest
+    id on ties — plus the cluster size.
+
+    This is the step that turns a near-dup pair list into an actionable
+    drop set: everything in the cluster except ``kept_id`` is removed
+    from the corpus.  Keeping the *best* member (not an arbitrary one)
+    is standard corpus-prep practice — near-dup clusters often mix a
+    clean original with mangled re-crawls.
+
+    Plan: one broadcast-eligible equi-join on the id, one agg keyed by
+    cluster.  ``max_by`` over a (quality, -id) struct does the
+    argmax-with-tiebreak in a single map-side-combinable aggregate — no
+    window sort, no secondary shuffle.
+    """
+    ordering = F.struct(F.col(quality_col), (-F.col(id_col)).alias("_neg"))
+    return (
+        clusters.join(quality, id_col)
+        .groupBy(F.col(cluster_col).alias("cluster_id"))
+        .agg(
+            F.max_by(F.col(id_col), ordering).alias("kept_id"),
+            F.max_by(F.col(quality_col), ordering).alias("kept_quality"),
+            F.count("*").alias("n_members"),
+        )
+    )

@@ -1837,6 +1837,18 @@ ORACLES: dict[str, str] = {
 ORACLES.update(PIPELINE_ORACLES)
 ORACLES.update(COVERAGE_ORACLES)
 
+from atd_data_lake_spark.analytics_queries import (  # noqa: E402
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+    _keep_best_sql,
+    _pii_sql,
+)
+
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLES.update(ANALYTICS_ORACLES)
+ORACLES["text_pii_scrub"] = _pii_sql()
+ORACLES["cur_keep_best_per_cluster"] = _keep_best_sql()
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1848,6 +1860,15 @@ ORACLES.update(COVERAGE_ORACLES)
 _DRIVER_PRIORITY = [
     # red in round 2 (TIMESTAMP_NTZ cast crash — fixed): re-verify first
     "sessionize_batch",
+    # new this round
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "evt_funnel",
+    "text_pii_scrub",
+    "cur_keep_best_per_cluster",
+    "sim_semantic_dedup",
     # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",

@@ -51,6 +51,12 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "cur_decontaminate",
     "cur_chunk_documents",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "evt_funnel",
+    "text_pii_scrub",
+    "cur_keep_best_per_cluster",
+    "sim_semantic_dedup",
 ]
 
 
