@@ -319,6 +319,43 @@ LEFT JOIN p ON s.user_id = p.user_id
 """
 
 
+def j9_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded forward as-of join (operators/asof.py
+    ``tolerance=``): each error event matched to the user's next purchase
+    only if it lands within 24 h — the bounded-staleness variant every
+    sensor/SCD lookup needs (a match from arbitrarily far in the future
+    is usually a bug, not an answer)."""
+    from atd_data_lake_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        direction="forward",
+        tolerance=F.expr("INTERVAL 24 HOURS"),
+    )
+    return out.select("event_id", F.col("purchase_ts").alias("next_purchase_24h"))
+
+
+J9_TOLERANCE_SQL = """
+SELECT e.event_id, min(p.ts) AS next_purchase_24h
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+ AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 24 HOURS
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
@@ -453,6 +490,7 @@ ANALYTICS_QUERIES = {
     "q14_promo_effect": q14_promo_effect,
     "q18_large_volume_customers": q18_large_volume_customers,
     "evt_funnel": evt_funnel,
+    "j9_asof_tolerance": j9_asof_tolerance,
     "text_pii_scrub": text_pii_scrub,
     "cur_keep_best_per_cluster": cur_keep_best_per_cluster,
     "sim_semantic_dedup": sim_semantic_dedup,
@@ -464,6 +502,7 @@ ANALYTICS_ORACLES = {
     "q14_promo_effect": Q14_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
+    "j9_asof_tolerance": J9_TOLERANCE_SQL,
     # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily
     # (they import SQL fragments from queries.py); see queries.py wiring.
     # sim_semantic_dedup: rows-only by design (seeded k-means is not

@@ -1866,6 +1866,7 @@ _DRIVER_PRIORITY = [
     "q14_promo_effect",
     "q18_large_volume_customers",
     "evt_funnel",
+    "j9_asof_tolerance",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
