@@ -356,6 +356,49 @@ GROUP BY e.event_id
 """
 
 
+def w2_lead_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the remaining analytic-window family in one query: lag delta,
+    lead peek, ntile quartile, and rank over per-user daily purchase
+    totals.  One shuffle (the user_id window partition); the daily
+    pre-aggregation makes every ordering key unique, so lag/lead/ntile
+    are deterministic on both engines."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.round(
+            F.col("day_value") - F.lag("day_value").over(w), 6
+        ).alias("delta_prev"),
+        F.lead("day", 1).over(w).alias("next_day"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+W2_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS day_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, day, day_value,
+       round(day_value - lag(day_value) OVER w, 6) AS delta_prev,
+       lead(day, 1) OVER w AS next_day,
+       ntile(4) OVER w AS quartile,
+       row_number() OVER w AS rn
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
@@ -491,6 +534,7 @@ ANALYTICS_QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "evt_funnel": evt_funnel,
     "j9_asof_tolerance": j9_asof_tolerance,
+    "w2_lead_lag_ntile": w2_lead_lag_ntile,
     "text_pii_scrub": text_pii_scrub,
     "cur_keep_best_per_cluster": cur_keep_best_per_cluster,
     "sim_semantic_dedup": sim_semantic_dedup,
@@ -503,6 +547,7 @@ ANALYTICS_ORACLES = {
     "q18_large_volume_customers": Q18_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
     "j9_asof_tolerance": J9_TOLERANCE_SQL,
+    "w2_lead_lag_ntile": W2_SQL,
     # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily
     # (they import SQL fragments from queries.py); see queries.py wiring.
     # sim_semantic_dedup: rows-only by design (seeded k-means is not

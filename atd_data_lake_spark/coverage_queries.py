@@ -148,6 +148,22 @@ WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
 """
 
 
+def p5_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — LIKE filters on id_base/id_ext (support/catalog.py:87-90
+    query(base=, ext=) builds SQL LIKE patterns): prefix + suffix LIKE
+    over string keys, pushed to the scan as StringStartsWith/EndsWith."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("source").like("src1%") & F.col("lang").like("%n")
+    ).select("doc_id", "source", "lang")
+
+
+P5_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE source LIKE 'src1%' AND lang LIKE '%n'
+"""
+
+
 def p9_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 — regex device filter (--name_filter, gs_support.py:83):
     rlike on entity names."""
@@ -372,6 +388,7 @@ COVERAGE_QUERIES = {
     "p6_same_day_exclusion": p6_same_day_exclusion,
     "p7_file_kind_guard": p7_file_kind_guard,
     "p8_day_window": p8_day_window,
+    "p5_like_filter": p5_like_filter,
     "p9_regex_filter": p9_regex_filter,
     "p10_validity_filter": p10_validity_filter,
     "p11_dup_key_dedup": p11_dup_key_dedup,
@@ -393,6 +410,7 @@ COVERAGE_ORACLES = {
     "p6_same_day_exclusion": P6_SQL,
     "p7_file_kind_guard": P7_SQL,
     "p8_day_window": P8_SQL,
+    "p5_like_filter": P5_SQL,
     "p9_regex_filter": P9_SQL,
     "p10_validity_filter": P10_SQL,
     "p11_dup_key_dedup": P11_SQL,

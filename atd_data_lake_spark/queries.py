@@ -1867,6 +1867,8 @@ _DRIVER_PRIORITY = [
     "q18_large_volume_customers",
     "evt_funnel",
     "j9_asof_tolerance",
+    "p5_like_filter",
+    "w2_lead_lag_ntile",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
