@@ -473,6 +473,40 @@ FROM a
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality proxy
+    (operators/text.unigram_logprob_score): mean token log-probability
+    under the corpus's own unigram distribution."""
+    from atd_data_lake_spark.operators.text import unigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(d.select("doc_id", "text"))
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, count(*) AS tok_n FROM tok GROUP BY tok),
+total AS (SELECT count(*) AS n FROM tok),
+scored AS (
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(vocab.tok_n / CAST(total.n AS DOUBLE))), 6) AS mean_logprob
+    FROM tok JOIN vocab ON tok.tok = vocab.tok CROSS JOIN total
+    GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(scored.n_tokens, 0) AS n_tokens,
+       scored.mean_logprob
+FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Keep-best-per-cluster + semantic dedup
 # ---------------------------------------------------------------------------
@@ -536,6 +570,7 @@ ANALYTICS_QUERIES = {
     "j9_asof_tolerance": j9_asof_tolerance,
     "w2_lead_lag_ntile": w2_lead_lag_ntile,
     "text_pii_scrub": text_pii_scrub,
+    "text_unigram_logprob": text_unigram_logprob,
     "cur_keep_best_per_cluster": cur_keep_best_per_cluster,
     "sim_semantic_dedup": sim_semantic_dedup,
 }
@@ -548,6 +583,7 @@ ANALYTICS_ORACLES = {
     "evt_funnel": EVT_FUNNEL_SQL,
     "j9_asof_tolerance": J9_TOLERANCE_SQL,
     "w2_lead_lag_ntile": W2_SQL,
+    "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily
     # (they import SQL fragments from queries.py); see queries.py wiring.
     # sim_semantic_dedup: rows-only by design (seeded k-means is not

@@ -499,3 +499,52 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: score each document by
+    the mean log-probability of its tokens under the corpus's own
+    unigram distribution.  Gibberish and boilerplate-stuffed documents
+    score low (rare-token soup / pathologically peaked repetition);
+    fluent text scores near the corpus mode.  The real CCNet uses a
+    5-gram KenLM; the unigram variant keeps the identical pipeline shape
+    (model = an aggregate of the corpus itself) while staying
+    SQL-expressible for the oracle.
+
+    Plan: explode to (doc, token) → token counts (shuffle 1, map-side
+    combined) → count-join back (8-byte key; AQE picks broadcast while
+    the vocabulary fits, shuffle join beyond) → per-doc mean (shuffle 2
+    on the id).  The model is derived IN the plan — no driver collect,
+    no side-channel state; at 100 TB the vocabulary aggregate is
+    Zipf-bounded, orders below the corpus.
+
+    Output: (id, n_tokens, mean_logprob) — mean over tokens of
+    ln(count(token)/total_tokens), rounded to 6 dp.  ln() ULP skew
+    between engines is the same accepted risk as the haversine oracle's
+    trig (s_haversine, driver-green since round 1).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = toks.count()  # one scalar action: the normalizer
+    scored = toks.join(vocab, "tok").groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("tok_n") / F.lit(float(total)))), 6
+        ).alias("mean_logprob"),
+    )
+    # docs with zero tokens drop out of the explode; restore them
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_logprob",
+        )
+    )

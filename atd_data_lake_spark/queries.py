@@ -1869,6 +1869,7 @@ _DRIVER_PRIORITY = [
     "j9_asof_tolerance",
     "p5_like_filter",
     "w2_lead_lag_ntile",
+    "text_unigram_logprob",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",

@@ -57,6 +57,7 @@ HEADLINE = [
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
+    "text_unigram_logprob",
 ]
 
 
