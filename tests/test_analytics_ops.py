@@ -170,3 +170,50 @@ def test_evt_funnel_stages(spark, sf_dir):
             assert r.signup_ts < r.first_click < r.first_purchase
         if r.converted_1h:
             assert (r.first_purchase - r.first_click).total_seconds() <= 3600
+
+
+def test_unigram_logprob_empty_doc_and_ordering(spark):
+    """Empty docs survive with n_tokens=0/null score; docs made of rarer
+    tokens score strictly lower than docs of common tokens."""
+    from atd_data_lake_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the the zzyzx the"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert rows[3].n_tokens == 0 and rows[3].mean_logprob is None
+    assert rows[1].n_tokens == 4 and rows[2].n_tokens == 4
+    assert rows[2].mean_logprob < rows[1].mean_logprob
+
+
+def test_asof_tolerance_bounds_matches(spark):
+    """With a tolerance, right rows outside the window never match even
+    when direction-eligible."""
+    from atd_data_lake_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 10:30:00"), ("a", "2024-01-03 00:00:00")],
+        "k string, rts string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    hit = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).first()
+    assert str(hit.rts) == "2024-01-01 10:30:00"
+
+    miss = asof_join(
+        left, right.filter(F.col("rts") > "2024-01-02"),
+        on=["k"], left_ts="ts", right_ts="rts",
+        direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).first()
+    assert miss.rts is None
