@@ -399,6 +399,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day)
 """
 
 
+def inc_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.maintain_daily_aggregate): the standing daily
+    aggregate built from history (days before Jan 25) is maintained with
+    the Jan 25+ batch; the oracle is the FULL recompute over all events —
+    i.e. the check is the maintenance invariant itself, not a replay of
+    the implementation."""
+    from atd_data_lake_spark.operators.incremental import maintain_daily_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25").cast("timestamp")
+
+    def build_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+
+    standing = build_agg(e.filter(F.col("ts") < cut))
+    batch = e.filter(F.col("ts") >= cut)
+    return maintain_daily_aggregate(standing, batch, build_agg, day_col="day")
+
+
+INC_AGG_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
@@ -568,6 +604,7 @@ ANALYTICS_QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "evt_funnel": evt_funnel,
     "j9_asof_tolerance": j9_asof_tolerance,
+    "inc_agg_maintenance": inc_agg_maintenance,
     "w2_lead_lag_ntile": w2_lead_lag_ntile,
     "text_pii_scrub": text_pii_scrub,
     "text_unigram_logprob": text_unigram_logprob,
@@ -582,6 +619,7 @@ ANALYTICS_ORACLES = {
     "q18_large_volume_customers": Q18_SQL,
     "evt_funnel": EVT_FUNNEL_SQL,
     "j9_asof_tolerance": J9_TOLERANCE_SQL,
+    "inc_agg_maintenance": INC_AGG_SQL,
     "w2_lead_lag_ntile": W2_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily

@@ -67,3 +67,39 @@ def incremental_plan(
         cond = cond & (F.col(k) == F.col(f"_t_{k}"))
     cond = cond & (F.col(date_col) < F.col("_t_end")) & (F.col("_eff_end") > F.col("_t_date"))
     return src.join(tgt, cond, "left_anti").drop("_eff_end")
+
+
+def maintain_daily_aggregate(
+    existing_agg: DataFrame,
+    batch: DataFrame,
+    build_agg,
+    day_col: str = "day",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance — the nightly
+    rollup pattern the reference runs file-at-a-time (each ready/publish
+    job recomputes exactly the days whose raw slices arrived,
+    gs_ready_agg.py / the cron ordering in
+    docs/appendix_deployconf.md:45-272):
+
+    given the standing aggregate table and a new raw ``batch`` that
+    carries the COMPLETE data for the days it contains (the lake's
+    arrival contract: a day slice lands whole), replace those days'
+    aggregate rows with ``build_agg(batch)`` and keep every other day's
+    rows untouched.
+
+    Plan: ``build_agg`` runs over the batch only (batch-sized shuffle);
+    the standing table is pruned with a broadcast left-anti join on the
+    batch's distinct day keys — at 100 TB the rewrite cost is
+    O(touched days), never O(table), and with the aggregate stored
+    partitioned by day the anti-join becomes partition pruning (cf.
+    ``io/publish.merge_public_layer``).
+
+    ``build_agg``: DataFrame → DataFrame, must emit ``day_col`` — the
+    SAME function that built the standing table (the invariant
+    maintained here: result ≡ build_agg(full_history ∪ batch), which is
+    exactly what the oracle checks).
+    """
+    fresh = build_agg(batch)
+    touched = fresh.select(day_col).distinct()
+    kept = existing_agg.join(F.broadcast(touched), day_col, "left_anti")
+    return kept.unionByName(fresh)

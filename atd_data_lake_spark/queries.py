@@ -1870,6 +1870,7 @@ _DRIVER_PRIORITY = [
     "p5_like_filter",
     "w2_lead_lag_ntile",
     "text_unigram_logprob",
+    "inc_agg_maintenance",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",

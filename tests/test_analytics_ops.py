@@ -217,3 +217,29 @@ def test_asof_tolerance_bounds_matches(spark):
         direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
     ).first()
     assert miss.rts is None
+
+
+def test_maintain_daily_aggregate_touches_only_batch_days(spark):
+    """Incrementality proof: a (deliberately wrong) standing row for an
+    untouched day passes through BYTE-identical — the maintenance never
+    recomputes days absent from the batch — while batch days are rebuilt
+    from the batch alone."""
+    from atd_data_lake_spark.operators.incremental import maintain_daily_aggregate
+
+    standing = spark.createDataFrame(
+        [("2024-01-01", 999), ("2024-01-02", 5)], "day string, n long"
+    ).withColumn("day", F.col("day").cast("date"))
+    batch = spark.createDataFrame(
+        [("2024-01-02 10:00:00",)] * 3, "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def build_agg(df):
+        return df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").alias("n")
+        )
+
+    got = {
+        str(r.day): r.n
+        for r in maintain_daily_aggregate(standing, batch, build_agg).collect()
+    }
+    assert got == {"2024-01-01": 999, "2024-01-02": 3}
