@@ -369,35 +369,126 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle *sets*, computed by an
-    inverted-index self-join (shuffle on shingle hash, then on the pair) —
-    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.  No cross join.
+    """Exact Jaccard over word n-gram shingle *sets*.  Output:
+    (id_a, id_b, jaccard) for pairs ≥ threshold, jaccard rounded to 6
+    places.  No cross join on either path; results are identical on both.
 
-    Output: (id_a, id_b, jaccard) for pairs ≥ threshold, jaccard rounded
-    to 6 places.
+    Two candidate-generation strategies:
+
+    - **inverted index** (default for threshold < 0.3): postings
+      self-join on the shingle hash; pair rows = Σ_s df(s)² — fine while
+      no shingle is corpus-hot, quadratic when duplication is heavy.
+    - **prefix filter** (PPJoin/AllPairs family — Chaudhuri et al.
+      ICDE'06, Xiao et al. WWW'08 — opt-in): order shingles rarest-first
+      (global doc-freq, hash tiebreak); a pair with J ≥ t MUST share a
+      shingle inside each side's first |S| − ⌈t·|S|⌉ + 1 shingles, so
+      only PREFIX postings self-join and hot shingles (at the order's
+      tail) never generate pairs.  Surviving candidates are verified
+      exactly via ``array_intersect`` on the full hash arrays.
+
+    Why opt-in rather than default: prefix filtering pays off when the
+    shingle frequency distribution is Zipf (natural text — most shingles
+    rare, prefixes cheap) and t is high.  On the synthetic near-uniform
+    vocabulary of the test corpus it measured SLOWER than the inverted
+    index (386 s vs 100 s on the 10×-duplicated tools/scale_smoke.py
+    corpus at t = 0.5): the "rarest" prefixes are still corpus-hot, the
+    postings only shrink ~2×, and the verify step adds two array joins —
+    a reminder that candidate-pruning strategies are distribution-bound,
+    not free.  For duplication-heavy corpora the scale answer remains
+    MinHash-LSH (`minhash_lsh_candidates`: 8 s on the same corpus); this
+    path exists for Zipf-distributed exact-Jaccard workloads and is
+    equivalence-tested against the inverted index.
     """
-    # both self-join sides consume the Python stage: persist so the
-    # shingling runs once.  Set sizes ride along as _sz (known inside the
-    # pandas stage anyway), so |A| and |B| come off the joined rows —
-    # no separate size aggregation, no pair-to-size re-join shuffles.
+    if prefix_filter is None:
+        prefix_filter = False
     sh = shingle_hash_rows(df, id_col, text_col, n, with_size=True).persist()
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
+
+    if not prefix_filter:
+        # both self-join sides consume the Python stage: persist so the
+        # shingling runs once.  Set sizes ride along as _sz, so |A| and
+        # |B| come off the joined rows — no pair-to-size re-join.
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._hash") == F.col("b._hash"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(
+                F.count("*").alias("inter"),
+                F.min("a._sz").alias("sz_a"),
+                F.min("b._sz").alias("sz_b"),
+            )
+        )
+        return (
+            pairs.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("_hash").agg(F.count("*").alias("_df"))
+    ranked = sh.join(dfreq, "_hash").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_hash").asc())
+        ),
+    )
+    # prefix length |S| − ⌈t·|S|⌉ + 1.  The ε guards the ceil against
+    # binary-float overshoot (0.1·10 → 1.0000…0002 would ceil to 2 and
+    # ILLEGALLY shorten the prefix; a too-LONG prefix is merely slower,
+    # a too-short one drops true pairs).
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1
+    ).select("_id", "_hash")
+
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
             (F.col("a._hash") == F.col("b._hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            F.min("a._sz").alias("sz_a"),
-            F.min("b._sz").alias("sz_b"),
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = sh.groupBy("_id").agg(
+        F.collect_list("_hash").alias("_hs"), F.min("_sz").alias("_sz")
+    )
+    joined = (
+        cands.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_hs").alias("_hs_a"),
+                F.col("_sz").alias("sz_a"),
+            ),
+            "id_a",
         )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_hs").alias("_hs_b"),
+                F.col("_sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_hs_a", "_hs_b")))
     )
     return (
-        pairs.withColumn(
+        joined.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6

@@ -456,9 +456,10 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     max_collect_rows: int = 500_000,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     bands: int = 8,
     seed: int = 42,
+    target_bucket_load: int = 32,
 ) -> DataFrame:
     """Near-dup pairs: (id_a, id_b, cos_sim) for cos ≥ threshold, id_a < id_b.
 
@@ -474,15 +475,34 @@ def embedding_near_dups(
       ``lsh_topk``) self-equi-join on (band, bucket) to generate candidate
       id pairs; candidates rejoin their vectors and are exact-cosine
       re-ranked against the threshold.  Every returned pair is a true
-      near-dup (exact re-rank); recall < 1 — with the defaults (16 planes,
-      8 bands of 2) recall ≈ 0.999 at threshold 0.9.  Skew note: a band
-      bucket of b vectors yields b² candidate rows, so raise
-      ``rows_per_band`` (fewer, wider bands) if a dense corpus produces
-      hot buckets.
+      near-dup (exact re-rank); recall < 1.
+
+    Banding discipline (the part that decides whether this is linear or
+    quadratic): with ``r`` bits per band, a band has 2^r buckets, and a
+    bucket of L vectors emits L²/2 candidate rows — so ``r`` MUST grow
+    with the corpus: 2^r ≈ n / target_bucket_load keeps candidate volume
+    ≈ n · bands · load/2, i.e. LINEAR in n.  A fixed small r (the old
+    2-bit default) floods every bucket on a large corpus and the
+    self-join degenerates to all-pairs (observed: 10× corpus → timeout).
+    When ``n_planes`` is None both dials auto-size from the corpus count:
+    r = clamp(⌈log2(n/load)⌉, 2, 20), bands = max(bands, r) (wider band
+    rows lower per-band match probability p^r, so bands rises to keep
+    OR-recall: at cos 0.95, p ≈ 0.9, r = b = 14 ⇒ recall ≈ 0.97; true
+    near-identicals (cos → 1) stay ≈ 1.0 at any r).  Pass explicit
+    ``n_planes``/``bands`` to pin the geometry.
     """
-    if corpus.count() > max_collect_rows:
+    n_rows = corpus.count()
+    if n_rows > max_collect_rows:
+        if n_planes is None:
+            import math
+
+            r = min(20, max(2, math.ceil(math.log2(max(n_rows / target_bucket_load, 4)))))
+            eff_bands = max(bands, r)
+            eff_planes = r * eff_bands
+        else:
+            eff_planes, eff_bands = n_planes, bands
         return _near_dups_lsh(
-            corpus, threshold, id_col, vec_col, dim, n_planes, bands, seed
+            corpus, threshold, id_col, vec_col, dim, eff_planes, eff_bands, seed
         )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])

@@ -58,6 +58,7 @@ HEADLINE = [
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
     "text_unigram_logprob",
+    "inc_agg_maintenance",
 ]
 
 

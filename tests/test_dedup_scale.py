@@ -59,3 +59,43 @@ def test_simhash_rejects_broken_pigeonhole(spark):
         simhash_near_dups(df, max_hamming=4, block_bits=16)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dups(df, max_hamming=8, block_bits=8)
+
+
+def test_ngram_jaccard_prefix_filter_equivalent(spark, sf_dir):
+    """PPJoin prefix path returns EXACTLY the inverted-index result at
+    every threshold (prefix pruning is lossless by the prefix-filter
+    theorem; the ε-guarded ceil keeps it so at float-hostile t·|S|)."""
+    from atd_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.1, 0.5, 0.8):
+        a = sorted(
+            map(tuple, ngram_jaccard_pairs(d, threshold=t, prefix_filter=False).collect())
+        )
+        b = sorted(
+            map(tuple, ngram_jaccard_pairs(d, threshold=t, prefix_filter=True).collect())
+        )
+        assert a == b
+        if t <= 0.5:
+            assert len(a) > 0
+
+
+def test_embedding_near_dups_banding_scales_with_corpus(spark, sf_dir):
+    """The LSH scale path must find every replica pair on a duplicated
+    corpus (near-identical vectors ⇒ recall ≈ 1 at any auto-sized r),
+    with the corpus never collected (max_collect_rows=0)."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = spark.range(3).select(F.col("id").alias("_rep"))
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(10**9))
+        .drop("_rep")
+    )
+    n = emb.count()
+    pairs = embedding_near_dups(big, threshold=0.999, max_collect_rows=0)
+    # every base vector contributes C(3,2)=3 identical-replica pairs
+    assert pairs.count() >= 3 * n

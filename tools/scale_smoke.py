@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Scale-smoke: run the heavy corpus operators on a 10×-replicated sf0.1
+corpus (≈ sf1-equivalent row counts for documents/embeddings) and print
+per-op wall times.  Not part of the default bench — evidence that the
+dedup/curation/similarity plans hold when the data outgrows every
+broadcast/driver-side shortcut by an order of magnitude.
+
+Replication keeps ids unique (id' = id + k·10⁹) so dedup semantics stay
+meaningful: every replica IS a near-duplicate of its source, which also
+stress-tests the candidate-pair volume, the exact worst case for
+LSH/Jaccard family operators.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPLICAS = int(os.environ.get("SCALE_SMOKE_REPLICAS", "10"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from atd_data_lake_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_smoke", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def blow_up(df, id_col):
+        reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+        return (
+            df.crossJoin(F.broadcast(reps))
+            .withColumn(id_col, F.col(id_col) + F.col("_rep") * F.lit(10**9))
+            .drop("_rep")
+        )
+
+    docs = blow_up(docs0, "doc_id").persist()
+    emb = blow_up(emb0, "vec_id").persist()
+    n_docs, n_emb = docs.count(), emb.count()
+    print(f"# corpus: {n_docs} docs, {n_emb} embeddings ({REPLICAS}x {SF_DIR})")
+
+    from atd_data_lake_spark.operators.curation import keep_best_per_cluster
+    from atd_data_lake_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from atd_data_lake_spark.operators.semdedup import semantic_dedup
+    from atd_data_lake_spark.operators.similarity import embedding_near_dups
+    from atd_data_lake_spark.operators.text import (
+        profile_documents,
+        unigram_logprob_score,
+    )
+
+    ops = {
+        "exact_dedup": lambda: exact_dedup(docs),
+        "text_profile": lambda: profile_documents(
+            docs.select("doc_id", "text"), text_col="text"
+        ),
+        "unigram_logprob": lambda: unigram_logprob_score(
+            docs.select("doc_id", "text")
+        ),
+        "minhash_lsh": lambda: minhash_lsh_candidates(docs),
+        "ngram_jaccard": lambda: ngram_jaccard_pairs(docs, n=3, threshold=0.5),
+        "embedding_near_dups": lambda: embedding_near_dups(
+            emb, threshold=0.95, max_collect_rows=1000
+        ),  # forces the LSH scale path: corpus must never be collected
+        "semantic_dedup": lambda: semantic_dedup(emb, n_clusters=64),
+    }
+    for name, fn in ops.items():
+        t0 = time.perf_counter()
+        n = fn().count()
+        print(f"# {name}: {time.perf_counter() - t0:.2f}s ({n} rows)")
+
+
+if __name__ == "__main__":
+    main()
