@@ -180,9 +180,10 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     bands: int = 4,
     seed: int = 42,
+    target_bucket_load: int = 32,
 ) -> DataFrame:
     """Approximate top-k: sign-LSH banded bucketing for candidates, exact
     cosine re-rank.  A query and corpus vector are candidates iff they
@@ -191,7 +192,23 @@ def lsh_topk(
     The signature (one numpy matmul against the fixed hyperplanes) and the
     banded bucket keys are computed in a single Arrow-batched pass; the
     candidate join is a broadcast equi-join on (band, bucket).
+
+    Band geometry follows the same corpus-sized discipline as
+    ``embedding_near_dups``: with r bits per band a bucket holds
+    ≈ n/2^r vectors, and every one of them is a candidate for a query
+    probing that bucket — a fixed small r degenerates to scanning a
+    constant fraction of the corpus per query.  When ``n_planes`` is
+    None, r = clamp(⌈log2(n/target_bucket_load)⌉, 2, 20) and bands
+    rises with r to hold OR-recall; candidates per query stay
+    ≈ bands · target_bucket_load regardless of corpus size.
     """
+    if n_planes is None:
+        import math
+
+        n_rows = corpus.count()
+        r = min(20, max(2, math.ceil(math.log2(max(n_rows / target_bucket_load, 4)))))
+        bands = max(bands, r)
+        n_planes = r * bands
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
     weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
