@@ -274,3 +274,49 @@ def test_hash_u16_matches_hashlib(spark, keys):
         k: int(hashlib.md5(f"s{k}".encode()).hexdigest()[:4], 16) for k in keys
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PII regex: the three-engine-portable subset claim
+# ---------------------------------------------------------------------------
+
+PII_CHUNK = st.one_of(
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .@-_%+:/()[]",
+        max_size=24,
+    ),
+    st.just("a.b@ex-1.example.org"),
+    st.just("x@y"),  # not an email (no dotted alpha TLD)
+    st.just("512-555-0147"),
+    st.just("55-555-0147"),  # not a phone (2-digit area)
+    st.just("10.0.0.255"),
+    st.just("1.2.3"),  # not an IP (3 octets)
+    st.just("v1.2.3.4rc"),  # word-bounded: 'v' and 'rc' break \b
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(PII_CHUNK, min_size=1, max_size=6))
+def test_pii_counts_match_python_re(spark, chunks):
+    """pii_counts (Java regex, JVM-side) agrees with Python `re` on
+    arbitrary concatenations of pii-like and pii-adjacent chunks — the
+    patterns deliberately use only the regex subset whose semantics are
+    identical across Java, RE2 (the DuckDB oracle), and Python."""
+    import re
+
+    from atd_data_lake_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_counts,
+    )
+
+    text = " ".join(chunks)
+    df = spark.createDataFrame([(text,)], "text string")
+    c = pii_counts("text")
+    row = df.select(
+        c["n_emails"].alias("e"), c["n_phones"].alias("p"), c["n_ips"].alias("i")
+    ).first()
+    assert row.e == len(re.findall(EMAIL_RE, text))
+    assert row.p == len(re.findall(PHONE_RE, text))
+    assert row.i == len(re.findall(IPV4_RE, text))
