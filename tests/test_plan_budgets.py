@@ -1,0 +1,81 @@
+"""Shuffle-budget regression guard: every headline query's physical plan
+must stay within its recorded exchange budget.
+
+PLANS.md documents each query's exchange count; this test turns those
+numbers into a ceiling so a future edit cannot silently add a shuffle
+(the error at 100 TB that a green sf0.001 correctness run would never
+reveal).  Budgets are the CURRENT plan's count — tightening is free,
+loosening must be a deliberate edit here.
+
+Counting matches tools/plan_report.py: `Exchange` nodes in the executed
+(pre-AQE-finalization) plan string.  Counts can only differ from
+PLANS.md (generated at sf0.1) where AQE or broadcast thresholds pick a
+different join at the test SF — budgets below are the max of both.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from atd_data_lake_spark.queries import QUERIES
+
+# query → max allowed Exchange nodes (from PLANS.md, sf0.1 plans)
+EXCHANGE_BUDGETS = {
+    "q1_pricing_summary": 1,
+    "olap_star_join": 2,
+    "a1_tumbling_window_15min": 1,
+    "j1_incremental_antijoin": 1,
+    "j2_enrich_broadcast": 1,
+    "j8_asof_backward": 1,
+    "j10_fuzzy_match": 1,
+    "w1_daily_cumulative": 1,
+    "pipe_wt_publish": 1,
+    "pipe_bt_publish_unmatched": 3,
+    "pipe_gs_agg": 1,
+    "a1_streaming_parity": 1,
+    "dedup_exact": 1,
+    "dedup_embedding_cosine": 1,
+    "dedup_minhash_lsh": 3,
+    "dedup_ngram_jaccard": 3,
+    "dedup_clusters": 2,
+    "dedup_simhash": 3,
+    "text_profile": 1,
+    "text_bpe_tokens": 0,
+    "text_langid_ngram": 1,
+    "text_winnow_fingerprint": 1,
+    "text_repetition": 1,
+    "corpus_curation": 2,
+    "sim_knn_bruteforce": 2,
+    "sim_ann_lsh": 3,
+    "sim_ann_ivf": 2,
+    "mm_media_features": 1,
+    "sessionize_batch": 1,
+    "text_tfidf_top_terms": 4,
+    "cur_decontaminate": 4,
+    "cur_chunk_documents": 0,
+    "q3_shipping_priority": 1,
+    "q18_large_volume_customers": 2,
+    "evt_funnel": 5,
+    "text_pii_scrub": 0,
+    "cur_keep_best_per_cluster": 4,
+    "sim_semantic_dedup": 2,
+    "text_unigram_logprob": 3,
+    "inc_agg_maintenance": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    # a prior test's persisted intermediate makes the plan print the
+    # cached subtree's exchanges through InMemoryTableScan — count each
+    # query's OWN plan, not its neighbors' cache residue
+    spark.catalog.clearCache()
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert exchanges <= EXCHANGE_BUDGETS[name], (
+        f"{name}: {exchanges} exchanges > budget {EXCHANGE_BUDGETS[name]} — "
+        "a shuffle crept in; fix the plan or deliberately raise the budget"
+    )
