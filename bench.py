@@ -90,25 +90,36 @@ def main() -> None:
     # repeats all land in the same stall window, sweep-spaced repeats don't.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for sweep in range(3):
         for name in HEADLINE:
+            if name in errors:
+                continue  # failed once → don't burn two more sweeps on it
             t0 = time.perf_counter()
-            rows[name] = QUERIES[name](spark, sf_dir).count()
-            runs[name].append(time.perf_counter() - t0)
+            try:
+                rows[name] = QUERIES[name](spark, sf_dir).count()
+                runs[name].append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — one bad query must not
+                # zero out the whole round's numbers (round 2 lost ALL bench
+                # data to a single AnalysisException)
+                errors[name] = str(e).split("\n")[0][:300]
             # operators persist multi-consumer intermediates; drop them so
             # one query's cache never skews the next query's measurement
             spark.catalog.clearCache()
-    timings = {name: round(min(runs[name]), 3) for name in HEADLINE}
+    ok = [name for name in HEADLINE if name not in errors]
+    timings = {name: round(min(runs[name]), 3) for name in ok}
     # median-of-3 alongside min: the delta between them shows how much of a
     # round-over-round change is host noise vs real (this host has documented
     # multi-second noisy-neighbor stall windows)
-    medians = {name: round(sorted(runs[name])[1], 3) for name in HEADLINE}
-    for name in HEADLINE:
+    medians = {name: round(sorted(runs[name])[len(runs[name]) // 2], 3) for name in ok}
+    for name in ok:
         print(
             f"# {name}: {timings[name]:.3f}s (median {medians[name]:.3f}s, "
             f"{rows[name]} rows)",
             file=sys.stderr,
         )
+    for name, msg in errors.items():
+        print(f"# {name}: ERROR {msg}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -120,6 +131,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 3),
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
