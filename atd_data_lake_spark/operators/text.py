@@ -518,8 +518,11 @@ def unigram_logprob_score(
     Plan: explode to (doc, token) → token counts (shuffle 1, map-side
     combined) → count-join back (8-byte key; AQE picks broadcast while
     the vocabulary fits, shuffle join beyond) → per-doc mean (shuffle 2
-    on the id).  The model is derived IN the plan — no driver collect,
-    no side-channel state; at 100 TB the vocabulary aggregate is
+    on the id).  The normalizer (total token count) is the SUM of the
+    vocab aggregate attached as a 1-row broadcast — not a separate
+    count() action, which would burn one full extra pass over the token
+    stream at 100 TB.  The model is derived IN the plan — no driver
+    collect, no side-channel state; the vocabulary aggregate is
     Zipf-bounded, orders below the corpus.
 
     Output: (id, n_tokens, mean_logprob) — mean over tokens of
@@ -531,12 +534,17 @@ def unigram_logprob_score(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
-    total = toks.count()  # one scalar action: the normalizer
-    scored = toks.join(vocab, "tok").groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.round(
-            F.avg(F.log(F.col("tok_n") / F.lit(float(total)))), 6
-        ).alias("mean_logprob"),
+    total = vocab.agg(F.sum("tok_n").cast("double").alias("_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(total))  # 1-row broadcast: benign nested-loop
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tok_n") / F.col("_total"))), 6
+            ).alias("mean_logprob"),
+        )
     )
     # docs with zero tokens drop out of the explode; restore them
     return (

@@ -11,10 +11,11 @@ import pytest
 from atd_data_lake_spark.queries import QUERIES
 
 # Intentional BroadcastNestedLoopJoin: publish_agg attaches a 1-row
+# device frame; unigram_logprob attaches the 1-row corpus-total — both
 # (atd_device_id, primary_st, cross_st) device dim via
 # crossJoin(broadcast(...)) — an O(n) pass-through, the right plan for a
 # single-row dimension (pipelines/gs.py publish_agg).
-BNLJ_ALLOWED = {"pipe_gs_publish"}
+BNLJ_ALLOWED = {"pipe_gs_publish", "text_unigram_logprob"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

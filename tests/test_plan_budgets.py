@@ -61,7 +61,9 @@ EXCHANGE_BUDGETS = {
     "text_pii_scrub": 0,
     "cur_keep_best_per_cluster": 4,
     "sim_semantic_dedup": 2,
-    "text_unigram_logprob": 3,
+    # 4th exchange = the 1-row corpus-total aggregate (replaces what was
+    # a full extra token-stream scan — a deliberate trade, see operator)
+    "text_unigram_logprob": 4,
     "inc_agg_maintenance": 3,
 }
 
