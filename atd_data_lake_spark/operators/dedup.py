@@ -410,11 +410,20 @@ def ngram_jaccard_pairs(
         # shingling runs once.  Set sizes ride along as _sz, so |A| and
         # |B| come off the joined rows — no pair-to-size re-join.
         a, b = sh.alias("a"), sh.alias("b")
+        # length filter (same family as the prefix filter, always on):
+        # J(A,B) ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|),
+        # so min ≥ t·max — size-mismatched pairs are pruned INSIDE the
+        # join, before any pair row exists.  ε guards binary-float t·sz
+        # overshoot (pruning must only ever be under-eager).
+        size_ok = (
+            F.col("a._sz") >= F.lit(threshold) * F.col("b._sz") - F.lit(1e-9)
+        ) & (F.col("b._sz") >= F.lit(threshold) * F.col("a._sz") - F.lit(1e-9))
         pairs = (
             a.join(
                 b,
                 (F.col("a._hash") == F.col("b._hash"))
-                & (F.col("a._id") < F.col("b._id")),
+                & (F.col("a._id") < F.col("b._id"))
+                & size_ok,
             )
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(
