@@ -435,6 +435,84 @@ GROUP BY CAST(ts AS DATE), event_type
 """
 
 
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags over per-user daily purchase totals
+    — the expected-vs-actual monitoring shape of the reference's perfmet
+    layer (etl_perfmet_obs carries data/expected pairs,
+    docs/appendix_perfmet.md:19-70), done windowed instead of
+    job-at-a-time.
+
+    Exactness: mean/std derive from INTEGER window sums (value scaled to
+    10⁶ units; Σx as bigint, Σx² as decimal(38,0) — squares overflow
+    bigint) so both engines see identical integers; the remaining double
+    ops (÷, sqrt) are IEEE-exactly-rounded, making the z-score
+    bit-identical — the same construction as the GS aggregate's
+    exact-cents stddev.  One shuffle (the user window partition), over
+    daily aggregates, not raw events."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("long")).alias(
+            "_u"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    n = F.count("*").over(w)
+    s1 = F.sum("_u").over(w)
+    s2 = F.sum((F.col("_u").cast("decimal(38,0)") * F.col("_u"))).over(w)
+    stats = daily.withColumn("_n", n).withColumn("_s1", s1).withColumn("_s2", s2)
+    std = F.sqrt(
+        (
+            (F.col("_n").cast("decimal(38,0)") * F.col("_s2")
+             - F.col("_s1").cast("decimal(38,0)") * F.col("_s1")).cast("double")
+        )
+        / F.greatest(F.col("_n") * (F.col("_n") - 1), F.lit(1)).cast("double")
+    )
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    z = (F.col("_u").cast("double") - mean) / std
+    return stats.select(
+        "user_id",
+        "day",
+        (F.col("_u").cast("double") / 1000000).alias("day_value"),
+        F.col("_n").cast("int").alias("n_window"),
+        F.when((F.col("_n") >= 3) & (std > 0), F.round(z, 6)).alias("zscore"),
+        F.coalesce(
+            (F.col("_n") >= 3) & (std > 0) & (F.abs(z) > 1.8), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+EVT_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS u
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+stats AS (
+    SELECT user_id, day, u,
+           count(*) OVER w AS n,
+           sum(u) OVER w AS s1,
+           sum(CAST(u AS HUGEINT) * u) OVER w AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day,
+       CAST(u AS DOUBLE) / 1000000 AS day_value,
+       CAST(n AS INT) AS n_window,
+       CASE WHEN n >= 3 AND sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / greatest(n * (n - 1), 1)) > 0
+            THEN round((CAST(u AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / greatest(n * (n - 1), 1)), 6)
+       END AS zscore,
+       coalesce(n >= 3 AND sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / greatest(n * (n - 1), 1)) > 0
+                AND abs((CAST(u AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                        / sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) / greatest(n * (n - 1), 1))) > 1.8,
+                false) AS is_anomaly
+FROM stats
+"""
+
+
 # ---------------------------------------------------------------------------
 # PII scrub
 # ---------------------------------------------------------------------------
@@ -605,6 +683,7 @@ ANALYTICS_QUERIES = {
     "evt_funnel": evt_funnel,
     "j9_asof_tolerance": j9_asof_tolerance,
     "inc_agg_maintenance": inc_agg_maintenance,
+    "evt_anomaly_zscore": evt_anomaly_zscore,
     "w2_lead_lag_ntile": w2_lead_lag_ntile,
     "text_pii_scrub": text_pii_scrub,
     "text_unigram_logprob": text_unigram_logprob,
@@ -620,6 +699,7 @@ ANALYTICS_ORACLES = {
     "evt_funnel": EVT_FUNNEL_SQL,
     "j9_asof_tolerance": J9_TOLERANCE_SQL,
     "inc_agg_maintenance": INC_AGG_SQL,
+    "evt_anomaly_zscore": EVT_ANOMALY_SQL,
     "w2_lead_lag_ntile": W2_SQL,
     "text_unigram_logprob": UNIGRAM_LOGPROB_SQL,
     # text_pii_scrub / cur_keep_best_per_cluster oracles are built lazily

@@ -1871,6 +1871,7 @@ _DRIVER_PRIORITY = [
     "w2_lead_lag_ntile",
     "text_unigram_logprob",
     "inc_agg_maintenance",
+    "evt_anomaly_zscore",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
