@@ -460,6 +460,41 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((l_returnflag), (l_linestatus), ()) —
+    the irregular grouping shape neither ROLLUP nor CUBE expresses
+    (Dataset.groupingSets, Spark 4): three grouping sets, one shuffle,
+    map-side partial agg per set."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "gid",
+        )
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, day-of-week): all 4 grouping sets in one
     shuffle."""
@@ -538,6 +573,7 @@ FROM events GROUP BY 1
 COVERAGE_QUERIES.update(
     {
         "agg_rollup": agg_rollup,
+        "agg_grouping_sets": agg_grouping_sets,
         "agg_cube": agg_cube,
         "agg_exact_percentiles": agg_exact_percentiles,
         "agg_distinct_counts": agg_distinct_counts,
@@ -547,6 +583,7 @@ COVERAGE_QUERIES.update(
 COVERAGE_ORACLES.update(
     {
         "agg_rollup": AGG_ROLLUP_SQL,
+        "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
         "agg_cube": AGG_CUBE_SQL,
         "agg_exact_percentiles": AGG_PCTL_SQL,
         "agg_distinct_counts": AGG_DISTINCT_SQL,

@@ -1872,6 +1872,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_logprob",
     "inc_agg_maintenance",
     "evt_anomaly_zscore",
+    "agg_grouping_sets",
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",

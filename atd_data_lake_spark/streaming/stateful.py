@@ -168,3 +168,100 @@ def sessionize_batch(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_readings"),
     )
+
+
+def tws_available() -> bool:
+    """True iff the transformWithStateInPandas python protocol can load
+    (requires google.protobuf, not shipped in every environment)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def sessionize_tws(
+    df: DataFrame,
+    sensor_col: str = "sensor",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of ``sessionize``:
+    the same gap-closure semantics on the successor API (typed value
+    state via a StatefulProcessor handle instead of the monolithic
+    applyInPandasWithState tuple-state).  Emits CLOSED sessions; the
+    open tail per sensor stays in the value state across batches.
+
+    Why both exist: applyInPandasWithState is the stable API this
+    engine's tests pin semantics to (its batch twin ``sessionize_batch``
+    is the SQL-expressible oracle); transformWithState is where
+    Structured Streaming's stateful surface is moving (per-state-variable
+    TTL, timers, state schema evolution).
+
+    ENVIRONMENT-GATED (like the JDBC scan): the transformWithState
+    state protocol needs ``google.protobuf``, absent from this sandbox —
+    the equality test skips when the import fails and runs wherever
+    protobuf exists.  Call ``tws_available()`` to probe.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap = float(gap_seconds)
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_session", "start double, last double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts: list[float] = []
+            for pdf in rows:
+                ts.extend(
+                    pdf[ts_col].map(lambda v: pd.Timestamp(v).timestamp()).tolist()
+                )
+            ts.sort()
+            cur = self._open.get() if self._open.exists() else None
+            start, last, n = cur if cur else (None, None, 0)
+            closed: list[tuple[float, float, int]] = []
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last >= gap:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            self._open.update((start, last, n))
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "sensor": [key[0]] * len(closed),
+                        "session_start": [
+                            pd.Timestamp(s, unit="s") for s, _, _ in closed
+                        ],
+                        "session_end": [
+                            pd.Timestamp(e, unit="s") for _, e, _ in closed
+                        ],
+                        "n_readings": [c for _, _, c in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    src = df
+    if df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return src.groupBy(sensor_col).transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

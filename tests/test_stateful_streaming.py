@@ -114,3 +114,57 @@ def test_sessionize_batch_timestamp_ntz(spark, sf_dir):
 
     ltz = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     assert sessionize_batch(ltz, gap_seconds=1800).count() == ntz_sessions
+
+
+def test_sessionize_tws_matches_applyinpandas(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer closes the same
+    sessions as the applyInPandasWithState one on the same stream.
+    Skips where google.protobuf (the transformWithState state protocol's
+    dependency) is absent — this sandbox ships pyspark without it."""
+    import pytest
+
+    from atd_data_lake_spark.streaming.stateful import (
+        sessionize,
+        sessionize_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithState protocol unavailable")
+
+    rows = [
+        ("reader_a", "2019-06-03 10:00:00"),
+        ("reader_a", "2019-06-03 10:10:00"),
+        ("reader_a", "2019-06-03 12:00:00"),
+        ("reader_a", "2019-06-03 15:00:00"),
+        ("reader_b", "2019-06-03 09:00:00"),
+        ("reader_b", "2019-06-03 11:30:00"),
+    ]
+    (tmp_path / "in").mkdir()
+    with open(tmp_path / "in" / "a.csv", "w") as f:
+        for s, t in rows:
+            f.write(f"{s},{t}\n")
+    schema = "sensor string, ts timestamp"
+
+    def run(fn, qname):
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .csv(str(tmp_path / "in"))
+        )
+        q = (
+            fn(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["sensor"], str(r["session_start"]), str(r["session_end"]), r["n_readings"])
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    a = run(sessionize, "t_aip")
+    b = run(sessionize_tws, "t_tws")
+    assert a == b and len(a) > 0
