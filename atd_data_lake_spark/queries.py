@@ -1849,6 +1849,14 @@ ORACLES.update(ANALYTICS_ORACLES)
 ORACLES["text_pii_scrub"] = _pii_sql()
 ORACLES["cur_keep_best_per_cluster"] = _keep_best_sql()
 
+from atd_data_lake_spark.round3_queries import (  # noqa: E402
+    ROUND3_ORACLES,
+    ROUND3_QUERIES,
+)
+
+QUERIES.update(ROUND3_QUERIES)
+ORACLES.update(ROUND3_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1860,6 +1868,12 @@ ORACLES["cur_keep_best_per_cluster"] = _keep_best_sql()
 _DRIVER_PRIORITY = [
     # red in round 2 (TIMESTAMP_NTZ cast crash — fixed): re-verify first
     "sessionize_batch",
+    # new in round 3
+    "evt_time_window_join",
+    "evt_retention",
+    "text_top_tokens",
+    "emb_int8_quantize",
+    "q10_returned_items",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -1,0 +1,341 @@
+"""Round-3 query additions: range join, cohort analytics, corpus token
+stats, embedding quantization, and TPC-H Q10.
+
+Each entry exists because it is a distinct PLAN SHAPE the engine must
+get right at 100 TB, not just another query:
+
+- ``evt_time_window_join`` — the band-predicate join Spark has no
+  native operator for; proves the bucketized equi-join rewrite
+  (operators/rangejoin.py) against a brute-force SQL oracle.
+- ``evt_retention`` — cohort retention in ONE user-shuffle via
+  collect_set, instead of the textbook distinct + self-join (3
+  shuffles of the full event table).
+- ``text_top_tokens`` — corpus-scale heavy hitters; the skew case
+  (stopwords own the corpus) that partial aggregation must absorb
+  map-side before the shuffle.
+- ``emb_int8_quantize`` — per-vector int8 quantization entirely in
+  JVM higher-order functions (transform/filter/aggregate): zero
+  Python, zero shuffle, scales linearly with the scan.
+- ``q10_returned_items`` — the remaining runnable TPC-H classic on
+  this schema (Q10: returned-item revenue per customer).
+
+Decimal/epoch exactness rules follow queries.py: money through the
+exact-decimal-sum construction, time through integer epoch
+microseconds, so every oracle hash is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+D2 = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from atd_data_lake_spark.io.reader import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# evt_time_window_join — band join via bucketized equi-join
+# ---------------------------------------------------------------------------
+
+
+def evt_time_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: events in the 5 minutes AFTER each error event.
+
+    The band predicate (r.ts in (l.ts, l.ts+300s]) runs through
+    operators/rangejoin.py's bucketized rewrite — a hash equi-join on
+    (user_id, bucket), never a nested-loop — then aggregates pairs per
+    user.  The exact filter re-checks the band in integer microseconds.
+    """
+    from atd_data_lake_spark.operators.rangejoin import time_window_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    after = ev.select("user_id", "event_id", "ts", "event_type")
+    pairs = time_window_join(
+        errors, after, on=["user_id"], window_seconds=300
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("l_event_id").alias("n_errors_followed"),
+            F.sum(
+                F.when(F.col("r_event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases_after"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVT_TIME_WINDOW_JOIN_SQL = """
+SELECT a.user_id AS user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_errors_followed,
+       CAST(sum(CASE WHEN b.event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases_after
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'error'
+  AND epoch_us(b.ts) > epoch_us(a.ts)
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_retention — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active date, counted at
+    each day offset they return.
+
+    Single user-keyed shuffle: groupBy(user) collects the (bounded:
+    #days) distinct-day set AND the cohort min in one aggregation, then
+    explodes — vs the textbook distinct + min-join formulation that
+    shuffles the event table three times (oracle below keeps that shape
+    so the two are checked against each other).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("cohort_date"), F.collect_set("d").alias("days")
+    )
+    return (
+        per_user.select(
+            "cohort_date", F.explode("days").alias("d")
+        )
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_date", "offset_days")
+    )
+
+
+EVT_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_date FROM ud GROUP BY user_id)
+SELECT c.cohort_date AS cohort_date,
+       CAST(datediff('day', c.cohort_date, ud.d) AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_top_tokens — exact corpus heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by corpus frequency, with document frequency.
+
+    The stopword-skew case: a handful of tokens own most of the corpus.
+    Partial aggregation (map-side combine) collapses each input
+    partition's counts before the shuffle, so the hot keys move as one
+    row per partition, not one row per occurrence; the ordered limit is
+    TakeOrderedAndProject (no global sort).  Deterministic across ties:
+    (count DESC, token ASC) is a total order.
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TEXT_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# emb_int8_quantize — higher-order-function int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization stats: absmax scale,
+    saturated-element count, reconstruction RMSE.
+
+    Entirely JVM higher-order functions (transform / filter /
+    aggregate) — no Python stage, no shuffle, one pruned 2-column scan;
+    the cheapest possible plan for a 100 TB embedding sweep.  Elements
+    cast float→double before any arithmetic so both engines compute in
+    the same precision; round(…, 6) absorbs summation-order ulps.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = e.select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    # internal name ≠ output name: Spark's lateral column alias
+    # resolution would otherwise bind the scale/rmse references below to
+    # the ROUNDED `amax` output alias in the same select list.
+    df = df.withColumn("_amax", amax)
+    scale = F.col("_amax") / F.lit(127.0)
+
+    def qerr(x):
+        return F.pow(x - F.round(x / scale) * scale, F.lit(2.0))
+
+    n_sat = F.size(
+        F.filter("v", lambda x: F.abs(F.round(x / scale)) >= 127)
+    ).cast("long")
+    err2 = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: acc + qerr(x)
+    )
+    rmse = F.round(F.sqrt(err2 / F.size("v")), 6)
+    zero = F.col("_amax") == 0.0
+    return df.select(
+        "vec_id",
+        F.round("_amax", 6).alias("amax"),
+        F.when(zero, F.lit(0).cast("long")).otherwise(n_sat).alias(
+            "n_saturated"
+        ),
+        F.when(zero, F.lit(0.0)).otherwise(rmse).alias("rmse"),
+    ).orderBy("vec_id")
+
+
+EMB_INT8_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM base
+)
+SELECT vec_id,
+       round(amax, 6) AS amax,
+       CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(list_filter(
+                   v, x -> abs(round(x / (amax / 127.0))) >= 127))
+                 AS BIGINT)
+       END AS n_saturated,
+       CASE WHEN amax = 0 THEN 0.0
+            ELSE round(sqrt(list_sum(list_transform(
+                   v, x -> pow(x - round(x / (amax / 127.0))
+                               * (amax / 127.0), 2))) / len(v)), 6)
+       END AS rmse
+FROM s
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter.  Plan: the date filter prunes orders at the scan; the
+    returnflag filter prunes lineitem at the scan; nation broadcasts;
+    customer joins AFTER the fact-side aggregate input is filtered, so
+    AQE can pick broadcast vs shuffle by the surviving size."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    ep = F.col("l_extendedprice").cast(D2)
+    one_minus = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    rev = F.round(F.sum(ep * one_minus).cast("double"), 2)
+
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+ROUND3_QUERIES = {
+    "evt_time_window_join": evt_time_window_join,
+    "evt_retention": evt_retention,
+    "text_top_tokens": text_top_tokens,
+    "emb_int8_quantize": emb_int8_quantize,
+    "q10_returned_items": q10_returned_items,
+}
+
+ROUND3_ORACLES = {
+    "evt_time_window_join": EVT_TIME_WINDOW_JOIN_SQL,
+    "evt_retention": EVT_RETENTION_SQL,
+    "text_top_tokens": TEXT_TOP_TOKENS_SQL,
+    "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
+    "q10_returned_items": Q10_SQL,
+}

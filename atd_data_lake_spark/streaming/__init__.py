@@ -17,6 +17,7 @@ to streaming constructs; this package provides them:
 from atd_data_lake_spark.streaming.stateful import sessionize  # noqa: F401
 from atd_data_lake_spark.streaming.windowed import (  # noqa: F401
     dedup_stream,
+    interval_join_stream,
     sensor_obs_stream,
     stream_csv_source,
     tumbling_agg_stream,

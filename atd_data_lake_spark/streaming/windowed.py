@@ -127,3 +127,43 @@ def sensor_obs_stream(
         )
         .select(F.col("_w.start").alias("day"), sensor_col, "n_obs", "min_ts", "max_ts")
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    window_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: the streaming twin of
+    ``operators.rangejoin.time_window_join`` — right rows in the band
+    ``(left.ts, left.ts + window]`` per key.
+
+    Batch Spark has no band-join operator (hence the bucketized rewrite
+    in rangejoin.py), but Structured Streaming DOES: a stream-stream
+    inner join whose condition carries a time bound.  The bound is not
+    just semantics — it is what lets the state store EXPIRE rows: with
+    watermarks on both sides, Spark proves a left row can never match
+    once the right watermark passes ``l_ts + window`` and drops it
+    (state stays O(rate × window), not O(stream)).
+
+    Column contract: timestamps must arrive pre-renamed to distinct
+    names (``l_ts``/``r_ts``) because stream-stream join conditions
+    reference both sides' columns in one expression.  On batch inputs
+    the identical call degrades to a plain equi-join + band filter, so
+    stream ≡ batch is testable row-for-row (test_streaming.py).
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (F.col(right_ts) > F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+        & (F.col(f"l_{on}") == F.col(f"r_{on}"))
+    )
+    return l.join(r, cond)

@@ -59,6 +59,11 @@ HEADLINE = [
     "sim_semantic_dedup",
     "text_unigram_logprob",
     "inc_agg_maintenance",
+    "evt_time_window_join",
+    "evt_retention",
+    "text_top_tokens",
+    "emb_int8_quantize",
+    "q10_returned_items",
 ]
 
 

@@ -65,6 +65,11 @@ EXCHANGE_BUDGETS = {
     # a full extra token-stream scan — a deliberate trade, see operator)
     "text_unigram_logprob": 4,
     "inc_agg_maintenance": 3,
+    "evt_time_window_join": 4,
+    "evt_retention": 3,
+    "text_top_tokens": 2,
+    "emb_int8_quantize": 1,
+    "q10_returned_items": 5,
 }
 
 
