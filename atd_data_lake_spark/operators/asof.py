@@ -41,14 +41,21 @@ def asof_join(
 
     direction="backward": right_ts ≤ left_ts, pick max(right_ts) (J8).
     direction="forward":  right_ts ≥ left_ts, pick min(right_ts) (J9).
+    direction="nearest":  pick min |right_ts − left_ts|; distance ties
+        break to the EARLIER right_ts (backward preference), then the
+        remaining right columns — a deterministic total order.
     ``tolerance``: optional max time distance (Column interval expr).
+        Strongly recommended with "nearest": it bounds the candidate
+        set the time condition would otherwise leave unbounded.
     ``how``: "left" keeps unmatched left rows; "inner" drops them.
 
     Right value columns keep their names unless they collide with a left
     column, in which case they get a ``_right`` suffix.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     right_cols = [c for c in right.columns if c not in on]
     r = right.select(*on, *[F.col(c).alias(f"_r_{c}") for c in right_cols])
@@ -58,10 +65,16 @@ def asof_join(
         cond = F.col(ts_col) <= F.col(left_ts)
         if tolerance is not None:
             cond = cond & (F.col(ts_col) >= F.col(left_ts) - tolerance)
-    else:
+    elif direction == "forward":
         cond = F.col(ts_col) >= F.col(left_ts)
         if tolerance is not None:
             cond = cond & (F.col(ts_col) <= F.col(left_ts) + tolerance)
+    else:  # nearest: symmetric band (or unbounded when no tolerance)
+        cond = F.lit(True)
+        if tolerance is not None:
+            cond = (F.col(ts_col) >= F.col(left_ts) - tolerance) & (
+                F.col(ts_col) <= F.col(left_ts) + tolerance
+            )
 
     left_tagged = left.withColumn("_l_uid", F.monotonically_increasing_id())
     jc = cond
@@ -74,13 +87,34 @@ def asof_join(
     # deterministic total order on ts ties; NULL keys (unmatched left
     # rows) are ignored by min_by/max_by, yielding a NULL payload — the
     # left-join semantics fall out for free
-    key = F.struct(
-        F.col(ts_col), *[F.col(f"_r_{c}") for c in right_cols if c != right_ts]
-    )
     payload = F.struct(*[F.col(f"_r_{c}").alias(c) for c in right_cols])
-    pick = F.max_by(payload, key) if direction == "backward" else F.min_by(
-        payload, key
-    )
+    if direction == "nearest":
+        # distance in integer epoch µs (NTZ-safe via instant relabeling),
+        # then (earlier ts, remaining cols) as the deterministic tiebreak
+        from atd_data_lake_spark.functions.datetime_fns import as_instant
+
+        l_us = F.unix_micros(as_instant(left, left_ts))
+        r_us = F.unix_micros(
+            F.to_utc_timestamp(F.col(ts_col), "UTC")
+            if "ntz" in str(right.schema[right_ts].dataType).lower()
+            else F.col(ts_col)
+        )
+        key = F.struct(
+            F.abs(r_us - l_us),
+            F.col(ts_col),
+            *[F.col(f"_r_{c}") for c in right_cols if c != right_ts],
+        )
+        pick = F.min_by(payload, key)
+    else:
+        key = F.struct(
+            F.col(ts_col),
+            *[F.col(f"_r_{c}") for c in right_cols if c != right_ts],
+        )
+        pick = (
+            F.max_by(payload, key)
+            if direction == "backward"
+            else F.min_by(payload, key)
+        )
     best = joined.groupBy("_l_uid", *[left_tagged[c] for c in left.columns]).agg(
         pick.alias("_best")
     )

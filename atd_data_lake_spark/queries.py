@@ -1874,6 +1874,7 @@ _DRIVER_PRIORITY = [
     "text_top_tokens",
     "emb_int8_quantize",
     "q10_returned_items",
+    "j_asof_nearest",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

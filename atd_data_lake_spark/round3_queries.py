@@ -324,12 +324,75 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# j_asof_nearest — nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each error event matched to the closest
+    purchase by the same user within ±10 minutes (completes the
+    backward/forward/tolerance family of operators/asof.py — pandas
+    merge_asof's third direction).  Distance ties break to the earlier
+    purchase, then the smaller event_id: the operator's struct-min_by
+    key and the oracle's ORDER BY are the same total order."""
+    from atd_data_lake_spark.functions.datetime_fns import as_instant
+    from atd_data_lake_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    m = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="nearest",
+        how="inner",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+        broadcast_right=False,
+    )
+    dist = F.abs(
+        F.unix_micros(as_instant(m, "p_ts")) - F.unix_micros(as_instant(m, "ts"))
+    )
+    return m.select(
+        "error_id", "user_id", "purchase_id", dist.alias("dist_us")
+    ).orderBy("error_id")
+
+
+J_ASOF_NEAREST_SQL = """
+WITH e AS (SELECT event_id AS error_id, user_id, ts
+           FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT e.error_id, e.user_id, p.purchase_id,
+         abs(epoch_us(p.p_ts) - epoch_us(e.ts)) AS dist_us,
+         row_number() OVER (
+           PARTITION BY e.error_id
+           ORDER BY abs(epoch_us(p.p_ts) - epoch_us(e.ts)) ASC,
+                    p.p_ts ASC, p.purchase_id ASC) AS rn
+  FROM e JOIN p ON e.user_id = p.user_id
+  WHERE abs(epoch_us(p.p_ts) - epoch_us(e.ts)) <= 600000000
+)
+SELECT error_id, user_id, purchase_id, CAST(dist_us AS BIGINT) AS dist_us
+FROM j WHERE rn = 1
+ORDER BY error_id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
     "text_top_tokens": text_top_tokens,
     "emb_int8_quantize": emb_int8_quantize,
     "q10_returned_items": q10_returned_items,
+    "j_asof_nearest": j_asof_nearest,
 }
 
 ROUND3_ORACLES = {
@@ -338,4 +401,5 @@ ROUND3_ORACLES = {
     "text_top_tokens": TEXT_TOP_TOKENS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "q10_returned_items": Q10_SQL,
+    "j_asof_nearest": J_ASOF_NEAREST_SQL,
 }

@@ -115,3 +115,47 @@ def test_asof_backward_and_forward(spark):
     got_f = {(r["base"], r["ts"].day): r["val"] for r in fwd.collect()}
     # closest future snapshot (support/unitdata.py:40-63)
     assert got_f == {("a", 3): "v2", ("a", 7): None, ("b", 4): "v3"}
+
+
+def test_asof_nearest_tiebreaks_backward(spark):
+    """Equal distances break to the EARLIER right row (backward
+    preference), matching the documented total order."""
+    import datetime as dt
+
+    from atd_data_lake_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("a", t0)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", t0 - dt.timedelta(seconds=30), "before"),
+            ("a", t0 + dt.timedelta(seconds=30), "after"),  # same distance
+            ("a", t0 + dt.timedelta(seconds=10), "closest"),
+        ],
+        "k string, rts timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        direction="nearest", how="inner",
+    )
+    assert [r["tag"] for r in out.collect()] == ["closest"]
+
+    # remove the closest → tie between ±30s → earlier wins
+    out2 = asof_join(
+        left,
+        right.filter(F.col("tag") != "closest"),
+        on=["k"], left_ts="ts", right_ts="rts",
+        direction="nearest", how="inner",
+    )
+    assert [r["tag"] for r in out2.collect()] == ["before"]
+
+    # tolerance excludes everything → inner drops, left keeps with NULLs
+    out3 = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        direction="nearest", how="inner",
+        tolerance=F.expr("INTERVAL 5 SECONDS"),
+    )
+    assert out3.count() == 0
