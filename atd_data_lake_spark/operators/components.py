@@ -20,11 +20,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact driver-side union-find for a SMALL edge list (the gate in
+    ``connected_components`` decides).  Union-by-min-root + path
+    compression — O(E α(E)); the result (component = min reachable node
+    id) is the identical fixpoint the distributed path converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges.select(src, dst).collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:  # union by MIN root: component id = min node id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    rows = [(n, find(n)) for n in parent]
+    id_type = dict(edges.dtypes)[src]
+    return edges.sparkSession.createDataFrame(
+        rows, f"node {id_type}, component {id_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min node
     id reachable.  Nodes appear iff they occur in an edge (isolated
@@ -54,7 +88,30 @@ def connected_components(
     Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
     rounds — returning silently would hand back wrong (split) components.
     With shortcutting, 25 rounds covers any graph that fits on disk.
+
+    Size gate (the ``embedding_near_dups`` pattern): the edge list is a
+    dedup CANDIDATE output — proportional to near-duplicates, orders of
+    magnitude below the corpus — so it is often small even when the
+    corpus is 100 TB.  At or below ``max_local_edges`` the exact
+    union-find runs on the driver (O(E α) — a multi-round distributed
+    fixpoint on kilobyte data pays ~10 job latencies for nothing); above
+    it, the distributed hook+shortcut path runs and the edges never
+    reach the driver.  Both paths compute the same unique fixpoint.
     """
+    # persist: the gate's count() and the chosen path both reuse the
+    # (possibly expensive to recompute) pair source
+    edges = edges.persist()
+    try:
+        if edges.count() <= max_local_edges:
+            return _local_components(edges, src, dst)
+        return _distributed_components(edges, src, dst, max_iter)
+    finally:
+        edges.unpersist()
+
+
+def _distributed_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     # symmetrize once and persist: every iteration reuses the edge frame
     # instead of recomputing it from the (possibly expensive) pair source
     sym = (

@@ -157,7 +157,7 @@ def test_connected_components_chain_converges_logarithmically(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    comp = connected_components(edges, max_iter=15)
+    comp = connected_components(edges, max_iter=15, max_local_edges=0)
     rows = comp.collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
@@ -172,7 +172,29 @@ def test_connected_components_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, max_local_edges=0)
+
+
+def test_components_local_path_equals_distributed(spark):
+    """The size gate's two paths compute the identical fixpoint."""
+    import random
+
+    from atd_data_lake_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],
+        "id_a long, id_b long",
+    )
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()  # gate → local
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_local_edges=0).collect()
+    }
+    assert local == dist
 
 
 def test_repetition_profile_edges(spark):
