@@ -353,3 +353,50 @@ def keep_best_per_cluster(
             F.count("*").alias("n_members"),
         )
     )
+
+
+def token_budget_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 10_000,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Greedy per-source selection under a TOKEN budget (not a document
+    count — ``cap_per_source`` does that): order each source's documents
+    best-first and keep documents while the running token total stays
+    within ``budget_tokens``.
+
+    This is the mixture-building step that follows quality scoring:
+    "take the best N *tokens* (not docs) from each source" is how corpus
+    recipes are actually specified.  Greedy-by-rank under a running-sum
+    window is the standard formulation; a knapsack-optimal selection is
+    neither deterministic-stable nor needed.
+
+    ``order_col``: ranking column, best DESC first (``key_col`` asc
+    breaks ties).  Defaults to the token count itself (longest-first).
+
+    One shuffle (window on source); token counts are a JVM expression
+    (whitespace split), so the text never feeds a Python stage.
+    """
+    from pyspark.sql import Window
+
+    order_col = order_col or "_n_tokens"
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    out = df.withColumn("_n_tokens", toks)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(order_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("cum_tokens", F.sum("_n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(
+            key_col,
+            source_col,
+            F.col("_n_tokens").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )

@@ -1875,6 +1875,7 @@ _DRIVER_PRIORITY = [
     "emb_int8_quantize",
     "q10_returned_items",
     "j_asof_nearest",
+    "cur_token_budget",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -386,6 +386,43 @@ ORDER BY error_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cur_token_budget — greedy per-source token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture building: keep each source's
+    longest documents while the running whitespace-token total stays
+    ≤ 2000 (operators/curation.py token_budget_per_source)."""
+    from atd_data_lake_spark.operators.curation import token_budget_per_source
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_per_source(d, budget_tokens=2000).orderBy(
+        "source", "doc_id"
+    )
+
+
+CUR_TOKEN_BUDGET_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY n_tokens DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM w WHERE cum_tokens <= 2000
+ORDER BY source, doc_id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -393,6 +430,7 @@ ROUND3_QUERIES = {
     "emb_int8_quantize": emb_int8_quantize,
     "q10_returned_items": q10_returned_items,
     "j_asof_nearest": j_asof_nearest,
+    "cur_token_budget": cur_token_budget,
 }
 
 ROUND3_ORACLES = {
@@ -402,4 +440,5 @@ ROUND3_ORACLES = {
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "q10_returned_items": Q10_SQL,
     "j_asof_nearest": J_ASOF_NEAREST_SQL,
+    "cur_token_budget": CUR_TOKEN_BUDGET_SQL,
 }

@@ -213,3 +213,33 @@ def test_chunk_documents_zero_shuffle(docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_token_budget_per_source(spark):
+    from atd_data_lake_spark.operators.curation import token_budget_per_source
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w w w w"),        # 4 tokens
+            (2, "a", "w w w w w w"),    # 6 tokens (longest → first)
+            (3, "a", "w w w"),          # 3 tokens
+            (4, "b", "w w w w w w w w w w w w"),  # 12 tokens > budget alone
+            (5, "b", "w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_per_source(docs, budget_tokens=10)
+    rows = {r["doc_id"]: (r["n_tokens"], r["cum_tokens"]) for r in out.collect()}
+    # source a: 6 (doc2) then 4 (doc1) = 10 ≤ 10; doc3 would hit 13 → out
+    # source b: doc4 alone is 12 > 10 → excluded; doc5 ranks after doc4 so
+    # its cumulative (13) is over budget too — greedy is rank-ordered, not
+    # best-fit (documented)
+    assert rows == {2: (6, 6), 1: (4, 10)}
+
+    # equal lengths: doc_id asc breaks the tie deterministically
+    ties = spark.createDataFrame(
+        [(9, "c", "w w"), (8, "c", "w w"), (7, "c", "w w")],
+        "doc_id long, source string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in token_budget_per_source(ties, budget_tokens=4).collect())
+    assert kept == [7, 8]
