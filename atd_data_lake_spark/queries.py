@@ -1876,6 +1876,7 @@ _DRIVER_PRIORITY = [
     "q10_returned_items",
     "j_asof_nearest",
     "cur_token_budget",
+    "dedup_incremental_batch",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -423,6 +423,52 @@ ORDER BY source, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental_batch — new-batch dedup against a standing corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a new crawl batch survives iff its
+    content hash is (a) unseen in the standing corpus and (b) the first
+    occurrence within the batch (min doc_id).
+
+    The J1 incremental-anti-join pattern applied to content identity:
+    the standing side reduces to its DISTINCT hash set before the join
+    (id-sized, broadcast-eligible), the batch side never rescans the
+    standing corpus text.  Split here is doc_id < 400 = standing,
+    ≥ 400 = new batch — a stand-in for the date-partition boundary a
+    real lake would prune on.
+    """
+    d = _t(spark, sf_dir, "documents").withColumn("_h", F.md5("text"))
+    standing = d.filter(F.col("doc_id") < 400).select("_h").distinct()
+    batch = d.filter(F.col("doc_id") >= 400)
+    first_in_batch = batch.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        first_in_batch.join(standing, "_h", "left_anti")
+        .join(batch.select("doc_id", "source", "n_chars"), "doc_id")
+        .select("doc_id", "source", "n_chars", F.col("_h").alias("content_hash"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS content_hash
+           FROM documents),
+standing AS (SELECT DISTINCT content_hash FROM d WHERE doc_id < 400),
+batch AS (SELECT * FROM d WHERE doc_id >= 400),
+firsts AS (
+  SELECT content_hash, min(doc_id) AS doc_id FROM batch GROUP BY content_hash
+)
+SELECT b.doc_id, b.source, b.n_chars, b.content_hash
+FROM batch b
+JOIN firsts f ON b.doc_id = f.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM standing s
+                  WHERE s.content_hash = b.content_hash)
+ORDER BY b.doc_id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -431,6 +477,7 @@ ROUND3_QUERIES = {
     "q10_returned_items": q10_returned_items,
     "j_asof_nearest": j_asof_nearest,
     "cur_token_budget": cur_token_budget,
+    "dedup_incremental_batch": dedup_incremental_batch,
 }
 
 ROUND3_ORACLES = {
@@ -441,4 +488,5 @@ ROUND3_ORACLES = {
     "q10_returned_items": Q10_SQL,
     "j_asof_nearest": J_ASOF_NEAREST_SQL,
     "cur_token_budget": CUR_TOKEN_BUDGET_SQL,
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
 }

@@ -64,6 +64,9 @@ HEADLINE = [
     "text_top_tokens",
     "emb_int8_quantize",
     "q10_returned_items",
+    "j_asof_nearest",
+    "cur_token_budget",
+    "dedup_incremental_batch",
 ]
 
 

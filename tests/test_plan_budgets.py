@@ -70,6 +70,9 @@ EXCHANGE_BUDGETS = {
     "text_top_tokens": 2,
     "emb_int8_quantize": 1,
     "q10_returned_items": 5,
+    "j_asof_nearest": 4,
+    "cur_token_budget": 2,
+    "dedup_incremental_batch": 6,
 }
 
 
