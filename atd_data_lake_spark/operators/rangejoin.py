@@ -66,10 +66,11 @@ def time_window_join(
     lcols = [c for c in left.columns if c not in on]
     rcols = [c for c in right.columns if c not in on]
 
-    # bucket key = bucket START in µs (ts - ts % w): pure long modulo
-    # arithmetic, no float division anywhere.
-    l_home = l_us - (l_us % F.lit(w_us))
-    r_home = r_us - (r_us % F.lit(w_us))
+    # bucket key = bucket START in µs (ts - ts mod w): pure long modulo
+    # arithmetic, no float division anywhere.  pmod (not %) so pre-1970
+    # timestamps (negative epoch) still floor to their bucket start.
+    l_home = l_us - F.pmod(l_us, F.lit(w_us))
+    r_home = r_us - F.pmod(r_us, F.lit(w_us))
     l = left.select(
         *on,
         *[F.col(c).alias(left_prefix + c) for c in lcols],

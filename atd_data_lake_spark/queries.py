@@ -1877,6 +1877,7 @@ _DRIVER_PRIORITY = [
     "j_asof_nearest",
     "cur_token_budget",
     "dedup_incremental_batch",
+    "evt_json_extract",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -469,6 +469,58 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_json_extract — semi-structured payload extraction
+# ---------------------------------------------------------------------------
+
+
+def evt_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events ``props`` JSON
+    payload with a TYPED ``from_json`` schema and aggregate the
+    extracted field per event type.
+
+    ``from_json`` with an explicit schema (not ``get_json_object``
+    per-field string probing) is the scale choice: one parse per row
+    regardless of field count, the parsed struct prunes like any other
+    column, and malformed payloads become NULL structs instead of
+    task failures (PERMISSIVE semantics) — counted here explicitly so
+    data-quality drift is visible in the output."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "_p", F.from_json("props", "k BIGINT")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("_p.k")).alias("sum_k"),
+            F.min(F.col("_p.k")).alias("min_k"),
+            F.max(F.col("_p.k")).alias("max_k"),
+            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unparsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_unparsed
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -478,6 +530,7 @@ ROUND3_QUERIES = {
     "j_asof_nearest": j_asof_nearest,
     "cur_token_budget": cur_token_budget,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "evt_json_extract": evt_json_extract,
 }
 
 ROUND3_ORACLES = {
@@ -489,4 +542,5 @@ ROUND3_ORACLES = {
     "j_asof_nearest": J_ASOF_NEAREST_SQL,
     "cur_token_budget": CUR_TOKEN_BUDGET_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "evt_json_extract": EVT_JSON_EXTRACT_SQL,
 }

@@ -67,6 +67,7 @@ HEADLINE = [
     "j_asof_nearest",
     "cur_token_budget",
     "dedup_incremental_batch",
+    "evt_json_extract",
 ]
 
 

@@ -73,6 +73,7 @@ EXCHANGE_BUDGETS = {
     "j_asof_nearest": 4,
     "cur_token_budget": 2,
     "dedup_incremental_batch": 6,
+    "evt_json_extract": 2,  # agg exchange + output-order range exchange
 }
 
 

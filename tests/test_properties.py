@@ -320,3 +320,59 @@ def test_pii_counts_match_python_re(spark, chunks):
     assert row.e == len(re.findall(EMAIL_RE, text))
     assert row.p == len(re.findall(PHONE_RE, text))
     assert row.i == len(re.findall(IPV4_RE, text))
+
+
+EVT = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=0, max_value=90_000_000),  # µs offsets, ~90s span
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(EVT, min_size=1, max_size=12),
+    st.lists(EVT, min_size=1, max_size=12),
+    st.sampled_from([1, 7, 30]),
+)
+def test_time_window_join_equals_bruteforce(spark, lefts, rights, window_s):
+    """Property: the bucketized band join equals the brute-force band
+    join for arbitrary µs-grained timestamps and window widths —
+    including pairs straddling bucket boundaries and exact-bound hits."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.rangejoin import time_window_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(microseconds=us))
+                for i, (k, us) in enumerate(rows)
+            ],
+            "id long, k string, ts timestamp",
+        )
+
+    left, right = mk(lefts), mk(rights)
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in time_window_join(
+            left, right, on=["k"], window_seconds=window_s
+        ).collect()
+    )
+    l = left.select("k", F.col("id").alias("l_id"), F.col("ts").alias("l_ts"))
+    r = right.select(
+        F.col("k").alias("rk"), F.col("id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    want = sorted(
+        (row["l_id"], row["r_id"])
+        for row in l.join(r, l.k == r.rk)
+        .filter(
+            (F.unix_micros("r_ts") > F.unix_micros("l_ts"))
+            & (F.unix_micros("r_ts") - F.unix_micros("l_ts") <= window_s * 1_000_000)
+        )
+        .collect()
+    )
+    assert got == want

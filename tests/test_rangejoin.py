@@ -113,3 +113,23 @@ def test_cross_midnight_and_microseconds(spark):
     out = time_window_join(left, right, on=["k"], window_seconds=1)
     # 1s window: all three qualify (400001µs .. 500001µs < 1s)
     assert sorted(r.r_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_pre_epoch_timestamps_bucket_correctly(spark):
+    # negative epoch seconds: pmod keeps bucket starts on the floor grid
+    import datetime as dt
+
+    base = dt.datetime(1969, 12, 31, 23, 59, 55)  # 5s before the epoch
+    left = spark.createDataFrame(
+        [(0, "a", base)], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", base + dt.timedelta(seconds=3)),   # crosses epoch 0
+            (2, "a", base + dt.timedelta(seconds=10)),  # == bound
+            (3, "a", base + dt.timedelta(seconds=11)),  # out of band
+        ],
+        "id long, k string, ts timestamp",
+    )
+    out = time_window_join(left, right, on=["k"], window_seconds=10)
+    assert sorted(r.r_id for r in out.collect()) == [1, 2]

@@ -75,6 +75,32 @@ def main() -> None:
         ),  # forces the LSH scale path: corpus must never be collected
         "semantic_dedup": lambda: semantic_dedup(emb, n_clusters=64),
     }
+
+    # round-3 additions: band join on a replicated event stream, and the
+    # DISTRIBUTED components path (the size gate would otherwise route a
+    # smoke-sized edge list to the driver union-find)
+    from atd_data_lake_spark.operators.components import connected_components
+    from atd_data_lake_spark.operators.rangejoin import time_window_join
+
+    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    ev = (
+        ev0.crossJoin(F.broadcast(reps))
+        .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(10**9))
+        .drop("_rep")
+        .persist()
+    )
+    ev.count()
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    ops["time_window_join"] = lambda: time_window_join(
+        errors, ev.select("user_id", "event_id", "ts"), on=["user_id"],
+        window_seconds=300,
+    )
+    ops["components_distributed"] = lambda: connected_components(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.5), max_local_edges=0
+    )
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
