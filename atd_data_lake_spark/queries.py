@@ -1878,6 +1878,8 @@ _DRIVER_PRIORITY = [
     "cur_token_budget",
     "dedup_incremental_batch",
     "evt_json_extract",
+    "evt_pivot",
+    "li_unpivot",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

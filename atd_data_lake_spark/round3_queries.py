@@ -521,6 +521,91 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_pivot / li_unpivot — reshape operators
+# ---------------------------------------------------------------------------
+
+
+def evt_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type
+    (``Dataset.pivot`` with EXPLICIT values — pinning the value list
+    keeps the output schema static and skips the extra distinct-scan
+    job Spark otherwise runs to discover the pivot columns; a dynamic
+    pivot at 100 TB pays a full scan just to learn its own schema)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot cells with no rows are NULL; publish 0 (count semantics)
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    ).orderBy("day")
+
+
+EVT_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def li_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via ``DataFrame.unpivot`` (melt): lineitem
+    measure columns become (metric, value) rows, then a per-metric
+    profile.  Unpivot is a zero-shuffle generator (each input row emits
+    k rows in place) — the reshape itself never exchanges; only the
+    3-group aggregate does."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(D2)).cast("double"), 2).alias(
+                "total"
+            ),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .orderBy("metric")
+    )
+
+
+LI_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM long
+GROUP BY metric
+ORDER BY metric
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -531,6 +616,8 @@ ROUND3_QUERIES = {
     "cur_token_budget": cur_token_budget,
     "dedup_incremental_batch": dedup_incremental_batch,
     "evt_json_extract": evt_json_extract,
+    "evt_pivot": evt_pivot,
+    "li_unpivot": li_unpivot,
 }
 
 ROUND3_ORACLES = {
@@ -543,4 +630,6 @@ ROUND3_ORACLES = {
     "cur_token_budget": CUR_TOKEN_BUDGET_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "evt_json_extract": EVT_JSON_EXTRACT_SQL,
+    "evt_pivot": EVT_PIVOT_SQL,
+    "li_unpivot": LI_UNPIVOT_SQL,
 }

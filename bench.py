@@ -68,6 +68,8 @@ HEADLINE = [
     "cur_token_budget",
     "dedup_incremental_batch",
     "evt_json_extract",
+    "evt_pivot",
+    "li_unpivot",
 ]
 
 

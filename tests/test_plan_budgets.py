@@ -74,6 +74,8 @@ EXCHANGE_BUDGETS = {
     "cur_token_budget": 2,
     "dedup_incremental_batch": 6,
     "evt_json_extract": 2,  # agg exchange + output-order range exchange
+    "evt_pivot": 3,
+    "li_unpivot": 2,
 }
 
 
