@@ -1880,6 +1880,7 @@ _DRIVER_PRIORITY = [
     "evt_json_extract",
     "evt_pivot",
     "li_unpivot",
+    "evt_value_correlation",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

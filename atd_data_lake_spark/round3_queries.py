@@ -606,6 +606,78 @@ ORDER BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_value_correlation — exact-sum statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+def evt_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (value, props.k) per
+    event type — the statistical-aggregate family, built on EXACT
+    decimal/integer sums (the a1 stddev discipline): Σx, Σy, Σx², Σy²,
+    Σxy aggregate exactly (value is 2-decimal money, k is integer), and
+    only the final corr/covar arithmetic runs in double — identical
+    IEEE ops on identical inputs in both engines, so round(6) compares
+    hash-exact.  Spark's built-in ``corr``/``covar_samp`` stream
+    float accumulators whose rounding is accumulation-order-dependent —
+    unusable for cross-engine verification (and for any reproducible
+    metric): this construction is the portable form.
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast(D2)
+    y = F.from_json("props", "k BIGINT")["k"]
+    base = ev.select(
+        "event_type", x.alias("x"), y.cast("decimal(10,0)").alias("y")
+    )
+    agg = base.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(num / den, 6).alias("corr_value_k"),
+        F.round((F.col("sxy") - sx * sy / n) / (n - 1), 6).alias(
+            "covar_value_k"
+        ),
+    ).orderBy("event_type")
+
+
+EVT_VALUE_CORRELATION_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(12,2)) AS x,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+              AS DECIMAL(10,0)) AS y
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_value_k,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_value_k
+FROM agg
+ORDER BY event_type
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -618,6 +690,7 @@ ROUND3_QUERIES = {
     "evt_json_extract": evt_json_extract,
     "evt_pivot": evt_pivot,
     "li_unpivot": li_unpivot,
+    "evt_value_correlation": evt_value_correlation,
 }
 
 ROUND3_ORACLES = {
@@ -632,4 +705,5 @@ ROUND3_ORACLES = {
     "evt_json_extract": EVT_JSON_EXTRACT_SQL,
     "evt_pivot": EVT_PIVOT_SQL,
     "li_unpivot": LI_UNPIVOT_SQL,
+    "evt_value_correlation": EVT_VALUE_CORRELATION_SQL,
 }

@@ -70,6 +70,7 @@ HEADLINE = [
     "evt_json_extract",
     "evt_pivot",
     "li_unpivot",
+    "evt_value_correlation",
 ]
 
 

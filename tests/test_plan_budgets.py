@@ -76,6 +76,7 @@ EXCHANGE_BUDGETS = {
     "evt_json_extract": 2,  # agg exchange + output-order range exchange
     "evt_pivot": 3,
     "li_unpivot": 2,
+    "evt_value_correlation": 2,
 }
 
 
