@@ -1881,6 +1881,7 @@ _DRIVER_PRIORITY = [
     "evt_pivot",
     "li_unpivot",
     "evt_value_correlation",
+    "j_salted_skew_join",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -678,6 +678,60 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# j_salted_skew_join — explicit skew salting, externally verified
+# ---------------------------------------------------------------------------
+
+
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join end-to-end: events (fact, skewed on user_id at scale)
+    ⋈ a user dimension via operators/skew.salted_join, then a per-user
+    revenue rollup.  Salting is semantically TRANSPARENT — the oracle is
+    the plain unsalted SQL join — so the driver's hash check verifies
+    the hot-key spreading machinery changes nothing but the task
+    distribution.  (The dim here derives from events itself so the
+    query is self-contained; in production it is any
+    too-big-to-broadcast dimension.)"""
+    from atd_data_lake_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.substring(F.md5(F.col("user_id").cast("string")), 1, 8))
+    )
+    joined = salted_join(
+        ev.select("user_id", F.col("value").cast(D2).alias("v")),
+        dim,
+        key="user_id",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("user_id", "user_tag")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+J_SALTED_SKEW_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_tag
+  FROM events
+)
+SELECT e.user_id, d.user_tag,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.user_id, d.user_tag
+ORDER BY e.user_id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -691,6 +745,7 @@ ROUND3_QUERIES = {
     "evt_pivot": evt_pivot,
     "li_unpivot": li_unpivot,
     "evt_value_correlation": evt_value_correlation,
+    "j_salted_skew_join": j_salted_skew_join,
 }
 
 ROUND3_ORACLES = {
@@ -706,4 +761,5 @@ ROUND3_ORACLES = {
     "evt_pivot": EVT_PIVOT_SQL,
     "li_unpivot": LI_UNPIVOT_SQL,
     "evt_value_correlation": EVT_VALUE_CORRELATION_SQL,
+    "j_salted_skew_join": J_SALTED_SKEW_JOIN_SQL,
 }

@@ -71,6 +71,7 @@ HEADLINE = [
     "evt_pivot",
     "li_unpivot",
     "evt_value_correlation",
+    "j_salted_skew_join",
 ]
 
 

@@ -77,6 +77,7 @@ EXCHANGE_BUDGETS = {
     "evt_pivot": 3,
     "li_unpivot": 2,
     "evt_value_correlation": 2,
+    "j_salted_skew_join": 5,
 }
 
 
