@@ -15,7 +15,13 @@ from atd_data_lake_spark.queries import QUERIES
 # (atd_device_id, primary_st, cross_st) device dim via
 # crossJoin(broadcast(...)) — an O(n) pass-through, the right plan for a
 # single-row dimension (pipelines/gs.py publish_agg).
-BNLJ_ALLOWED = {"pipe_gs_publish", "text_unigram_logprob"}
+BNLJ_ALLOWED = {
+    "pipe_gs_publish",
+    "text_unigram_logprob",
+    # salted_join replicates the SMALL side against the 8-row salt range
+    # (skew.py:32) — a bounded broadcast fan-out, not a data cross join
+    "j_salted_skew_join",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
