@@ -164,3 +164,85 @@ def manifest_row(df: DataFrame, **header) -> DataFrame:
     for k, v in header.items():
         agg = agg.withColumn(k, F.lit(v))
     return agg
+
+
+def delete_keys(
+    spark: SparkSession,
+    layer_path: str,
+    keys: DataFrame,
+    key: str = "record_id",
+    partition_cols: tuple[str, ...] = ("data_source", "collection_date"),
+) -> dict:
+    """Targeted deletion (right-to-be-forgotten / bad-batch retraction):
+    remove every row whose ``key`` appears in ``keys``, rewriting ONLY
+    the partitions that actually hold such rows.
+
+    Deletion requests arrive as keys, not partitions, so one
+    pruned-COLUMN scan (key + partition columns — never the payload)
+    locates the touched partitions first; the rewrite then
+
+    1. reads just those partitions (static partition-value filter →
+       directory pruning),
+    2. drops the condemned rows with a broadcast anti-join,
+    3. dynamic-partition-overwrites the survivors, and
+    4. removes the directory of any partition left EMPTY — dynamic
+       overwrite only replaces partitions present in the written frame,
+       so a fully-deleted partition would otherwise keep its old files
+       (on an object store / Delta this step is the DELETE commit).
+
+    Untouched partitions' files are never opened or rewritten
+    (test-enforced byte-identical).  Returns counts for audit logging —
+    deletion is the one lake operation that must leave a trail.
+    """
+    import shutil
+    from functools import reduce
+    from operator import and_, or_
+
+    k = keys.select(key).distinct()
+    existing = spark.read.parquet(layer_path)
+    touched = (
+        existing.select(key, *partition_cols)
+        .join(F.broadcast(k), key, "leftsemi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"touched_partitions": 0, "deleted_rows": 0}
+
+    cond = reduce(
+        or_,
+        [
+            reduce(and_, [F.col(c) == r[c] for c in partition_cols])
+            for r in touched
+        ],
+    )
+    slice_df = spark.read.parquet(layer_path).filter(cond)
+    n_before = slice_df.count()
+    remain = slice_df.join(F.broadcast(k), key, "left_anti").persist()
+    n_after = remain.count()
+
+    kept_parts = {
+        tuple(r[c] for c in partition_cols)
+        for r in remain.select(*partition_cols).distinct().collect()
+    }
+    if n_after:
+        (
+            remain.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(layer_path)
+        )
+    remain.unpersist()
+    # partitions whose every row was condemned: no output partition was
+    # written, so drop their directories explicitly
+    for r in touched:
+        if tuple(r[c] for c in partition_cols) not in kept_parts:
+            part_dir = "/".join(
+                f"{c}={r[c]}" for c in partition_cols
+            )
+            shutil.rmtree(f"{layer_path}/{part_dir}", ignore_errors=True)
+    return {
+        "touched_partitions": len(touched),
+        "deleted_rows": n_before - n_after,
+    }

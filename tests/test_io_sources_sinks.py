@@ -330,3 +330,58 @@ def test_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
     assert (
         read_layer(spark, lake, "raw").count() == 20000
     )
+
+
+def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    """delete_keys removes exactly the condemned rows, leaves untouched
+    partitions byte-identical, drops fully-emptied partition dirs, and
+    is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.io.writer import delete_keys
+
+    root = str(tmp_path / "public")
+    df = spark.createDataFrame(
+        [
+            # (record_id, data_source, collection_date, payload)
+            ("a1", "bt", "2019-06-01", 1),
+            ("a2", "bt", "2019-06-01", 2),
+            ("b1", "bt", "2019-06-02", 3),
+            ("b2", "bt", "2019-06-02", 4),
+            ("c1", "bt", "2019-06-03", 5),
+        ],
+        "record_id string, data_source string, collection_date string, payload int",
+    )
+    df.write.partitionBy("data_source", "collection_date").parquet(root)
+
+    def files_with_mtime(day):
+        d = f"{root}/data_source=bt/collection_date={day}"
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    untouched_before = files_with_mtime("2019-06-01")
+
+    # delete one row of 06-02 (partial) and the only row of 06-03 (full)
+    keys = spark.createDataFrame([("b1",), ("c1",)], "record_id string")
+    stats = delete_keys(spark, root, keys)
+    assert stats == {"touched_partitions": 2, "deleted_rows": 2}
+
+    out = spark.read.parquet(root)
+    assert sorted(r["record_id"] for r in out.collect()) == ["a1", "a2", "b2"]
+    # untouched partition: files byte-identical (same names + mtimes)
+    assert files_with_mtime("2019-06-01") == untouched_before
+    # fully-deleted partition directory is gone
+    assert files_with_mtime("2019-06-03") is None
+
+    # idempotent: second call touches nothing
+    assert delete_keys(spark, root, keys) == {
+        "touched_partitions": 0,
+        "deleted_rows": 0,
+    }
