@@ -1,5 +1,4 @@
-"""Round-3 query additions: range join, cohort analytics, corpus token
-stats, embedding quantization, and TPC-H Q10.
+"""Round-3 query additions.
 
 Each entry exists because it is a distinct PLAN SHAPE the engine must
 get right at 100 TB, not just another query:
@@ -7,15 +6,30 @@ get right at 100 TB, not just another query:
 - ``evt_time_window_join`` — the band-predicate join Spark has no
   native operator for; proves the bucketized equi-join rewrite
   (operators/rangejoin.py) against a brute-force SQL oracle.
+- ``j_asof_nearest`` — the third merge_asof direction (min |Δt| with
+  deterministic backward-preference ties).
+- ``j_salted_skew_join`` — explicit hot-key salting, verified
+  semantically transparent against the plain unsalted SQL join.
 - ``evt_retention`` — cohort retention in ONE user-shuffle via
   collect_set, instead of the textbook distinct + self-join (3
   shuffles of the full event table).
+- ``evt_pivot`` / ``li_unpivot`` — long↔wide reshapes (pinned pivot
+  values skip the schema-discovery scan; unpivot is a zero-shuffle
+  generator).
+- ``evt_json_extract`` — typed ``from_json`` over a semi-structured
+  payload, with unparsed rows surfaced as a quality counter.
+- ``evt_value_correlation`` — corr/covar from EXACT decimal sums (the
+  a1 stddev discipline) instead of order-dependent float accumulators.
 - ``text_top_tokens`` — corpus-scale heavy hitters; the skew case
   (stopwords own the corpus) that partial aggregation must absorb
   map-side before the shuffle.
 - ``emb_int8_quantize`` — per-vector int8 quantization entirely in
   JVM higher-order functions (transform/filter/aggregate): zero
   Python, zero shuffle, scales linearly with the scan.
+- ``cur_token_budget`` — greedy best-first selection under a
+  per-source TOKEN budget (running-sum window).
+- ``dedup_incremental_batch`` — continuous-ingest dedup: the J1
+  anti-join pattern on content hashes.
 - ``q10_returned_items`` — the remaining runnable TPC-H classic on
   this schema (Q10: returned-item revenue per customer).
 
