@@ -1882,6 +1882,9 @@ _DRIVER_PRIORITY = [
     "li_unpivot",
     "evt_value_correlation",
     "j_salted_skew_join",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_pricing",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -72,6 +72,9 @@ HEADLINE = [
     "li_unpivot",
     "evt_value_correlation",
     "j_salted_skew_join",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_pricing",
 ]
 
 

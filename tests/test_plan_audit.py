@@ -83,3 +83,22 @@ def test_documents_scan_prunes_to_id_and_text(spark, sf_dir, name):
 def test_embeddings_scan_prunes_to_id_and_vector(spark, sf_dir, name):
     for cols in _scan_columns(spark, sf_dir, name):
         assert cols == ["embedding", "vec_id"], f"{name} scan reads {cols}"
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """Q19's raison d'être: the join-independent parts of each OR-branch
+    must reach the scans, not evaluate post-join.  Assert the part
+    scan's data filters mention brand/size and the lineitem scan's
+    mention quantity."""
+    plan = (
+        QUERIES["q19_disjunctive_pricing"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = plan.split("Scan parquet")
+    part_scan = next(s for s in scans[1:] if "p_brand" in s[:800])
+    li_scan = next(s for s in scans[1:] if "l_quantity" in s[:800])
+    assert "PushedFilters" in part_scan[:2000]
+    assert "Brand#" in part_scan[:2000]
+    assert "l_quantity" in li_scan[:2000]

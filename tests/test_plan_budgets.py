@@ -78,6 +78,9 @@ EXCHANGE_BUDGETS = {
     "li_unpivot": 2,
     "evt_value_correlation": 2,
     "j_salted_skew_join": 5,
+    "q13_order_count_distribution": 4,
+    "q15_top_supplier": 6,
+    "q19_disjunctive_pricing": 2,
 }
 
 
