@@ -1,0 +1,54 @@
+"""Partitioning invariance: query results must not depend on
+spark.sql.shuffle.partitions.
+
+A result that changes with the partition count is the classic
+distributed-correctness bug (order-dependent aggregates, first()
+without ordering, nondeterministic tiebreaks).  The engine's claims —
+deterministic tiebreaks, exact-sum float discipline, hash-based
+sampling — all imply partition-count invariance, so it is asserted
+directly for a representative slice of the registry: window/tiebreak
+queries, float-aggregate queries, hash-dependent rows-only queries,
+and the iterative/size-gated operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from atd_data_lake_spark.queries import QUERIES
+
+# representative slice: each entry exercises a distinct invariance risk
+CASES = [
+    "a5_first_seen_rank",        # window tiebreaks
+    "o1_topk_per_group",         # top-k ordering
+    "a1_tumbling_window_15min",  # exact-sum stddev
+    "evt_value_correlation",     # exact-sum corr/covar
+    "evt_retention",             # collect_set + explode
+    "cur_split_assign",          # hash-based split membership
+    "cur_stratified_sample",     # hash-based sampling
+    "dedup_clusters",            # size-gated union-find
+    "evt_time_window_join",      # exploded bucket join
+    "j_asof_nearest",            # struct-min_by tiebreaks
+    "dedup_minhash_lsh",         # seeded signatures (rows-only query)
+    "sim_ann_lsh",               # seeded LSH (rows-only query)
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(str(x) for x in r) for r in df.select(*cols).collect())
+    )
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = _rows(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        thirteen = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert one == thirteen, f"{name}: result depends on partition count"
