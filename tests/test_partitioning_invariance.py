@@ -52,3 +52,29 @@ def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert one == thirteen, f"{name}: result depends on partition count"
+
+
+JOIN_CASES = [
+    "olap_star_join",         # 5-way broadcast star
+    "q10_returned_items",     # 3 broadcasts + agg
+    "j2_enrich_broadcast",    # explicit broadcast enrichment
+    "j8_asof_backward",       # broadcast as-of
+    "evt_time_window_join",   # AQE-chosen side for the bucket join
+    "j_salted_skew_join",     # salt fan-out + join
+]
+
+
+@pytest.mark.parametrize("name", JOIN_CASES)
+def test_result_invariant_to_join_strategy(spark, sf_dir, name):
+    """Plan-strategy invariance: with auto-broadcast disabled every join
+    degrades to shuffle/sort-merge — results must be identical.  This is
+    what a 100 TB run looks like (dimensions outgrow the threshold), so
+    correctness must not be an artifact of the broadcast path."""
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        default = _rows(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        no_broadcast = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert default == no_broadcast, f"{name}: result depends on join strategy"
