@@ -1885,6 +1885,7 @@ _DRIVER_PRIORITY = [
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q19_disjunctive_pricing",
+    "agg_group_medians",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

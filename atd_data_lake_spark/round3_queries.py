@@ -888,6 +888,39 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_group_medians — ordered-statistic aggregate
+# ---------------------------------------------------------------------------
+
+
+def agg_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolated at even counts) — the
+    ordered-statistic aggregate the percentile family doesn't cover
+    (`agg_exact_percentiles` pins rank semantics; median interpolates).
+    Spark's JVM ``median`` is a single-shuffle sort-based aggregate; at
+    scale the approx dial is ``percentile_approx`` with a documented
+    error bound, not a different query shape."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.median("value"), 6).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_GROUP_MEDIANS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(median(value), 6) AS median_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -905,6 +938,7 @@ ROUND3_QUERIES = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_pricing": q19_disjunctive_pricing,
+    "agg_group_medians": agg_group_medians,
 }
 
 ROUND3_ORACLES = {
@@ -924,4 +958,5 @@ ROUND3_ORACLES = {
     "q13_order_count_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q19_disjunctive_pricing": Q19_SQL,
+    "agg_group_medians": AGG_GROUP_MEDIANS_SQL,
 }

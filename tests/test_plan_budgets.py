@@ -81,6 +81,7 @@ EXCHANGE_BUDGETS = {
     "q13_order_count_distribution": 4,
     "q15_top_supplier": 6,
     "q19_disjunctive_pricing": 2,
+    "agg_group_medians": 2,
 }
 
 

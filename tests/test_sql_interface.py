@@ -1,0 +1,64 @@
+"""SQL-text interface: the engine's tables register as views and
+standard ANSI SQL text runs unchanged through spark.sql, matching the
+DataFrame-built plans row-for-row.  This is the surface a reference
+user's downstream analysts actually type."""
+
+from __future__ import annotations
+
+import pytest
+
+from atd_data_lake_spark.io.reader import read_table
+from atd_data_lake_spark.queries import QUERIES
+
+TABLES = ["customer", "orders", "lineitem", "nation", "supplier", "part", "events"]
+
+# (registry query, equivalent ANSI SQL text runnable by BOTH Spark and DuckDB)
+SQL_TEXT = {
+    "q6_forecast_revenue": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "q19_disjunctive_pricing": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                     AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+    """,
+    "q13_order_count_distribution": """
+        WITH per_cust AS (
+          SELECT o_custkey AS c_custkey, count(*) AS c_count
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+        FROM customer LEFT JOIN per_cust USING (c_custkey)
+        GROUP BY coalesce(c_count, 0)
+        ORDER BY custdist DESC, c_count DESC
+    """,
+}
+
+
+def _register(spark, sf_dir):
+    for t in TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(x) for x in r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("name", sorted(SQL_TEXT))
+def test_sql_text_matches_dataframe_plan(spark, sf_dir, name):
+    _register(spark, sf_dir)
+    via_sql = _rows(spark.sql(SQL_TEXT[name]))
+    via_df = _rows(QUERIES[name](spark, sf_dir))
+    assert via_sql == via_df
