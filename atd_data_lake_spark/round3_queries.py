@@ -809,6 +809,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("total_revenue")
         )
+        # both the max and the final join consume this aggregate; persist
+        # so the lineitem scan+agg runs once, not once per consumer
+        .persist()
     )
     mx = rev.agg(F.max("total_revenue").alias("m"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
