@@ -448,9 +448,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence within the batch (min doc_id).
 
     The J1 incremental-anti-join pattern applied to content identity:
-    the standing side reduces to its DISTINCT hash set before the join
-    (id-sized, broadcast-eligible), the batch side never rescans the
-    standing corpus text.  Split here is doc_id < 400 = standing,
+    the standing side reduces to its DISTINCT hash column before the
+    join — at 100 TB that set is corpus-sized (NOT broadcastable), but
+    only 16-byte hashes ever shuffle, never text, and the anti-join is
+    a plain hash-partitioned exchange both sides prune to one column.
+    In the lake layout the standing hashes live as a maintained
+    fingerprint table, so the per-batch cost is O(batch + hash column
+    scan), not a re-hash of the corpus.  Split here is doc_id < 400 = standing,
     ≥ 400 = new batch — a stand-in for the date-partition boundary a
     real lake would prune on.
     """
