@@ -1886,6 +1886,7 @@ _DRIVER_PRIORITY = [
     "q15_top_supplier",
     "q19_disjunctive_pricing",
     "agg_group_medians",
+    "agg_approx_sketches",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -928,6 +928,50 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# approx sketches — the at-scale dial for the exact aggregates
+# ---------------------------------------------------------------------------
+
+
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts and quantile-sketch percentiles per
+    event type — the sketches that replace `agg_distinct_counts` /
+    `agg_exact_percentiles` when the group's value set no longer fits an
+    exact aggregate (both exact twins stay registered; this query is the
+    documented dial, not a replacement).
+
+    rows-only by design: sketch estimates are engine-specific (DuckDB's
+    approx_count_distinct uses a different HLL variant), so no SQL
+    oracle can hash-match.  What IS externally guaranteed: estimates are
+    DETERMINISTIC for fixed data (hash-based, order/partitioning
+    independent — asserted by the partitioning-invariance test) and land
+    within the published error bounds of the exact values (pytest
+    `test_approx_sketches_within_error_bounds`).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias(
+                "approx_users"
+            ),
+            F.approx_count_distinct("value", rsd=0.05).alias(
+                "approx_values"
+            ),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10_000
+            ).getItem(0).alias("p50"),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10_000
+            ).getItem(1).alias("p95"),
+            F.percentile_approx(
+                "value", [0.5, 0.95, 0.99], 10_000
+            ).getItem(2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -946,6 +990,7 @@ ROUND3_QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_pricing": q19_disjunctive_pricing,
     "agg_group_medians": agg_group_medians,
+    "agg_approx_sketches": agg_approx_sketches,
 }
 
 ROUND3_ORACLES = {

@@ -243,3 +243,46 @@ def test_maintain_daily_aggregate_touches_only_batch_days(spark):
         for r in maintain_daily_aggregate(standing, batch, build_agg).collect()
     }
     assert got == {"2024-01-01": 999, "2024-01-02": 3}
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """The rows-only sketch query's estimates must land within the
+    published error bounds of the exact aggregates, and be deterministic
+    across runs (hash-based sketches, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.queries import QUERIES
+
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
+    }
+    again = {
+        r["event_type"]: r
+        for r in QUERIES["agg_approx_sketches"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == again.keys()
+    for k in approx:
+        assert tuple(approx[k]) == tuple(again[k])  # deterministic
+
+    from atd_data_lake_spark.io.reader import read_table
+
+    exact = {
+        r["event_type"]: r
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for k, a in approx.items():
+        e = exact[k]
+        # HLL++ rsd 0.05 → generous 4-sigma bound
+        assert abs(a["approx_users"] - e["users"]) <= max(3, 0.2 * e["users"])
+        # percentile_approx with accuracy 10k on these group sizes is
+        # near-exact; allow a loose relative band
+        assert abs(a["p50"] - e["p50"]) <= max(1.0, 0.05 * abs(e["p50"]))
+        assert abs(a["p95"] - e["p95"]) <= max(1.0, 0.05 * abs(e["p95"]))

@@ -31,6 +31,7 @@ CASES = [
     "j_asof_nearest",            # struct-min_by tiebreaks
     "dedup_minhash_lsh",         # seeded signatures (rows-only query)
     "sim_ann_lsh",               # seeded LSH (rows-only query)
+    "agg_approx_sketches",       # HLL / quantile sketch merge determinism
 ]
 
 
