@@ -1857,6 +1857,10 @@ from atd_data_lake_spark.round3_queries import (  # noqa: E402
 QUERIES.update(ROUND3_QUERIES)
 ORACLES.update(ROUND3_ORACLES)
 
+from atd_data_lake_spark.round3_queries import _geo_radius_sql  # noqa: E402
+
+ORACLES["geo_radius_join"] = _geo_radius_sql()
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1887,6 +1891,7 @@ _DRIVER_PRIORITY = [
     "q19_disjunctive_pricing",
     "agg_group_medians",
     "agg_approx_sketches",
+    "geo_radius_join",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

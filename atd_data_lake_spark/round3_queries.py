@@ -972,6 +972,61 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# geo_radius_join — grid-bucketed spatial join
+# ---------------------------------------------------------------------------
+
+
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via operators/spatialjoin.radius_join:
+    neighbor counts for points within distance 0.5 on a 10×10 plane.
+
+    Coordinates derive deterministically from the customer key via the
+    portable md5 hash (curation.hash_u16) — both engines compute
+    IDENTICAL doubles, so the oracle (brute-force SQL distance join)
+    hash-matches exactly; the grid-bucketed plan is what's under test.
+    The testdata has no geo columns; in the reference's domain the
+    points are device lat/lons (J10's haversine stage) and the same
+    plan applies with the haversine exact filter."""
+    from atd_data_lake_spark.operators.curation import hash_u16
+    from atd_data_lake_spark.operators.spatialjoin import radius_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (hash_u16(F.col("c_custkey"), salt="gx") / F.lit(65536.0) * 10.0).alias("x"),
+        (hash_u16(F.col("c_custkey"), salt="gy") / F.lit(65536.0) * 10.0).alias("y"),
+    )
+    pairs = radius_join(pts, pts, radius=0.5).filter(
+        F.col("l_id") != F.col("r_id")
+    )
+    return (
+        pairs.groupBy(F.col("l_id").alias("c_custkey"))
+        .agg(F.count("*").alias("n_neighbors"))
+        .orderBy("c_custkey")
+    )
+
+
+def _geo_radius_sql() -> str:
+    from atd_data_lake_spark.queries import _bucket_sql
+
+    gx = _bucket_sql("c_custkey", "gx")
+    gy = _bucket_sql("c_custkey", "gy")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {gx} / 65536.0 * 10.0 AS x,
+         {gy} / 65536.0 * 10.0 AS y
+  FROM customer
+)
+SELECT l.id AS c_custkey, CAST(count(*) AS BIGINT) AS n_neighbors
+FROM pts l JOIN pts r ON l.id <> r.id
+WHERE sqrt((l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)) <= 0.5
+GROUP BY l.id
+ORDER BY l.id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -991,6 +1046,7 @@ ROUND3_QUERIES = {
     "q19_disjunctive_pricing": q19_disjunctive_pricing,
     "agg_group_medians": agg_group_medians,
     "agg_approx_sketches": agg_approx_sketches,
+    "geo_radius_join": geo_radius_join,
 }
 
 ROUND3_ORACLES = {

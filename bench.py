@@ -75,6 +75,9 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q19_disjunctive_pricing",
+    "agg_group_medians",
+    "agg_approx_sketches",
+    "geo_radius_join",
 ]
 
 

@@ -82,6 +82,8 @@ EXCHANGE_BUDGETS = {
     "q15_top_supplier": 6,
     "q19_disjunctive_pricing": 2,
     "agg_group_medians": 2,
+    "agg_approx_sketches": 2,
+    "geo_radius_join": 4,
 }
 
 
