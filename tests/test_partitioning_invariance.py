@@ -32,6 +32,7 @@ CASES = [
     "dedup_minhash_lsh",         # seeded signatures (rows-only query)
     "sim_ann_lsh",               # seeded LSH (rows-only query)
     "agg_approx_sketches",       # HLL / quantile sketch merge determinism
+    "geo_radius_join",           # grid-bucketed spatial join
 ]
 
 

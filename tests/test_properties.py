@@ -376,3 +376,52 @@ def test_time_window_join_equals_bruteforce(spark, lefts, rights, window_s):
         .collect()
     )
     assert got == want
+
+
+PT = st.tuples(
+    st.floats(min_value=0, max_value=5, allow_nan=False, width=32),
+    st.floats(min_value=0, max_value=5, allow_nan=False, width=32),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(PT, min_size=1, max_size=10),
+    st.lists(PT, min_size=1, max_size=10),
+    st.sampled_from([0.3, 1.0, 2.5]),
+)
+def test_radius_join_equals_bruteforce(spark, lpts, rpts, radius):
+    """Property: the grid-bucketed spatial join equals the brute-force
+    distance join for arbitrary points and radii — including points on
+    cell boundaries and radii larger than the point cloud."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.spatialjoin import radius_join
+
+    left = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(lpts)],
+        "id long, x double, y double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rpts)],
+        "id long, x double, y double",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in radius_join(left, right, radius=radius).collect()
+    )
+    l = left.select(
+        F.col("id").alias("lid"), F.col("x").alias("lx"), F.col("y").alias("ly")
+    )
+    rr = right.select(
+        F.col("id").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry")
+    )
+    d = F.sqrt(
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in l.crossJoin(rr).filter(d <= radius).select("lid", "rid").collect()
+    )
+    assert got == want
