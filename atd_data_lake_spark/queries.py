@@ -1892,6 +1892,7 @@ _DRIVER_PRIORITY = [
     "agg_group_medians",
     "agg_approx_sketches",
     "geo_radius_join",
+    "emb_label_centroids",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -1027,6 +1027,61 @@ ORDER BY l.id
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_label_centroids — grouped vector aggregation
+# ---------------------------------------------------------------------------
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class-centroid computation
+    behind IVF training, SemDeDup cluster summaries, and k-NN class
+    prototypes), as a pure DataFrame plan: posexplode → per-(label, pos)
+    aggregate.  One shuffle keyed (label, pos); the vector never transits
+    as a blob — each dimension aggregates independently, which is what
+    makes the centroid of a BILLION vectors a plain partial-agg shuffle.
+
+    Float discipline: elements round(6) BEFORE summing as
+    decimal(18,6) — the sum is then exact and order-independent, so the
+    cross-engine hash matches (a raw float sum is accumulation-order-
+    dependent and cannot oracle-match)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos_val = e.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    d6 = "decimal(18,6)"
+    return (
+        pos_val.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            # exact decimal sum → double FIRST, then the double/long
+            # division (identical IEEE in both engines; decimal division
+            # rounds under engine-specific scale rules and diverges)
+            F.round(
+                F.sum(F.round("val", 6).cast(d6)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMB_LABEL_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i AS INT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_val
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+ORDER BY label, pos
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -1047,6 +1102,7 @@ ROUND3_QUERIES = {
     "agg_group_medians": agg_group_medians,
     "agg_approx_sketches": agg_approx_sketches,
     "geo_radius_join": geo_radius_join,
+    "emb_label_centroids": emb_label_centroids,
 }
 
 ROUND3_ORACLES = {
@@ -1067,4 +1123,5 @@ ROUND3_ORACLES = {
     "q15_top_supplier": Q15_SQL,
     "q19_disjunctive_pricing": Q19_SQL,
     "agg_group_medians": AGG_GROUP_MEDIANS_SQL,
+    "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
 }

@@ -78,6 +78,7 @@ HEADLINE = [
     "agg_group_medians",
     "agg_approx_sketches",
     "geo_radius_join",
+    "emb_label_centroids",
 ]
 
 

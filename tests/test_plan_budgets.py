@@ -84,6 +84,7 @@ EXCHANGE_BUDGETS = {
     "agg_group_medians": 2,
     "agg_approx_sketches": 2,
     "geo_radius_join": 4,
+    "emb_label_centroids": 2,
 }
 
 
