@@ -1893,6 +1893,7 @@ _DRIVER_PRIORITY = [
     "agg_approx_sketches",
     "geo_radius_join",
     "emb_label_centroids",
+    "cur_substring_decontaminate",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -1082,6 +1082,57 @@ ORDER BY label, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# cur_substring_decontaminate — exact-substring contamination check
+# ---------------------------------------------------------------------------
+
+
+def cur_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination: corpus documents containing any
+    benchmark phrase verbatim (the strict mode next to
+    ``cur_decontaminate``'s shingle-overlap mode — eval answers quoted
+    word-for-word, not paraphrased).
+
+    The benchmark phrase set is BOUNDED by the eval suite, so it
+    collects to the driver (the IVF-training-sample precedent) and
+    compiles into the plan as literal `contains` predicates — a
+    zero-shuffle, broadcast-free map stage over the corpus scan.  Here
+    the phrases derive from the first 3 tokens of docs 0-19 (a stand-in
+    for a real benchmark's answer strings)."""
+    d = _t(spark, sf_dir, "documents")
+    phrase_col = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    phrases = [
+        r["p"]
+        for r in d.filter(F.col("doc_id") < 20)
+        .select(phrase_col.alias("p"))
+        .orderBy("p")
+        .collect()
+    ]
+    n_hits = None
+    for p in phrases:
+        hit = F.when(F.contains(F.col("text"), F.lit(p)), 1).otherwise(0)
+        n_hits = hit if n_hits is None else n_hits + hit
+    return (
+        d.filter(F.col("doc_id") >= 20)
+        .select("doc_id", "source", n_hits.cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") > 0)
+        .orderBy("doc_id")
+    )
+
+
+CUR_SUBSTRING_DECON_SQL = """
+WITH phrases AS (
+  SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS phrase
+  FROM documents WHERE doc_id < 20
+)
+SELECT d.doc_id, d.source, CAST(count(*) AS BIGINT) AS n_matched
+FROM documents d JOIN phrases p ON strpos(d.text, p.phrase) > 0
+WHERE d.doc_id >= 20
+GROUP BY d.doc_id, d.source
+ORDER BY d.doc_id
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -1103,6 +1154,7 @@ ROUND3_QUERIES = {
     "agg_approx_sketches": agg_approx_sketches,
     "geo_radius_join": geo_radius_join,
     "emb_label_centroids": emb_label_centroids,
+    "cur_substring_decontaminate": cur_substring_decontaminate,
 }
 
 ROUND3_ORACLES = {
@@ -1124,4 +1176,5 @@ ROUND3_ORACLES = {
     "q19_disjunctive_pricing": Q19_SQL,
     "agg_group_medians": AGG_GROUP_MEDIANS_SQL,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
+    "cur_substring_decontaminate": CUR_SUBSTRING_DECON_SQL,
 }

@@ -79,6 +79,7 @@ HEADLINE = [
     "agg_approx_sketches",
     "geo_radius_join",
     "emb_label_centroids",
+    "cur_substring_decontaminate",
 ]
 
 

@@ -85,6 +85,7 @@ EXCHANGE_BUDGETS = {
     "agg_approx_sketches": 2,
     "geo_radius_join": 4,
     "emb_label_centroids": 2,
+    "cur_substring_decontaminate": 1,
 }
 
 
