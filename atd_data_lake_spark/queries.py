@@ -1894,6 +1894,7 @@ _DRIVER_PRIORITY = [
     "geo_radius_join",
     "emb_label_centroids",
     "cur_substring_decontaminate",
+    "evt_markov_transitions",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

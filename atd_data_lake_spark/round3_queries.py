@@ -1133,6 +1133,63 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_markov_transitions — event-sequence transition matrix
+# ---------------------------------------------------------------------------
+
+
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts over per-user event sequences
+    (the Markov-chain / session-flow primitive): lag window ordered by
+    (ts, event_id) — the tiebreak makes simultaneous events a total
+    order so both engines see the same sequence — then one aggregate on
+    the (from, to) pair.  One window shuffle on user_id + one pair agg;
+    the transition matrix is |types|² rows however large the stream."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    total_per_from = Window.partitionBy("from_type")
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .withColumn(
+            "p_transition",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(total_per_from),
+                6,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVT_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions)
+             OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -1155,6 +1212,7 @@ ROUND3_QUERIES = {
     "geo_radius_join": geo_radius_join,
     "emb_label_centroids": emb_label_centroids,
     "cur_substring_decontaminate": cur_substring_decontaminate,
+    "evt_markov_transitions": evt_markov_transitions,
 }
 
 ROUND3_ORACLES = {
@@ -1177,4 +1235,5 @@ ROUND3_ORACLES = {
     "agg_group_medians": AGG_GROUP_MEDIANS_SQL,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "cur_substring_decontaminate": CUR_SUBSTRING_DECON_SQL,
+    "evt_markov_transitions": EVT_MARKOV_SQL,
 }

@@ -80,6 +80,7 @@ HEADLINE = [
     "geo_radius_join",
     "emb_label_centroids",
     "cur_substring_decontaminate",
+    "evt_markov_transitions",
 ]
 
 

@@ -86,6 +86,7 @@ EXCHANGE_BUDGETS = {
     "geo_radius_join": 4,
     "emb_label_centroids": 2,
     "cur_substring_decontaminate": 1,
+    "evt_markov_transitions": 4,
 }
 
 
