@@ -1895,6 +1895,7 @@ _DRIVER_PRIORITY = [
     "emb_label_centroids",
     "cur_substring_decontaminate",
     "evt_markov_transitions",
+    "doc_length_histogram",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -1190,6 +1190,51 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_length_histogram — binned distribution aggregate
+# ---------------------------------------------------------------------------
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char bins) with per-bin bounds and
+    corpus share — the binned-distribution profile a curation run reads
+    before choosing its length gates.  Integer floor binning (exact in
+    both engines), one partial-agg shuffle keyed by bin."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    bin_ = F.floor(F.col("n_chars") / 50).cast("long")
+    # denominator via an unpartitioned window OVER THE BIN ROWS (a few
+    # dozen rows post-aggregation) — no second scan action, no
+    # single-partition pass over raw data
+    total = F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
+    return (
+        d.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn(
+            "share", F.round(F.col("n_docs") / total.cast("double"), 6)
+        )
+        .orderBy("bin")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+         AS share
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -1213,6 +1258,7 @@ ROUND3_QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "cur_substring_decontaminate": cur_substring_decontaminate,
     "evt_markov_transitions": evt_markov_transitions,
+    "doc_length_histogram": doc_length_histogram,
 }
 
 ROUND3_ORACLES = {
@@ -1236,4 +1282,5 @@ ROUND3_ORACLES = {
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "cur_substring_decontaminate": CUR_SUBSTRING_DECON_SQL,
     "evt_markov_transitions": EVT_MARKOV_SQL,
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
 }

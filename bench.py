@@ -81,6 +81,7 @@ HEADLINE = [
     "emb_label_centroids",
     "cur_substring_decontaminate",
     "evt_markov_transitions",
+    "doc_length_histogram",
 ]
 
 

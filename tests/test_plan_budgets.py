@@ -87,6 +87,7 @@ EXCHANGE_BUDGETS = {
     "emb_label_centroids": 2,
     "cur_substring_decontaminate": 1,
     "evt_markov_transitions": 4,
+    "doc_length_histogram": 3,
 }
 
 
