@@ -1896,6 +1896,7 @@ _DRIVER_PRIORITY = [
     "cur_substring_decontaminate",
     "evt_markov_transitions",
     "doc_length_histogram",
+    "evt_rolling_active_users",
     # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -1235,6 +1235,51 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_rolling_active_users — trailing 7-day distinct users per day
+# ---------------------------------------------------------------------------
+
+
+def evt_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU: distinct users active in the trailing 7 days, per day.
+
+    COUNT(DISTINCT) over a RANGE window doesn't exist (distinct is not
+    frame-decomposable), and the textbook days×activity range join
+    re-scans activity once per day.  The scale formulation inverts it:
+    each (user, day) activity row EXPLODES to the 7 report days it
+    contributes to, then one distinct-count per report day — cost is
+    7× the deduped activity rows, independent of the day count, and
+    every stage is a plain hash aggregate.  Report days trim to days
+    with actual activity (a semi-join with the day dimension)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    return (
+        cover.join(days, cover["day"] == days["d"], "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+        .orderBy("day")
+    )
+
+
+EVT_ROLLING_ACTIVE_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau_7d
+FROM days JOIN ud
+  ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+ORDER BY day
+"""
+
+
 ROUND3_QUERIES = {
     "evt_time_window_join": evt_time_window_join,
     "evt_retention": evt_retention,
@@ -1259,6 +1304,7 @@ ROUND3_QUERIES = {
     "cur_substring_decontaminate": cur_substring_decontaminate,
     "evt_markov_transitions": evt_markov_transitions,
     "doc_length_histogram": doc_length_histogram,
+    "evt_rolling_active_users": evt_rolling_active_users,
 }
 
 ROUND3_ORACLES = {
@@ -1283,4 +1329,5 @@ ROUND3_ORACLES = {
     "cur_substring_decontaminate": CUR_SUBSTRING_DECON_SQL,
     "evt_markov_transitions": EVT_MARKOV_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
+    "evt_rolling_active_users": EVT_ROLLING_ACTIVE_SQL,
 }

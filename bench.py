@@ -82,6 +82,7 @@ HEADLINE = [
     "cur_substring_decontaminate",
     "evt_markov_transitions",
     "doc_length_histogram",
+    "evt_rolling_active_users",
 ]
 
 

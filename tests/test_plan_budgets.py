@@ -88,6 +88,7 @@ EXCHANGE_BUDGETS = {
     "cur_substring_decontaminate": 1,
     "evt_markov_transitions": 4,
     "doc_length_histogram": 3,
+    "evt_rolling_active_users": 6,
 }
 
 
