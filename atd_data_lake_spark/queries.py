@@ -1861,6 +1861,14 @@ from atd_data_lake_spark.round3_queries import _geo_radius_sql  # noqa: E402
 
 ORACLES["geo_radius_join"] = _geo_radius_sql()
 
+from atd_data_lake_spark.round4_queries import (  # noqa: E402
+    ROUND4_ORACLES,
+    ROUND4_QUERIES,
+)
+
+QUERIES.update(ROUND4_QUERIES)
+ORACLES.update(ROUND4_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1870,9 +1878,11 @@ ORACLES["geo_radius_join"] = _geo_radius_sql()
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # red in round 2 (TIMESTAMP_NTZ cast crash — fixed): re-verify first
+    # red in round 2's driver run (TIMESTAMP_NTZ cast crash, fixed in
+    # 91f85ac after that run's snapshot): re-verify first
     "sessionize_batch",
-    # new in round 3
+    # registered in round 2 but never driver-checked (the round-2 sweep
+    # ran against the pre-addition snapshot)
     "evt_time_window_join",
     "evt_retention",
     "text_top_tokens",
@@ -1913,6 +1923,25 @@ _DRIVER_PRIORITY = [
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
+    # new in round 3: remaining TPC-H shapes + data-quality ops
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_priority_class",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "dq_profile",
+    "dq_referential_orphans",
+    "mb_copurchase_lift",
+    "w3_percent_rank_cume",
+    "evt_gap_stats",
+    "text_top_bigrams",
     # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",

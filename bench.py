@@ -83,6 +83,24 @@ HEADLINE = [
     "evt_markov_transitions",
     "doc_length_histogram",
     "evt_rolling_active_users",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_priority_class",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "dq_profile",
+    "dq_referential_orphans",
+    "mb_copurchase_lift",
+    "w3_percent_rank_cume",
+    "evt_gap_stats",
+    "text_top_bigrams",
 ]
 
 

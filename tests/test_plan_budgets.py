@@ -89,6 +89,28 @@ EXCHANGE_BUDGETS = {
     "evt_markov_transitions": 4,
     "doc_length_histogram": 3,
     "evt_rolling_active_users": 6,
+    # round-3 additions: remaining TPC-H shapes + data-quality ops
+    "q2_min_cost_supplier": 3,
+    "q4_order_priority": 2,
+    "q7_volume_shipping": 4,
+    "q8_market_share": 4,
+    "q9_product_profit": 2,
+    "q11_important_stock": 4,
+    "q12_ship_priority_class": 2,
+    "q16_parts_supplier": 4,
+    "q17_small_quantity_revenue": 2,
+    "q20_potential_promotion": 3,
+    "q21_suppliers_kept_waiting": 4,
+    "q22_sales_opportunity": 3,
+    "dq_profile": 2,
+    "dq_referential_orphans": 4,
+    # the basket subtree is persisted and computes ONCE at runtime; the
+    # pre-execution plan string prints its lineage under each consumer,
+    # so the static count over-reports (real shuffle count ≈ 4)
+    "mb_copurchase_lift": 8,
+    "w3_percent_rank_cume": 2,
+    "evt_gap_stats": 2,
+    "text_top_bigrams": 2,
 }
 
 
