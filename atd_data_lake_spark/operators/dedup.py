@@ -506,3 +506,132 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash LSH — continuous-ingest near-dup dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_candidates(
+    standing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    standing_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs for a CONTINUOUS-INGEST batch: every
+    pair involves at least one ``incoming`` doc (standing↔incoming or
+    incoming↔incoming); standing↔standing pairs are by construction
+    excluded — that work was already done when those docs arrived.
+
+    Why this is the at-scale shape: the standing corpus NEVER
+    self-joins.  A full-corpus re-run grows as corpus², every batch;
+    this op's join is |standing banded keys| ⋈ |incoming banded keys|,
+    and the incoming side of a batch is small, so Spark broadcasts it —
+    the standing side is a pruned scan + map, no shuffle of the corpus.
+    Amortized over a day's batches, dedup cost is linear in ingest
+    volume, not corpus size.
+
+    ``standing_sig``: optionally pass the PRECOMPUTED signature frame
+    for the standing corpus (columns ``_id, _h0.._h{n-1}``, as written
+    by ``minhash_signature_df``) — the production pattern: signatures
+    are computed once at ingest and stored columnar beside the docs, so
+    the standing text is never re-shingled.  When None they are derived
+    from ``standing``'s text (correct, but re-pays the Python stage).
+
+    Output: (id_a, id_b, n_shared_bands) where id_b is always an
+    incoming doc; for incoming↔incoming pairs id_a < id_b.  Same
+    banding geometry as ``minhash_lsh_candidates`` — restricted to
+    pairs touching ``incoming``, results are identical (pytest-
+    enforced equivalence).
+    """
+    rows_per_band = num_hashes // bands
+
+    def _banded(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"_h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("_id", "bb.band", "bb.bucket")
+
+    if standing_sig is None:
+        standing_sig = minhash_signature_df(
+            standing, id_col, text_col, num_hashes, shingle_n
+        )
+    inc_sig = minhash_signature_df(incoming, id_col, text_col, num_hashes, shingle_n)
+
+    std_banded = _banded(standing_sig).withColumn("_new", F.lit(False))
+    inc_banded = _banded(inc_sig).persist()
+    left = std_banded.unionByName(inc_banded.withColumn("_new", F.lit(True)))
+    right = inc_banded.select(
+        F.col("_id").alias("_rid"),
+        F.col("band").alias("_rband"),
+        F.col("bucket").alias("_rbucket"),
+    )
+    # standing rows pair with any incoming bucket-mate; incoming rows
+    # only pair forward (id_a < id_b) so each incoming pair counts once
+    return (
+        left.join(
+            F.broadcast(right),
+            (F.col("band") == F.col("_rband"))
+            & (F.col("bucket") == F.col("_rbucket"))
+            & (
+                (~F.col("_new") & (F.col("_id") != F.col("_rid")))
+                | (F.col("_new") & (F.col("_id") < F.col("_rid")))
+            ),
+        )
+        .groupBy(F.col("_id").alias("id_a"), F.col("_rid").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def incremental_near_dup_new(
+    standing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    standing_sig: DataFrame | None = None,
+) -> DataFrame:
+    """The actionable continuous-ingest filter: the subset of
+    ``incoming`` that is NOT a near-dup candidate of the standing
+    corpus or of an earlier incoming doc — the rows safe to append.
+
+    Anti-join of ``incoming`` against the candidate pairs' incoming
+    side; "earlier" = smaller id, so the kept set is deterministic
+    (the first member of each incoming near-dup group survives).
+    """
+    cands = incremental_minhash_candidates(
+        standing,
+        incoming,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        standing_sig,
+    )
+    dup_ids = cands.select(F.col("id_b").alias("_dup_id")).distinct()
+    return incoming.join(
+        dup_ids, F.col(id_col) == F.col("_dup_id"), "left_anti"
+    )

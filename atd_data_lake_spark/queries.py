@@ -24,6 +24,7 @@ from atd_data_lake_spark.functions.datetime_fns import floor_15min_epoch, timebi
 from atd_data_lake_spark.operators.asof import asof_join
 from atd_data_lake_spark.operators.dedup import (
     exact_dedup,
+    incremental_minhash_candidates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -1258,6 +1259,22 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d, num_hashes=32, bands=8)
 
 
+def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup candidates: docs with doc_id%10==7
+    arrive as the new batch against the rest as standing corpus
+    (operators/dedup.py incremental_minhash_candidates — the standing
+    side never self-joins; incoming band keys broadcast).  xxhash64-
+    based like dedup_minhash_lsh — driver records rows-only; the
+    full-corpus-restriction equivalence is pytest-enforced
+    (test_dedup_scale.py)."""
+    d = _t(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    return incremental_minhash_candidates(
+        standing, incoming, num_hashes=32, bands=8
+    )
+
+
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, Hamming ≤ 6 over 8-bit pigeonhole blocks
     (8 blocks > max_hamming ⇒ recall 1.0 within the radius; the r1
@@ -1765,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cur_quality_gate": cur_quality_gate_q,
     # rows-only (no SQL oracle)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_incremental_minhash": dedup_incremental_minhash_q,
     "dedup_simhash": dedup_simhash_q,
     "sim_ann_lsh": sim_ann_lsh_q,
     "sim_ann_ivf": sim_ann_ivf_q,
@@ -1942,6 +1960,7 @@ _DRIVER_PRIORITY = [
     "w3_percent_rank_cume",
     "evt_gap_stats",
     "text_top_bigrams",
+    "dedup_incremental_minhash",
     # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",

@@ -99,3 +99,97 @@ def test_embedding_near_dups_banding_scales_with_corpus(spark, sf_dir):
     pairs = embedding_near_dups(big, threshold=0.999, max_collect_rows=0)
     # every base vector contributes C(3,2)=3 identical-replica pairs
     assert pairs.count() >= 3 * n
+
+
+def test_incremental_minhash_equals_full_corpus_restriction(spark, sf_dir):
+    """Splitting the corpus into standing/incoming and running the
+    incremental op must yield exactly the full-corpus LSH candidates
+    restricted to pairs touching the incoming set (same geometry)."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_lsh_candidates,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+
+    inc = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in incremental_minhash_candidates(
+            standing, incoming, num_hashes=32, bands=8
+        ).collect()
+    }
+    incoming_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    full = {}
+    for r in minhash_lsh_candidates(d, num_hashes=32, bands=8).collect():
+        a_new, b_new = r.id_a in incoming_ids, r.id_b in incoming_ids
+        if not (a_new or b_new):
+            continue  # standing↔standing: the incremental op excludes these
+        # incremental output orients id_b to the incoming doc
+        if b_new:
+            full[(r.id_a, r.id_b)] = r.n_shared_bands
+        else:
+            full[(r.id_b, r.id_a)] = r.n_shared_bands
+    assert inc == full and inc  # identical pairs AND band counts, non-empty
+
+
+def test_incremental_near_dup_new_keeps_first_of_group(spark, sf_dir):
+    """The append-safe filter drops exactly the candidate id_b set."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        incremental_near_dup_new,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+
+    kept = {
+        r.doc_id
+        for r in incremental_near_dup_new(
+            standing, incoming, num_hashes=32, bands=8
+        ).collect()
+    }
+    dup_ids = {
+        r.id_b
+        for r in incremental_minhash_candidates(
+            standing, incoming, num_hashes=32, bands=8
+        ).collect()
+    }
+    all_inc = {r.doc_id for r in incoming.select("doc_id").collect()}
+    assert kept == all_inc - dup_ids
+
+
+def test_incremental_minhash_precomputed_signatures_identical(spark, sf_dir):
+    """Passing stored standing signatures (the production pattern) gives
+    the identical candidate set as deriving them from text."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signature_df,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    sig = minhash_signature_df(standing, num_hashes=32)
+
+    derived = sorted(
+        tuple(r)
+        for r in incremental_minhash_candidates(
+            standing, incoming, num_hashes=32, bands=8
+        ).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in incremental_minhash_candidates(
+            standing, incoming, num_hashes=32, bands=8, standing_sig=sig
+        ).collect()
+    )
+    assert derived == stored and derived
