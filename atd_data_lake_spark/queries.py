@@ -1961,6 +1961,7 @@ _DRIVER_PRIORITY = [
     "evt_gap_stats",
     "text_top_bigrams",
     "dedup_incremental_minhash",
+    "cur_deterministic_shuffle",
     # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",

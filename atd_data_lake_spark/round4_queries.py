@@ -808,31 +808,33 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, min and max (stringified) for each audited column — the
     daily data-quality report a lake runs per table.
 
-    Plan: ONE aggregate computes every metric (Catalyst expands the
-    multi-countDistinct; no per-column scans), then a stack() unpivots
-    the 1-row result driver-side — output cost is O(columns)."""
+    Plan: one 1-COLUMN aggregate per audited column, unioned.  The
+    tempting alternative — a single agg with N countDistinct calls —
+    makes Catalyst Expand every row N+1 times (one replica per
+    distinct-aggregate grouping), which measured 8× SLOWER at sf0.1
+    (19.3 s vs 2.5 s).  Per-column branches each scan ONLY their column
+    (parquet is columnar: total I/O equals one full-width scan), each
+    runs an independent 2-phase agg, and they execute concurrently —
+    this is the shape that survives a 100 TB table."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [F.count("*").alias("n_rows")]
+    parts = []
     for c in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
-    )
-    return (
-        one.selectExpr(
-            "n_rows",
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " as (column_name, n_nulls, n_distinct, min_value, max_value)",
+        parts.append(
+            li.select(c).agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_value"),
+                F.max(F.col(c).cast("string")).alias("max_value"),
+            )
         )
-        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
-        .orderBy("column_name")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
 
 
 DQ_PROFILE_SQL = """
@@ -1173,6 +1175,35 @@ LIMIT 40
 """
 
 
+# ---------------------------------------------------------------------------
+# cur_deterministic_shuffle — reproducible global training order
+# ---------------------------------------------------------------------------
+
+
+def cur_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded pseudo-random global ordering of the corpus
+    (operators/ordering.py deterministic_shuffle): md5(key:seed) sort
+    key, rank composed from 256 hash-range buckets + broadcast offsets
+    — one data shuffle, no single-partition window, identical result
+    under any partitioning (invariance-suite-enforced).  The oracle is
+    the textbook single-window form the operator refuses to run."""
+    from atd_data_lake_spark.operators.ordering import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_shuffle(d, key_col="doc_id", seed=42).select(
+        "doc_id", "source", "shuffle_rank"
+    )
+
+
+CUR_DETERMINISTIC_SHUFFLE_SQL = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
 ROUND4_QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -1192,6 +1223,7 @@ ROUND4_QUERIES = {
     "w3_percent_rank_cume": w3_percent_rank_cume,
     "evt_gap_stats": evt_gap_stats,
     "text_top_bigrams": text_top_bigrams,
+    "cur_deterministic_shuffle": cur_deterministic_shuffle,
 }
 
 ROUND4_ORACLES = {
@@ -1213,4 +1245,5 @@ ROUND4_ORACLES = {
     "w3_percent_rank_cume": W3_SQL,
     "evt_gap_stats": EVT_GAP_STATS_SQL,
     "text_top_bigrams": TEXT_TOP_BIGRAMS_SQL,
+    "cur_deterministic_shuffle": CUR_DETERMINISTIC_SHUFFLE_SQL,
 }

@@ -101,6 +101,8 @@ HEADLINE = [
     "w3_percent_rank_cume",
     "evt_gap_stats",
     "text_top_bigrams",
+    "cur_deterministic_shuffle",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -33,6 +33,7 @@ CASES = [
     "sim_ann_lsh",               # seeded LSH (rows-only query)
     "agg_approx_sketches",       # HLL / quantile sketch merge determinism
     "geo_radius_join",           # grid-bucketed spatial join
+    "cur_deterministic_shuffle",  # bucket-composed global rank
 ]
 
 

@@ -21,6 +21,13 @@ BNLJ_ALLOWED = {
     # salted_join replicates the SMALL side against the 8-row salt range
     # (skew.py:32) — a bounded broadcast fan-out, not a data cross join
     "j_salted_skew_join",
+    # scalar-subquery broadcasts: each crossJoins a 1-ROW aggregate
+    # (q11 HAVING threshold; q22 global avg balance; market-basket
+    # total order count) — the O(n) pass-through shape, same as
+    # pipe_gs_publish
+    "q11_important_stock",
+    "q22_sales_opportunity",
+    "mb_copurchase_lift",
 }
 
 

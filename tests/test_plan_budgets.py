@@ -102,7 +102,11 @@ EXCHANGE_BUDGETS = {
     "q20_potential_promotion": 3,
     "q21_suppliers_kept_waiting": 4,
     "q22_sales_opportunity": 3,
-    "dq_profile": 2,
+    # 5 per-column branches × (distinct pre-agg + final 1-row agg)
+    # exchanges — each moves one column's distinct values then ONE row;
+    # the single-agg alternative has 2 exchanges but Expands every row
+    # 6×, measured 8× slower at sf0.1 (see operator docstring)
+    "dq_profile": 20,
     "dq_referential_orphans": 4,
     # the basket subtree is persisted and computes ONCE at runtime; the
     # pre-execution plan string prints its lineage under each consumer,
@@ -111,6 +115,8 @@ EXCHANGE_BUDGETS = {
     "w3_percent_rank_cume": 2,
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
+    "cur_deterministic_shuffle": 3,
+    "dedup_incremental_minhash": 4,
 }
 
 
