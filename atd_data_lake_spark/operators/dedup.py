@@ -635,3 +635,55 @@ def incremental_near_dup_new(
     return incoming.join(
         dup_ids, F.col(id_col) == F.col("_dup_id"), "left_anti"
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram set CONTAINMENT — the asymmetric cousin of
+    ``ngram_jaccard_pairs``: c(A→B) = |S(A)∩S(B)| / |S(A)|.
+
+    Why it exists beside Jaccard: training-data curation constantly hits
+    the *wrapper* case — a short document quoted whole inside a much
+    longer one (boilerplate + article, quoted post + thread).  Jaccard
+    of that pair is tiny (the union is dominated by the long side) so a
+    Jaccard dedup keeps both; containment of the short side is ~1.0 and
+    catches it (Broder's original resemblance/containment distinction,
+    SEQUENCES'97).
+
+    Same inverted-index shape as Jaccard — one self-join on the 64-bit
+    shingle hash, one pair groupBy, never a cross join — but WITHOUT the
+    symmetric size filter (a tiny A contained in a huge B is exactly the
+    pair we want, so size-mismatch pruning would be wrong).  One row per
+    unordered pair carrying both directions; callers filter
+    ``cont_a_in_b`` vs ``cont_b_in_a`` for the directional question.
+    Pair survives when max(directions) ≥ threshold.
+    """
+    sh = shingle_hash_rows(df, id_col, text_col, n, with_size=True).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._hash") == F.col("b._hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a._sz").alias("sz_a"),
+            F.min("b._sz").alias("sz_b"),
+        )
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("cont_a_in_b"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("cont_b_in_a"),
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold)
+    )

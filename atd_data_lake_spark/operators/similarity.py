@@ -623,3 +623,54 @@ def _near_dups_lsh(
                 )
 
     return cands.mapInPandas(score, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Centroid assignment — the clustering primitive (map side of Lloyd's)
+# ---------------------------------------------------------------------------
+
+
+def centroid_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine
+    similarity.  ``centroids`` is a fitted model — a driver-small list of
+    (centroid_id, vector) — NOT data; it is inlined into the plan as
+    literals so assignment is a ZERO-shuffle, pure-JVM map stage at any
+    corpus size (the same model-moves-not-data stance as ``ivf_topk``'s
+    coarse quantizer).
+
+    Output: (id, centroid_id, cos_sim) with cos_sim rounded to 6 places;
+    ties (after rounding) break to the smallest centroid_id, so the
+    assignment is deterministic and SQL-reproducible.  Zero-norm vectors
+    get cos_sim 0 against every centroid and land on the smallest id.
+
+    For k beyond a few hundred the literal expression tree gets unwieldy
+    — switch to the Arrow-batched matmul in ``cosine_topk`` (k=1) at
+    that point; the semantics here are the oracle either way.
+    """
+    doc_norm = _norm(F.col(vec_col))
+    entries = []
+    for cid, vec in centroids:
+        lit_vec = F.array(*[F.lit(float(v)) for v in vec])
+        import math
+
+        c_norm = math.sqrt(sum(float(v) * float(v) for v in vec))
+        sim = F.when(
+            (doc_norm == 0) | (F.lit(c_norm) == 0), F.lit(0.0)
+        ).otherwise(_dot(F.col(vec_col), lit_vec) / (doc_norm * F.lit(c_norm)))
+        entries.append(
+            F.struct(
+                F.round(sim, 6).alias("sim"),
+                F.lit(-int(cid)).cast("long").alias("nid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return corpus.select(
+        F.col(id_col),
+        (-best["nid"]).cast("long").alias("centroid_id"),
+        best["sim"].alias("cos_sim"),
+    )

@@ -103,3 +103,41 @@ def daily_cumulative(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def pack_intervals(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """SCD2 interval pack (gaps-and-islands): collapse each run of
+    consecutive equal ``state_col`` values per entity into one validity
+    row (entity, state, valid_from, valid_to, n_rows).
+
+    The lakehouse slowly-changing-dimension builder: the reference keeps
+    daily unit-data snapshots and resolves them by as-of lookup
+    (support/unitdata.py:40-63); packing those snapshots into intervals
+    is the compact SCD2 form of the same dimension.  Implemented as the
+    two-row_number difference (rn_overall − rn_per_state = stable run
+    id), one shuffle on the entity key shared by both windows — Catalyst
+    plans a single Exchange + sort, the second window reuses the first's
+    distribution.
+
+    Ties on ``ts_col`` are broken by ``tiebreak`` so run ids (and
+    therefore interval boundaries) are deterministic under parallelism.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w_all = Window.partitionBy(entity_col).orderBy(*order)
+    w_state = Window.partitionBy(entity_col, state_col).orderBy(*order)
+    runs = df.withColumn(
+        "_run", F.row_number().over(w_all) - F.row_number().over(w_state)
+    )
+    return runs.groupBy(
+        F.col(entity_col), F.col(state_col), F.col("_run")
+    ).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("valid_to"),
+        F.count("*").alias("n_rows"),
+    ).drop("_run")

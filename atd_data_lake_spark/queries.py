@@ -1887,6 +1887,14 @@ from atd_data_lake_spark.round4_queries import (  # noqa: E402
 QUERIES.update(ROUND4_QUERIES)
 ORACLES.update(ROUND4_ORACLES)
 
+from atd_data_lake_spark.round5_queries import (  # noqa: E402
+    ROUND5_ORACLES,
+    ROUND5_QUERIES,
+)
+
+QUERIES.update(ROUND5_QUERIES)
+ORACLES.update(ROUND5_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1896,11 +1904,13 @@ ORACLES.update(ROUND4_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # red in round 2's driver run (TIMESTAMP_NTZ cast crash, fixed in
-    # 91f85ac after that run's snapshot): re-verify first
+    # round-3 ordering, rebuilt from CORRECTNESS_r01+r02: (1) sessionize_batch
+    # first (red in r2 -- TIMESTAMP_NTZ crash fixed in 91f85ac -- must
+    # re-verify), (2) the 59 registry entries that have never received a
+    # driver row (the sweep caps at 50, so ~10 spill to round 4), (3) the
+    # previously-green rows, r1-checked before r2-checked so staleness
+    # rotates through the cap.
     "sessionize_batch",
-    # registered in round 2 but never driver-checked (the round-2 sweep
-    # ran against the pre-addition snapshot)
     "evt_time_window_join",
     "evt_retention",
     "text_top_tokens",
@@ -1925,7 +1935,6 @@ _DRIVER_PRIORITY = [
     "evt_markov_transitions",
     "doc_length_histogram",
     "evt_rolling_active_users",
-    # new this round
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q14_promo_effect",
@@ -1941,7 +1950,6 @@ _DRIVER_PRIORITY = [
     "text_pii_scrub",
     "cur_keep_best_per_cluster",
     "sim_semantic_dedup",
-    # new in round 3: remaining TPC-H shapes + data-quality ops
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
@@ -1962,7 +1970,6 @@ _DRIVER_PRIORITY = [
     "text_top_bigrams",
     "dedup_incremental_minhash",
     "cur_deterministic_shuffle",
-    # last driver-checked in round 1 (round 2's 50-row sweep skipped them)
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
@@ -1999,6 +2006,55 @@ _DRIVER_PRIORITY = [
     "pipe_bt_publish_unmatched",
     "pipe_bt_ready_matched",
     "pipe_bt_publish_matched",
+    "q1_pricing_summary",
+    "olap_star_join",
+    "a1_tumbling_window_15min",
+    "a2_daily_counts",
+    "a3_sensor_daily_obs",
+    "a5_first_seen_rank",
+    "a6_trailing_7day_avg",
+    "a7_latest_per_group",
+    "w1_daily_cumulative",
+    "o1_topk_per_group",
+    "o2_latest_top1",
+    "dedup_embedding_cosine",
+    "mm_media_features",
+    "mm_frame_sample",
+    "text_tfidf_top_terms",
+    "cur_split_assign",
+    "cur_stratified_sample",
+    "cur_decontaminate",
+    "cur_chunk_documents",
+    "cur_pack_chunks",
+    "cur_cap_per_source",
+    "cur_quality_gate",
+    "dedup_simhash",
+    "a1_streaming_parity",
+    "pipe_gs_agg",
+    "pipe_gs_publish",
+    "pipe_gs_clock_drift",
+    "p1_rename_map",
+    "p2_select_reorder",
+    "p3_null_safe_coercion",
+    "p6_same_day_exclusion",
+    "p7_file_kind_guard",
+    "p8_day_window",
+    "p9_regex_filter",
+    "p10_validity_filter",
+    "p11_dup_key_dedup",
+    "j5_left_join",
+    "a4_collect_range",
+    "a8_distinct_set",
+    "a9_item_count",
+    "o3_top1_latest",
+    "o5_fuzzy_top1_max_by",
+    "u2_union_distinct",
+    "u3_multi_pattern_union",
+    "s_haversine",
+    "agg_rollup",
+    "agg_cube",
+    "agg_exact_percentiles",
+    "agg_distinct_counts",
 ]
 
 

@@ -103,6 +103,10 @@ HEADLINE = [
     "text_top_bigrams",
     "cur_deterministic_shuffle",
     "dedup_incremental_minhash",
+    "emb_kmeans_assign",
+    "evt_scd2_intervals",
+    "text_containment",
+    "evt_zorder_audit",
 ]
 
 
