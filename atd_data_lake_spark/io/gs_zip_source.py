@@ -22,7 +22,12 @@ parse the landed-file scan performs, minus the intermediate files.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 GS_ZIP_SCHEMA = (
     "zip_path string, mac string, date string, guid string, "
@@ -43,6 +48,9 @@ class GsZipDataSource(DataSource):
 
     def reader(self, schema) -> "GsZipReader":
         return GsZipReader(self.options)
+
+    def streamReader(self, schema) -> "GsZipStreamReader":
+        return GsZipStreamReader(self.options)
 
 
 class _ZipPartition(InputPartition):
@@ -84,6 +92,64 @@ class GsZipReader(DataSourceReader):
             text = z.data.decode("utf-8", errors="replace")
             for i, line in enumerate(text.splitlines()):
                 yield (partition.path, z.mac, z.date, z.guid, i, line)
+
+
+class GsZipStreamReader(DataSourceStreamReader):
+    """Continuous archive ingest: ``spark.readStream.format("gs_zip")``
+    tails the landing directory — each micro-batch picks up archives
+    that appeared since the last committed offset, one InputPartition
+    per new archive (extraction stays on executors, exactly-once via
+    the offset log).
+
+    Offset = the sorted file list's high-water mark (lexicographic max
+    path already processed).  The reference's landing layout names
+    archives by device/date, so lexicographic order is arrival order
+    for its nightly drops; a relanded (renamed) archive sorts after the
+    mark and is picked up like any new file.  The offset stays O(1) no
+    matter how many archives have ever been processed — no seen-set.
+    """
+
+    def __init__(self, options: dict):
+        raw = options.get("paths") or options.get("path")
+        if not raw:
+            raise ValueError("gs_zip: a path (or paths=) option is required")
+        self._globs = [p.strip() for p in raw.split(",") if p.strip()]
+
+    def _list(self) -> list[str]:
+        import glob as _glob
+
+        files: list[str] = []
+        for g in self._globs:
+            files.extend(_glob.glob(g))
+        return sorted(files)
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._list()
+        return {"last": files[-1]} if files else {"last": ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        new = [p for p in self._list() if lo < p <= hi]
+        return [_ZipPartition(p) for p in new]
+
+    def read(self, partition: _ZipPartition):
+        from atd_data_lake_spark.io.zip_extract import extract_zip_bytes
+
+        with open(partition.path, "rb") as f:
+            zones = extract_zip_bytes(f.read())
+        for z in zones:
+            text = z.data.decode("utf-8", errors="replace")
+            for i, line in enumerate(text.splitlines()):
+                yield (partition.path, z.mac, z.date, z.guid, i, line)
+
+    def commit(self, end: dict) -> None:
+        pass  # the offset log is the source of truth; nothing to clean
+
+    def stop(self) -> None:
+        pass
 
 
 def register(spark) -> None:

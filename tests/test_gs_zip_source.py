@@ -86,3 +86,43 @@ def test_gs_zip_lines_parse_like_landed_scan(registered, spark, tmp_path):
     assert sorted(map(tuple, via_source.collect())) == sorted(
         map(tuple, via_files.collect())
     )
+
+
+def test_gs_zip_stream_picks_up_new_archives(registered, tmp_path):
+    """availableNow batch 1 ingests the existing archive; a second run
+    after a new archive lands ingests ONLY the new one (offset log)."""
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _make_zip(land / "2019-06-03.zip", "A")
+
+    def run_once():
+        q = (
+            registered.readStream.format("gs_zip")
+            .load(str(land / "*.zip"))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = registered.read.parquet(out)
+    assert first.count() == 4  # layout A fixture: 4 lines
+    assert {r.zip_path for r in first.select("zip_path").distinct().collect()} == {
+        str(land / "2019-06-03.zip")
+    }
+
+    _make_zip(land / "2019-06-04.zip", "B")
+    run_once()
+    both = registered.read.parquet(out)
+    assert both.count() == 5  # +1 line from the layout-B archive
+    # the first archive was NOT re-ingested
+    from pyspark.sql import functions as _F
+
+    per = {r.zip_path: r.n for r in both.groupBy("zip_path").agg(_F.count("*").alias("n")).collect()}
+    assert per[str(land / "2019-06-03.zip")] == 4
+    assert per[str(land / "2019-06-04.zip")] == 1
