@@ -117,6 +117,13 @@ EXCHANGE_BUDGETS = {
     "text_top_bigrams": 2,
     "cur_deterministic_shuffle": 3,
     "dedup_incremental_minhash": 4,
+    # round-5 additions
+    "emb_kmeans_assign": 0,  # model-as-literals: assignment must never shuffle
+    "evt_scd2_intervals": 1,  # both row_number windows share one Exchange
+    # shingle subtree (1 repartition exchange) prints under both self-join
+    # sides + broadcast; runtime shuffles ≈ 3 (shingle, broadcast, pair agg)
+    "text_containment": 5,
+    "evt_zorder_audit": 1,  # key is scan-stage arithmetic; audit agg only
 }
 
 
