@@ -101,6 +101,31 @@ def main() -> None:
     ops["components_distributed"] = lambda: connected_components(
         ngram_jaccard_pairs(docs, n=3, threshold=0.5), max_local_edges=0
     )
+
+    # round-5 additions: containment is the candidate-volume worst case
+    # (every replica is contained in its source — no symmetric size
+    # pruning to save it); centroid assignment and SCD2/z-order must
+    # stay flat (zero / one shuffle respectively)
+    from atd_data_lake_spark.operators.dedup import ngram_containment_pairs
+    from atd_data_lake_spark.operators.layout import morton_key_8x8
+    from atd_data_lake_spark.operators.similarity import centroid_assign
+    from atd_data_lake_spark.operators.windows import pack_intervals
+
+    cent = [(int(r[0]), list(r[1])) for r in emb0.limit(8).collect()]
+    ops["centroid_assign"] = lambda: centroid_assign(emb, cent)
+    ops["ngram_containment"] = lambda: ngram_containment_pairs(
+        docs, n=3, threshold=0.8
+    )
+    ops["scd2_pack"] = lambda: pack_intervals(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", tiebreak=["event_id"],
+    )
+    ops["zorder_audit"] = lambda: ev.select(
+        morton_key_8x8(
+            F.col("user_id").bitwiseAND(F.lit(255)).cast("int"),
+            F.floor((F.hour("ts") * 60 + F.minute("ts")) / 6).cast("int"),
+        ).alias("zkey")
+    ).groupBy("zkey").count()
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
