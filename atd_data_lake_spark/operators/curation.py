@@ -400,3 +400,57 @@ def token_budget_per_source(
             "cum_tokens",
         )
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic down-sampling to a target SOURCE MIXTURE: given
+    target weights (relative proportions, not fractions), keep the
+    largest corpus whose per-source composition matches them exactly.
+
+    The mixture-building step after quality gating: recipes specify
+    "2 parts curated web : 1 part code : 1 part forums"; this computes
+    the binding constraint (the source whose supply runs out first at
+    those proportions keeps 100%) and down-samples every other source
+    to w_s·scale documents, scale = min_s(n_s / w_s).  Sources absent
+    from ``weights`` are dropped (weight 0).
+
+    Everything stays in the plan: per-source counts (one tiny shuffle),
+    the 1-row scale aggregate, and the per-source keep-threshold join
+    back are all broadcast-sized; membership is ``hash_u16(key, salt) <
+    floor(w·scale/n·65536)`` — a pure function of (key, salt, counts),
+    so re-runs and repartitionings keep the identical document set, and
+    raising a weight only ADDS documents from that source (threshold
+    monotonicity, same property as ``split_dataset``).
+
+    Count-exactness caveat: thresholding a uniform 16-bit hash yields
+    approximately w_s·scale documents per source (binomial jitter), not
+    the exact integer — the price of partition-independent determinism.
+    For exact-count mixes rank within source instead (one window sort
+    per source — ``token_budget_per_source``'s shape).
+    """
+    wt = F.lit(0.0)
+    for s, w in weights.items():
+        wt = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(wt)
+    counts = df.groupBy(source_col).agg(F.count("*").cast("long").alias("_n"))
+    per = counts.withColumn("_w", wt).filter(F.col("_w") > 0)
+    scale = per.agg(F.min(F.col("_n") / F.col("_w")).alias("_scale"))
+    thr = (
+        per.crossJoin(F.broadcast(scale))
+        .select(
+            source_col,
+            F.floor(
+                F.col("_w") * F.col("_scale") / F.col("_n") * F.lit(65536.0)
+            ).cast("long").alias("_thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .filter(hash_u16(F.col(key_col), salt=salt) < F.col("_thr"))
+        .select(key_col, source_col)
+    )

@@ -1895,6 +1895,10 @@ from atd_data_lake_spark.round5_queries import (  # noqa: E402
 QUERIES.update(ROUND5_QUERIES)
 ORACLES.update(ROUND5_ORACLES)
 
+from atd_data_lake_spark.round5_queries import _mixture_sql  # noqa: E402
+
+ORACLES["cur_mixture_resample"] = _mixture_sql()
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).

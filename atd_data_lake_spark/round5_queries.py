@@ -238,3 +238,42 @@ ROUND5_ORACLES = {
     "text_containment": TEXT_CONTAINMENT_SQL,
     "evt_zorder_audit": EVT_ZORDER_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# cur_mixture_resample — deterministic mixture down-sampling
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {f"src{i}": (4.0 if i == 0 else 2.0 if i == 1 else 1.0) for i in range(20)}
+
+
+def cur_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample documents to a 4:2:1:...:1 source mixture —
+    operators/curation.mixture_resample.  src0 is the binding source
+    (keeps 100%), src1 keeps ~50%, the rest ~25%."""
+    from atd_data_lake_spark.operators.curation import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_resample(d, _MIX_WEIGHTS)
+
+
+def _mixture_sql() -> str:
+    from atd_data_lake_spark.queries import _bucket_sql
+
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())
+    h = _bucket_sql("d.doc_id", "mix1")
+    return f"""
+WITH w(source, wt) AS (VALUES {vals}),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+per AS (SELECT c.source, c.n, CAST(w.wt AS DOUBLE) AS wt
+        FROM counts c JOIN w ON c.source = w.source WHERE w.wt > 0),
+s AS (SELECT min(n / wt) AS scale FROM per),
+t AS (SELECT source, CAST(floor(wt * scale / n * 65536.0) AS BIGINT) AS thr
+      FROM per, s)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t ON d.source = t.source
+WHERE {h} < t.thr
+"""
+
+
+ROUND5_QUERIES["cur_mixture_resample"] = cur_mixture_resample

@@ -107,6 +107,7 @@ HEADLINE = [
     "evt_scd2_intervals",
     "text_containment",
     "evt_zorder_audit",
+    "cur_mixture_resample",
 ]
 
 

@@ -124,6 +124,9 @@ EXCHANGE_BUDGETS = {
     # sides + broadcast; runtime shuffles ≈ 3 (shingle, broadcast, pair agg)
     "text_containment": 5,
     "evt_zorder_audit": 1,  # key is scan-stage arithmetic; audit agg only
+    # source-count agg + 1-row scale agg + threshold broadcast back; the
+    # fact side never shuffles
+    "cur_mixture_resample": 4,
 }
 
 

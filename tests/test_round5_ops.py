@@ -190,3 +190,50 @@ def test_centroid_assign_plan_is_shuffle_free(spark):
     )
     plan = centroid_assign(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mixture_resample
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_resample_binding_source_and_determinism(spark):
+    from atd_data_lake_spark.operators.curation import mixture_resample
+
+    rows = [
+        Row(doc_id=i, source=("a" if i < 40 else "b" if i < 60 else "c"))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)  # a: 40, b: 20, c: 40
+    # target 2:1:1 -> scale = min(40/2, 20/1, 40/1) = 20 -> keep a: 40,
+    # b: 20 (binding, 100%), c: 20
+    out = mixture_resample(df, {"a": 2.0, "b": 1.0, "c": 1.0})
+    got = {r.source: 0 for r in out.collect()}
+    rows_out = out.collect()
+    from collections import Counter
+
+    c = Counter(r.source for r in rows_out)
+    assert c["a"] == 40 and c["b"] == 20  # thresholds hit 65536 exactly
+    assert 10 <= c["c"] <= 30  # hash-thresholded ~50% of 40
+    # partition-count invariance: identical kept set
+    out2 = mixture_resample(df.repartition(13), {"a": 2.0, "b": 1.0, "c": 1.0})
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, out2.collect()))
+    # unlisted source is dropped entirely
+    out3 = mixture_resample(df, {"a": 1.0, "b": 1.0})
+    assert {r.source for r in out3.collect()} == {"a", "b"}
+
+
+def test_mixture_resample_weight_increase_only_adds(spark):
+    """Raising one source's weight must never evict a previously kept
+    doc of that source (threshold monotonicity)."""
+    from atd_data_lake_spark.operators.curation import mixture_resample
+
+    rows = [
+        Row(doc_id=i, source=("a" if i % 2 == 0 else "b")) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    lo = {("a"): 1.0, "b": 1.0}
+    hi = {("a"): 3.0, "b": 1.0}
+    kept_lo = {r.doc_id for r in mixture_resample(df, lo).collect() if r.source == "a"}
+    kept_hi = {r.doc_id for r in mixture_resample(df, hi).collect() if r.source == "a"}
+    assert kept_lo <= kept_hi
