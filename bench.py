@@ -108,6 +108,7 @@ HEADLINE = [
     "text_containment",
     "evt_zorder_audit",
     "cur_mixture_resample",
+    "dq_schema_drift",
 ]
 
 

@@ -127,6 +127,9 @@ EXCHANGE_BUDGETS = {
     # source-count agg + 1-row scale agg + threshold broadcast back; the
     # fact side never shuffles
     "cur_mixture_resample": 4,
+    # 3 columns x (distinct pre-agg on (snap,col) + snap re-agg + 1-row
+    # collapse) — every exchange carries <=2 rows after partial agg
+    "dq_schema_drift": 9,
 }
 
 
