@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "q22_sales_opportunity",
     "mb_copurchase_lift",
+    # the 1-ROW mixture-scale aggregate crossJoins the per-source count
+    # frame (≤ #sources rows) — broadcast pass-through, not a data cross
+    "cur_mixture_resample",
 }
 
 
