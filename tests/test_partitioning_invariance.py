@@ -34,6 +34,10 @@ CASES = [
     "agg_approx_sketches",       # HLL / quantile sketch merge determinism
     "geo_radius_join",           # grid-bucketed spatial join
     "cur_deterministic_shuffle",  # bucket-composed global rank
+    # round-5 risks
+    "evt_scd2_intervals",        # two-window run ids + event_id tiebreak
+    "cur_mixture_resample",      # count-derived thresholds + hash membership
+    "emb_kmeans_assign",         # rounded-sim argmax tiebreak
 ]
 
 
