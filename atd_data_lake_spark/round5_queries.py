@@ -381,3 +381,59 @@ DQ_SCHEMA_DRIFT_SQL = (
 
 ROUND5_QUERIES["dq_schema_drift"] = dq_schema_drift
 ROUND5_ORACLES["dq_schema_drift"] = DQ_SCHEMA_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# cur_winsorize — per-source outlier clipping at exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def cur_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths per source: clip n_chars to that
+    source's exact interpolated [p05, p95] — the outlier-tempering step
+    before any length-sensitive statistic or length-balanced sampling
+    (a handful of megadocs otherwise dominate per-source token budgets).
+
+    Plan: one percentile aggregate over the tiny (source) groups,
+    broadcast back onto the corpus — the fact side NEVER shuffles; the
+    clip is `least(greatest(v, lo), hi)` inside the scan stage.  Exact
+    cross-engine parity rides on the integer-operand percentile
+    equivalence established by ``agg_exact_percentiles`` (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``) and row-wise clip math.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bounds = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(
+                F.least(
+                    F.greatest(F.col("n_chars").cast("double"), F.col("_lo")),
+                    F.col("_hi"),
+                ),
+                6,
+            ).alias("clipped"),
+        )
+    )
+
+
+CUR_WINSORIZE_SQL = """
+WITH b AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6) AS clipped
+FROM documents d JOIN b ON d.source = b.source
+"""
+
+ROUND5_QUERIES["cur_winsorize"] = cur_winsorize
+ROUND5_ORACLES["cur_winsorize"] = CUR_WINSORIZE_SQL

@@ -109,6 +109,7 @@ HEADLINE = [
     "evt_zorder_audit",
     "cur_mixture_resample",
     "dq_schema_drift",
+    "cur_winsorize",
 ]
 
 

@@ -130,6 +130,8 @@ EXCHANGE_BUDGETS = {
     # 3 columns x (distinct pre-agg on (snap,col) + snap re-agg + 1-row
     # collapse) — every exchange carries <=2 rows after partial agg
     "dq_schema_drift": 9,
+    # percentile agg over (source) groups + broadcast back; fact never shuffles
+    "cur_winsorize": 2,
 }
 
 
