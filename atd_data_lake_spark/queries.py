@@ -1899,6 +1899,14 @@ from atd_data_lake_spark.round5_queries import _mixture_sql  # noqa: E402
 
 ORACLES["cur_mixture_resample"] = _mixture_sql()
 
+from atd_data_lake_spark.round6_queries import (  # noqa: E402
+    ROUND6_ORACLES,
+    ROUND6_QUERIES,
+)
+
+QUERIES.update(ROUND6_QUERIES)
+ORACLES.update(ROUND6_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1910,10 +1918,10 @@ ORACLES["cur_mixture_resample"] = _mixture_sql()
 _DRIVER_PRIORITY = [
     # round-3 ordering, rebuilt from CORRECTNESS_r01+r02: (1) sessionize_batch
     # first (red in r2 -- TIMESTAMP_NTZ crash fixed in 91f85ac -- must
-    # re-verify), (2) the 59 registry entries that have never received a
-    # driver row (the sweep caps at 50, so ~10 spill to round 4), (3) the
-    # previously-green rows, r1-checked before r2-checked so staleness
-    # rotates through the cap.
+    # re-verify), (2) the 66 registry entries that have never received a
+    # driver row, including the seven queries added after the last reorder
+    # (the sweep caps at 50, so ~17 spill to round 4), (3) previously-green
+    # rows, r1-checked before r2-checked so staleness rotates through the cap.
     "sessionize_batch",
     "evt_time_window_join",
     "evt_retention",
@@ -1974,6 +1982,17 @@ _DRIVER_PRIORITY = [
     "text_top_bigrams",
     "dedup_incremental_minhash",
     "cur_deterministic_shuffle",
+    "emb_kmeans_assign",
+    "evt_scd2_intervals",
+    "text_containment",
+    "evt_zorder_audit",
+    "cur_mixture_resample",
+    "dq_schema_drift",
+    "cur_winsorize",
+    "evt_resample_ffill",
+    "evt_top_paths",
+    "dq_freshness",
+    "evt_anomaly_mad",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -110,6 +110,10 @@ HEADLINE = [
     "cur_mixture_resample",
     "dq_schema_drift",
     "cur_winsorize",
+    "evt_resample_ffill",
+    "evt_top_paths",
+    "dq_freshness",
+    "evt_anomaly_mad",
 ]
 
 

@@ -38,6 +38,9 @@ CASES = [
     "evt_scd2_intervals",        # two-window run ids + event_id tiebreak
     "cur_mixture_resample",      # count-derived thresholds + hash membership
     "emb_kmeans_assign",         # rounded-sim argmax tiebreak
+    # round-6 risks
+    "evt_resample_ffill",        # max_by struct tiebreak + ffill window
+    "evt_anomaly_mad",           # exact medians feeding a > threshold
 ]
 
 

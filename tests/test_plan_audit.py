@@ -31,6 +31,10 @@ BNLJ_ALLOWED = {
     # the 1-ROW mixture-scale aggregate crossJoins the per-source count
     # frame (≤ #sources rows) — broadcast pass-through, not a data cross
     "cur_mixture_resample",
+    # the day-grid scaffold: distinct users crossJoin the exploded
+    # global-span day sequence (≤ |days| rows from a 1-ROW min/max agg) —
+    # the grid IS the output shape, not a data×data cross
+    "evt_resample_ffill",
 }
 
 
