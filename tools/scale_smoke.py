@@ -126,6 +126,66 @@ def main() -> None:
             F.floor((F.hour("ts") * 60 + F.minute("ts")) / 6).cast("int"),
         ).alias("zkey")
     ).groupBy("zkey").count()
+
+    # round-6 additions: the gap-fill grid must stay |entities|×|days|
+    # (10× users → 10× grid rows, never 10× × events); trigram mining and
+    # the MAD model must keep their single event-stream shuffle flat
+    from pyspark.sql import Window
+
+    def resample_ffill_10x():
+        daily = ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("day_value"))
+        span = ev.agg(
+            F.to_date(F.min("ts")).alias("_lo"), F.to_date(F.max("ts")).alias("_hi")
+        )
+        days = span.select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+        grid = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return grid.join(daily, ["user_id", "day"], "left").withColumn(
+            "value_ffill", F.last("day_value", ignorenulls=True).over(w)
+        )
+
+    def top_paths_10x():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        tri = ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        ).filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        return tri.groupBy("s1", "s2", "s3").count()
+
+    def anomaly_mad_10x():
+        med = ev.groupBy("user_id").agg(F.expr("median(value)").alias("med"))
+        mad = (
+            ev.join(F.broadcast(med), "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.expr("median(abs(value - med))").alias("mad"),
+                F.first("med").alias("med"),
+            )
+        )
+        return (
+            ev.join(F.broadcast(mad), "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("med"))
+                        > 3.0 * 1.4826 * F.col("mad"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_outliers")
+            )
+        )
+
+    ops["resample_ffill"] = resample_ffill_10x
+    ops["top_paths"] = top_paths_10x
+    ops["anomaly_mad"] = anomaly_mad_10x
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
