@@ -1907,6 +1907,14 @@ from atd_data_lake_spark.round6_queries import (  # noqa: E402
 QUERIES.update(ROUND6_QUERIES)
 ORACLES.update(ROUND6_ORACLES)
 
+from atd_data_lake_spark.round7_queries import (  # noqa: E402
+    ROUND7_ORACLES,
+    ROUND7_QUERIES,
+)
+
+QUERIES.update(ROUND7_QUERIES)
+ORACLES.update(ROUND7_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -1993,6 +2001,8 @@ _DRIVER_PRIORITY = [
     "evt_top_paths",
     "dq_freshness",
     "evt_anomaly_mad",
+    "graph_pagerank",
+    "dq_snapshot_diff",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -84,6 +84,9 @@ HEADLINE = [
     "cur_chunk_documents",
     "mm_media_features",
     "dq_profile",
+    "dq_snapshot_diff",
+    # iterative graph analytics
+    "graph_pagerank",
 ]
 
 

@@ -41,6 +41,8 @@ CASES = [
     # round-6 risks
     "evt_resample_ffill",        # max_by struct tiebreak + ffill window
     "evt_anomaly_mad",           # exact medians feeding a > threshold
+    # round-7 risks
+    "graph_pagerank",            # 5 rounds of integer mass transfer
 ]
 
 

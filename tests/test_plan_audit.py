@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     # global-span day sequence (≤ |days| rows from a 1-ROW min/max agg) —
     # the grid IS the output shape, not a data×data cross
     "evt_resample_ffill",
+    # the 1-ROW (initial mass, teleport base) frame crossJoins onto the
+    # node list once before the power iterations — broadcast pass-through
+    "graph_pagerank",
 }
 
 
