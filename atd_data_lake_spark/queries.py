@@ -1915,6 +1915,18 @@ from atd_data_lake_spark.round7_queries import (  # noqa: E402
 QUERIES.update(ROUND7_QUERIES)
 ORACLES.update(ROUND7_ORACLES)
 
+from atd_data_lake_spark.round8_queries import (  # noqa: E402
+    ROUND8_ORACLES,
+    ROUND8_QUERIES,
+    make_leakage_split_sql,
+)
+
+QUERIES.update(ROUND8_QUERIES)
+ORACLES.update(ROUND8_ORACLES)
+ORACLES["cur_leakage_safe_split"] = make_leakage_split_sql(
+    DEDUP_JACCARD_SQL, _bucket_sql("group_key", "v1")
+)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2003,6 +2015,9 @@ _DRIVER_PRIORITY = [
     "evt_anomaly_mad",
     "graph_pagerank",
     "dq_snapshot_diff",
+    "cur_leakage_safe_split",
+    "evt_interval_coverage",
+    "text_token_entropy",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

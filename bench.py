@@ -87,6 +87,10 @@ HEADLINE = [
     "dq_snapshot_diff",
     # iterative graph analytics
     "graph_pagerank",
+    # round-8 flagships
+    "cur_leakage_safe_split",
+    "evt_interval_coverage",
+    "text_token_entropy",
 ]
 
 

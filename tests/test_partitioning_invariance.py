@@ -43,6 +43,10 @@ CASES = [
     "evt_anomaly_mad",           # exact medians feeding a > threshold
     # round-7 risks
     "graph_pagerank",            # 5 rounds of integer mass transfer
+    # round-8 risks
+    "cur_leakage_safe_split",    # clusters + hash membership
+    "evt_interval_coverage",     # running-max island detection
+    "text_token_entropy",        # decimal-summed float-log terms
 ]
 
 
