@@ -1927,6 +1927,14 @@ ORACLES["cur_leakage_safe_split"] = make_leakage_split_sql(
     DEDUP_JACCARD_SQL, _bucket_sql("group_key", "v1")
 )
 
+from atd_data_lake_spark.round9_queries import (  # noqa: E402
+    ROUND9_ORACLES,
+    ROUND9_QUERIES,
+)
+
+QUERIES.update(ROUND9_QUERIES)
+ORACLES.update(ROUND9_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2018,6 +2026,8 @@ _DRIVER_PRIORITY = [
     "cur_leakage_safe_split",
     "evt_interval_coverage",
     "text_token_entropy",
+    "dq_psi_drift",
+    "dq_watermark_lateness",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -91,6 +91,9 @@ HEADLINE = [
     "cur_leakage_safe_split",
     "evt_interval_coverage",
     "text_token_entropy",
+    # round-9 flagships
+    "dq_psi_drift",
+    "dq_watermark_lateness",
 ]
 
 

@@ -47,6 +47,9 @@ CASES = [
     "cur_leakage_safe_split",    # clusters + hash membership
     "evt_interval_coverage",     # running-max island detection
     "text_token_entropy",        # decimal-summed float-log terms
+    # round-9 risks
+    "dq_psi_drift",              # exact-decile bins + decimal PSI sum
+    "dq_watermark_lateness",     # running-max lateness + exact percentiles
 ]
 
 

@@ -38,6 +38,9 @@ BNLJ_ALLOWED = {
     # the 1-ROW (initial mass, teleport base) frame crossJoins onto the
     # node list once before the power iterations — broadcast pass-through
     "graph_pagerank",
+    # the 10-row literal bin scaffold crossJoins the stream×period totals
+    # (≤ 2·|streams| rows) so empty bins smooth instead of vanish
+    "dq_psi_drift",
 }
 
 
