@@ -2028,6 +2028,7 @@ _DRIVER_PRIORITY = [
     "text_token_entropy",
     "dq_psi_drift",
     "dq_watermark_lateness",
+    "sim_recall_eval",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

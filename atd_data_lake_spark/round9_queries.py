@@ -232,9 +232,58 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_recall_eval — recall@k of the ANN paths against exact brute force
+# ---------------------------------------------------------------------------
+
+
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN indexes (sign-LSH bands, IVF probes)
+    against the exact cosine top-10, per the registered query configs.
+
+    The evaluation loop every ANN deployment needs: ground truth from
+    the exact path (`cosine_topk`, oracle-green), hits counted by a
+    (query, neighbor) semi-join.  Output is one row per index — the
+    driver-visible number behind the recall claims in SCALE.md.  No SQL
+    oracle (the ANN side is seeded-hyperplane-dependent); rows-only with
+    pytest recall bounds in test_skew_ivf.py / test_round9 checks.
+    """
+    from atd_data_lake_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id").persist()
+    n_truth = exact.count()
+
+    results = []
+    for index_name, approx in (
+        ("lsh", lsh_topk(emb, queries, k=10, dim=64, n_planes=16, bands=4)),
+        ("ivf", ivf_topk(emb, queries, k=10)),
+    ):
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        results.append((index_name, 10, n_truth, hits, round(hits / n_truth, 4)))
+    exact.unpersist()
+    return spark.createDataFrame(
+        results, "index_name string, k int, n_truth long, n_hits long, recall double"
+    ).orderBy("index_name")
+
+
 ROUND9_QUERIES = {
     "dq_psi_drift": dq_psi_drift,
     "dq_watermark_lateness": dq_watermark_lateness,
+    "sim_recall_eval": sim_recall_eval,
 }
 
 ROUND9_ORACLES = {
