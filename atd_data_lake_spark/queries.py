@@ -1935,6 +1935,14 @@ from atd_data_lake_spark.round9_queries import (  # noqa: E402
 QUERIES.update(ROUND9_QUERIES)
 ORACLES.update(ROUND9_ORACLES)
 
+from atd_data_lake_spark.round10_queries import (  # noqa: E402
+    ROUND10_ORACLES,
+    ROUND10_QUERIES,
+)
+
+QUERIES.update(ROUND10_QUERIES)
+ORACLES.update(ROUND10_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2029,6 +2037,7 @@ _DRIVER_PRIORITY = [
     "dq_psi_drift",
     "dq_watermark_lateness",
     "sim_recall_eval",
+    "text_zipf_fit",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -1,0 +1,108 @@
+"""Round-10 query addition: corpus-level Zipf fit.
+
+``text_zipf_fit`` — least-squares slope/intercept of ln(freq) over
+ln(rank) for the top-V vocabulary: the corpus-health diagnostic behind
+every "is this scrape natural language?" check (natural text ≈ slope −1;
+boilerplate/spam corpora bend the curve).  The regression is the
+engine's exact-sum discipline (evt_value_correlation): each (x, y) term
+is an IEEE-deterministic function of the integer (rank, count) pair,
+rounded to 12 dp and DECIMAL-summed, so the fit is bit-identical under
+any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from atd_data_lake_spark.io.reader import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+_ZIPF_TOP_V = 1000
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln-ln regression of token frequency on rank over the top-1000
+    vocabulary (whitespace tokens, count-desc + token-asc rank
+    tiebreak).
+
+    Plan: one map-side-combined vocab count (the Zipf-bounded aggregate
+    every text op reuses), one window rank over the vocab — orders of
+    magnitude smaller than the corpus — then a single-row exact-sum
+    reduction.  slope/intercept come from the closed-form normal
+    equations over DECIMAL-summed rounded terms.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        F.explode(
+            F.when(
+                F.trim("text") == "", F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim("text"), r"\s+"))
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    # top-V first via TakeOrderedAndProject (distributed, no global sort
+    # materializes), THEN the unpartitioned row_number runs over ≤ V rows
+    # — a global window over the raw vocabulary would funnel the whole
+    # (possibly 10M-type) vocab through one partition at scale
+    top = vocab.orderBy(F.desc("freq"), F.asc("tok")).limit(_ZIPF_TOP_V)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    dec = lambda c: F.round(c, 12).cast("decimal(38,18)")  # noqa: E731
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+TEXT_ZIPF_FIT_SQL = rf"""
+WITH t AS (
+    SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+    FROM documents
+),
+tok AS (SELECT unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+ranked AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+    FROM vocab QUALIFY rank <= {_ZIPF_TOP_V}
+),
+sums AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(ln(rank), 12) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(ln(freq), 12) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(ln(rank) * ln(rank), 12) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(ln(rank) * ln(freq), 12) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS zipf_intercept
+FROM sums
+"""
+
+
+ROUND10_QUERIES = {"text_zipf_fit": text_zipf_fit}
+ROUND10_ORACLES = {"text_zipf_fit": TEXT_ZIPF_FIT_SQL}

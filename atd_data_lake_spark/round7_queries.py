@@ -72,6 +72,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
+    # pairs feeds BOTH union branches; deg feeds the edge join, the node
+    # count, and the initial ranks — persist both or every consumer
+    # re-derives the basket join from the lineitem scan (visible as 24
+    # duplicate scans in the un-persisted plan)
     pairs = (
         baskets.select("parts", F.posexplode("parts").alias("_i", "pa"))
         .select(
@@ -79,12 +83,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
         )
         .distinct()
+        .persist()
     )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     # degree rides on the edge row: joined ONCE, outside the loop
     edges = edges.join(deg, "src").persist()
 

@@ -230,7 +230,9 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.split(F.trim("text"), r"\s+"))
         ).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    # tf feeds the per-doc total AND the entropy join — persist or the
+    # explode+count recomputes for each consumer
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n")).persist()
     tot = tf.groupBy("doc_id").agg(F.sum("n").alias("total"))
     p = F.col("n") / F.col("total")
     term = F.round(-p * F.log(p), 12).cast("decimal(38,18)")

@@ -80,9 +80,11 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("bin"),
     )
+    # counts feeds totals AND the grid left join — persist the (stream,
+    # period, bin)-sized aggregate or the corpus scan+bin runs twice
     counts = binned.groupBy("event_type", "period", "bin").agg(
         F.count("*").alias("n")
-    )
+    ).persist()
     totals = counts.groupBy("event_type", "period").agg(F.sum("n").alias("n_total"))
     # dense (type, bin) × period grid so empty bins smooth instead of vanish
     bins10 = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
