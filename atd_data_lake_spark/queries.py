@@ -2038,6 +2038,7 @@ _DRIVER_PRIORITY = [
     "dq_watermark_lateness",
     "sim_recall_eval",
     "text_zipf_fit",
+    "emb_drift_shift",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -104,5 +104,110 @@ FROM sums
 """
 
 
-ROUND10_QUERIES = {"text_zipf_fit": text_zipf_fit}
-ROUND10_ORACLES = {"text_zipf_fit": TEXT_ZIPF_FIT_SQL}
+# ---------------------------------------------------------------------------
+# emb_drift_shift — embedding-space drift per label between two periods
+# ---------------------------------------------------------------------------
+
+
+def emb_drift_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between two corpus halves (vec_id parity
+    as the deterministic period stand-in): cosine of the two centroids
+    and the L2 distance between them — the embedding-space counterpart
+    of ``dq_psi_drift`` (a model's input drift shows up here before any
+    scalar feature moves).
+
+    Float discipline (the emb_label_centroids pattern): per-dimension
+    means are exact decimal sums of round-6 elements; the cross-products
+    for cosine/L2 are round-12 terms DECIMAL-summed, so the whole
+    pipeline is accumulation-order invariant.  Shuffle inventory: one
+    (label, period, dim) partial-agg exchange — dimensions aggregate
+    independently, which is what makes a billion-vector centroid a plain
+    map-side-combined shuffle — then a 2·|labels|·64-row reduction.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    pos_val = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "val"),
+    )
+    d6 = "decimal(18,6)"
+    means = pos_val.groupBy("label", "half", "pos").agg(
+        F.round(
+            F.sum(F.round("val", 6).cast(d6)).cast("double") / F.count("*"), 6
+        ).alias("m"),
+        F.count("*").alias("_n"),
+    )
+    paired = means.groupBy("label", "pos").agg(
+        F.first(F.when(F.col("half") == 0, F.col("m")), ignorenulls=True).alias("m0"),
+        F.first(F.when(F.col("half") == 1, F.col("m")), ignorenulls=True).alias("m1"),
+        F.first(F.when(F.col("half") == 0, F.col("_n")), ignorenulls=True).alias("n0"),
+        F.first(F.when(F.col("half") == 1, F.col("_n")), ignorenulls=True).alias("n1"),
+    )
+    dec = lambda c: F.round(c, 12).cast("decimal(38,18)")  # noqa: E731
+    agg = paired.groupBy("label").agg(
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+        F.sum(dec(F.col("m0") * F.col("m1"))).cast("double").alias("_dot"),
+        F.sum(dec(F.col("m0") * F.col("m0"))).cast("double").alias("_s0"),
+        F.sum(dec(F.col("m1") * F.col("m1"))).cast("double").alias("_s1"),
+        F.sum(dec((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))))
+        .cast("double")
+        .alias("_l2"),
+    )
+    return agg.select(
+        "label",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(
+            F.col("_dot") / (F.sqrt("_s0") * F.sqrt("_s1")), 6
+        ).alias("centroid_cos"),
+        F.round(F.sqrt("_l2"), 6).alias("l2_shift"),
+    ).orderBy("label")
+
+
+EMB_DRIFT_SHIFT_SQL = """
+WITH means AS (
+    SELECT label, (vec_id % 2) AS half, i AS pos,
+           round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m,
+           count(*) AS _n
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY 1, 2, 3
+),
+paired AS (
+    SELECT label, pos,
+           any_value(CASE WHEN half = 0 THEN m END) AS m0,
+           any_value(CASE WHEN half = 1 THEN m END) AS m1,
+           any_value(CASE WHEN half = 0 THEN _n END) AS n0,
+           any_value(CASE WHEN half = 1 THEN _n END) AS n1
+    FROM means GROUP BY 1, 2
+),
+agg AS (
+    SELECT label, any_value(n0) AS n0, any_value(n1) AS n1,
+           CAST(sum(CAST(round(m0 * m1, 12) AS DECIMAL(38,18))) AS DOUBLE) AS _dot,
+           CAST(sum(CAST(round(m0 * m0, 12) AS DECIMAL(38,18))) AS DOUBLE) AS _s0,
+           CAST(sum(CAST(round(m1 * m1, 12) AS DECIMAL(38,18))) AS DOUBLE) AS _s1,
+           CAST(sum(CAST(round((m0 - m1) * (m0 - m1), 12) AS DECIMAL(38,18)))
+                AS DOUBLE) AS _l2
+    FROM paired GROUP BY 1
+)
+SELECT label,
+       CAST(n0 AS BIGINT) AS n0,
+       CAST(n1 AS BIGINT) AS n1,
+       round(_dot / (sqrt(_s0) * sqrt(_s1)), 6) AS centroid_cos,
+       round(sqrt(_l2), 6) AS l2_shift
+FROM agg
+ORDER BY label
+"""
+
+
+ROUND10_QUERIES = {
+    "text_zipf_fit": text_zipf_fit,
+    "emb_drift_shift": emb_drift_shift,
+}
+ROUND10_ORACLES = {
+    "text_zipf_fit": TEXT_ZIPF_FIT_SQL,
+    "emb_drift_shift": EMB_DRIFT_SHIFT_SQL,
+}
