@@ -91,9 +91,12 @@ HEADLINE = [
     "cur_leakage_safe_split",
     "evt_interval_coverage",
     "text_token_entropy",
-    # round-9 flagships
+    # round-9/10 flagships
     "dq_psi_drift",
     "dq_watermark_lateness",
+    "sim_recall_eval",
+    "text_zipf_fit",
+    "emb_drift_shift",
 ]
 
 

@@ -186,6 +186,92 @@ def main() -> None:
     ops["resample_ffill"] = resample_ffill_10x
     ops["top_paths"] = top_paths_10x
     ops["anomaly_mad"] = anomaly_mad_10x
+
+    # round-7/9 additions: PageRank on a 10×-replicated basket graph (10
+    # disjoint copies — edge volume scales linearly, iterations must stay
+    # flat), and the drift/lateness/interval monitors on the 10× stream
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    li = (
+        li0.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("l_orderkey") + F.col("_rep") * F.lit(10**9)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("_rep") * F.lit(10**9)).alias("l_partkey"),
+        )
+        .persist()
+    )
+    li.count()
+
+    def pagerank_10x():
+        from pyspark.sql import Window as _W  # noqa: F401
+
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        )
+        pairs = (
+            baskets.select("parts", F.posexplode("parts").alias("_i", "pa"))
+            .select(
+                "pa",
+                F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
+            )
+            .distinct()
+            .persist()
+        )
+        edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+        edges = edges.join(deg, "src").persist()
+        M = 1_000_000_000_000
+        base = deg.agg(F.count("*").alias("n")).select(
+            F.expr(f"{M} div n").alias("_m0"),
+            F.expr(f"(15*{M}) div (100*n)").alias("_base"),
+        )
+        ranks = deg.select("src").crossJoin(F.broadcast(base)).select(
+            F.col("src").alias("node"), F.col("_m0").alias("mass"), F.col("_base")
+        )
+        for _ in range(5):
+            contrib = (
+                edges.join(ranks, edges["src"] == ranks["node"])
+                .select("dst", F.expr("(85*mass) div (100*deg)").alias("c"), "_base")
+                .groupBy("dst")
+                .agg(F.sum("c").alias("_in"), F.first("_base").alias("_base"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (F.col("_base") + F.col("_in")).alias("mass"),
+                "_base",
+            )
+        return ranks.orderBy(F.desc("mass"), "node").limit(100)
+
+    def interval_coverage_10x():
+        from pyspark.sql import Window as W
+
+        start = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+        dur = F.greatest(
+            F.lit(0).cast("long"), (F.col("value") * 60000000).cast("long")
+        )
+        iv = ev.select(
+            "user_id", "event_id", start.alias("s_us"), (start + dur).alias("e_us")
+        )
+        w = W.partitionBy("user_id").orderBy("s_us", "event_id")
+        prev = F.max("e_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+        fl = iv.withColumn(
+            "_new",
+            F.when(prev.isNull() | (F.col("s_us") > prev), 1).otherwise(0),
+        ).withColumn(
+            "island", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        return (
+            fl.groupBy("user_id", "island")
+            .agg(F.min("s_us").alias("s"), F.max("e_us").alias("e"))
+            .groupBy("user_id")
+            .agg(F.sum(F.col("e") - F.col("s")).alias("cov"))
+        )
+
+    ops["pagerank_10x_graph"] = pagerank_10x
+    ops["interval_coverage"] = interval_coverage_10x
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
