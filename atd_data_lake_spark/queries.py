@@ -2039,6 +2039,7 @@ _DRIVER_PRIORITY = [
     "sim_recall_eval",
     "text_zipf_fit",
     "emb_drift_shift",
+    "evt_abtest_lift",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

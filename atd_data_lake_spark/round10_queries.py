@@ -203,11 +203,115 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_abtest_lift — two-proportion experiment readout
+# ---------------------------------------------------------------------------
+
+
+def evt_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into control/treatment by
+    user_id parity (the deterministic assignment stand-in), conversion =
+    "user has a purchase event".  Reports per-arm conversion rates, the
+    absolute and relative lift, and the two-proportion z-statistic
+    (pooled standard error).
+
+    All counts are integer-exact; every derived double is a fixed
+    arithmetic expression of those integers (identical IEEE on both
+    engines), so the readout carries a full value-hash oracle.  Plan:
+    one user-keyed agg (map-side combined max for the conversion flag),
+    one 2-row arm agg, one 1-row final projection — the event stream
+    shuffles once.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    # conversion must be RARE to be a meaningful readout (every user has
+    # *some* purchase at every SF, which degenerates p to 1.0 and the
+    # pooled SE to 0): a high-value purchase is the conversion event
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.groupBy().agg(
+        F.first(F.when(F.col("arm") == 0, F.col("n_users")), ignorenulls=True).alias("n0"),
+        F.first(F.when(F.col("arm") == 0, F.col("n_converted")), ignorenulls=True).alias("c0"),
+        F.first(F.when(F.col("arm") == 1, F.col("n_users")), ignorenulls=True).alias("n1"),
+        F.first(F.when(F.col("arm") == 1, F.col("n_converted")), ignorenulls=True).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1")))
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("c1").cast("long").alias("conv_treatment"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        F.round(p1 - p0, 6).alias("abs_lift"),
+        # degenerate-arm guards (p0 = 0 or pooled SE = 0 → NULL, not a
+        # crash: Spark 4 runs ANSI mode where /0 raises)
+        F.round(F.when(p0 != 0, (p1 - p0) / p0), 6).alias("rel_lift"),
+        F.round(F.when(se != 0, (p1 - p0) / se), 6).alias("z_score"),
+    )
+
+
+EVT_ABTEST_LIFT_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 200.0
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+),
+arms AS (
+    SELECT (user_id % 2) AS arm, count(*) AS n_users,
+           sum(converted) AS n_converted
+    FROM per_user GROUP BY 1
+),
+wide AS (
+    SELECT any_value(CASE WHEN arm = 0 THEN n_users END) AS n0,
+           any_value(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+           any_value(CASE WHEN arm = 1 THEN n_users END) AS n1,
+           any_value(CASE WHEN arm = 1 THEN n_converted END) AS c1
+    FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       CAST(c1 AS BIGINT) AS conv_treatment,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS rate_control,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS rate_treatment,
+       round(c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE), 6) AS abs_lift,
+       round(CASE WHEN c0 / CAST(n0 AS DOUBLE) != 0 THEN
+             (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / (c0 / CAST(n0 AS DOUBLE)) END, 6) AS rel_lift,
+       round(CASE WHEN sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)) != 0 THEN
+             (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
+FROM wide
+"""
+
+
 ROUND10_QUERIES = {
     "text_zipf_fit": text_zipf_fit,
     "emb_drift_shift": emb_drift_shift,
+    "evt_abtest_lift": evt_abtest_lift,
 }
 ROUND10_ORACLES = {
     "text_zipf_fit": TEXT_ZIPF_FIT_SQL,
     "emb_drift_shift": EMB_DRIFT_SHIFT_SQL,
+    "evt_abtest_lift": EVT_ABTEST_LIFT_SQL,
 }
