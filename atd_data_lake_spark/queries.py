@@ -1938,10 +1938,12 @@ ORACLES.update(ROUND9_ORACLES)
 from atd_data_lake_spark.round10_queries import (  # noqa: E402
     ROUND10_ORACLES,
     ROUND10_QUERIES,
+    make_cross_source_sql,
 )
 
 QUERIES.update(ROUND10_QUERIES)
 ORACLES.update(ROUND10_ORACLES)
+ORACLES["dedup_cross_source_report"] = make_cross_source_sql(DEDUP_JACCARD_SQL)
 
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
@@ -2040,6 +2042,7 @@ _DRIVER_PRIORITY = [
     "text_zipf_fit",
     "emb_drift_shift",
     "evt_abtest_lift",
+    "dedup_cross_source_report",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
