@@ -43,6 +43,44 @@ SQL_TEXT = {
         GROUP BY coalesce(c_count, 0)
         ORDER BY custdist DESC, c_count DESC
     """,
+    "evt_top_paths": """
+        WITH seq AS (
+            SELECT event_type AS step1,
+                   lead(event_type, 1) OVER w AS step2,
+                   lead(event_type, 2) OVER w AS step3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT step1, step2, step3, count(*) AS n_paths
+        FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, step1, step2, step3
+        LIMIT 25
+    """,
+    "dq_snapshot_diff": """
+        WITH t0 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 11 != 0
+        ),
+        t1 AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 10.0, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 != 0
+        ),
+        j AS (
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                        WHEN b.o_orderkey IS NULL THEN 'removed'
+                        WHEN a.o_totalprice != b.o_totalprice
+                             OR a.o_orderstatus != b.o_orderstatus THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   round(a.o_totalprice, 2) AS old_totalprice,
+                   round(b.o_totalprice, 2) AS new_totalprice
+            FROM t0 a FULL OUTER JOIN t1 b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT * FROM j WHERE change_type != 'unchanged' ORDER BY o_orderkey
+    """,
 }
 
 
