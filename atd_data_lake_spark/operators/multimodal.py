@@ -171,3 +171,29 @@ def frame_sample_plan(
             F.sequence(F.lit(0), (n_frames - 1) * every_ms, F.lit(every_ms))
         ).alias("frame_ms"),
     ).repartition("media_id")
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing *plan*: one row per sliding analysis window
+    (media_id, win_id, start_ms, end_ms) — the STFT/feature-frame layout
+    every audio pipeline starts from.  Like ``frame_sample_plan``, the
+    per-window decode/FFT is the stubbed codec boundary; the row
+    explosion and repartition — the parts that matter for distribution —
+    are real: a clip of duration D yields ⌊max(D−window, 0)/hop⌋ + 1
+    rows (a clip shorter than one window still yields its single,
+    zero-padded window, as librosa/torchaudio do).
+    """
+    n_wins = (
+        F.greatest(F.col("meta.duration_ms") - window_ms, F.lit(0)) / hop_ms
+    ).cast("long") + 1
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_wins - 1)).alias("win_id"),
+    ).select(
+        "media_id",
+        "win_id",
+        (F.col("win_id") * hop_ms).alias("start_ms"),
+        (F.col("win_id") * hop_ms + window_ms).alias("end_ms"),
+    ).repartition("media_id")

@@ -1422,6 +1422,39 @@ FROM documents, UNNEST(range(doc_id % 30 + 1)) AS t(i)
 """
 
 
+def mm_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: sliding analysis-window explosion
+    (``audio_window_plan`` — 1 s windows, 500 ms hop; the per-window
+    decode/FFT is the stubbed codec boundary).  Clip duration is
+    synthesized deterministically from doc_id (1–23 s) so the oracle can
+    recompute the window layout in SQL."""
+    from atd_data_lake_spark.operators.multimodal import audio_window_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 45 + 2) * 500).cast("long").alias("duration_ms"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return audio_window_plan(media, window_ms=1000, hop_ms=500)
+
+
+MM_AUDIO_WINDOWS_SQL = """
+SELECT doc_id AS media_id,
+       k AS win_id,
+       k * 500 AS start_ms,
+       k * 500 + 1000 AS end_ms
+FROM documents,
+     UNNEST(range(greatest((doc_id % 45 + 2) * 500 - 1000, 0) // 500 + 1)) AS t(k)
+"""
+
+
 def sessionize_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 custom stateful operator, driver-gated: the gaps-and-islands
     batch twin of the ``applyInPandasWithState`` sessionizer (identical
@@ -1771,6 +1804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine_q,
     "mm_media_features": mm_media_features_q,
     "mm_frame_sample": mm_frame_sample_q,
+    "mm_audio_windows": mm_audio_windows_q,
     "sessionize_batch": sessionize_batch_q,
     "text_tfidf_top_terms": text_tfidf_top_terms_q,
     "cur_split_assign": cur_split_assign_q,
@@ -1841,6 +1875,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
     "mm_media_features": _mm_media_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_audio_windows": MM_AUDIO_WINDOWS_SQL,
     "sessionize_batch": SESSIONIZE_BATCH_SQL,
     "text_tfidf_top_terms": _text_tfidf_sql(),
     "cur_split_assign": _cur_split_sql(),
@@ -2043,6 +2078,7 @@ _DRIVER_PRIORITY = [
     "emb_drift_shift",
     "evt_abtest_lift",
     "dedup_cross_source_report",
+    "mm_audio_windows",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
