@@ -1980,6 +1980,12 @@ QUERIES.update(ROUND10_QUERIES)
 ORACLES.update(ROUND10_ORACLES)
 ORACLES["dedup_cross_source_report"] = make_cross_source_sql(DEDUP_JACCARD_SQL)
 
+from atd_data_lake_spark.round11_queries import (  # noqa: E402
+    ROUND11_QUERIES,
+)
+
+QUERIES.update(ROUND11_QUERIES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2079,6 +2085,7 @@ _DRIVER_PRIORITY = [
     "evt_abtest_lift",
     "dedup_cross_source_report",
     "mm_audio_windows",
+    "evt_rolling_active_hll",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
