@@ -1986,6 +1986,14 @@ from atd_data_lake_spark.round11_queries import (  # noqa: E402
 
 QUERIES.update(ROUND11_QUERIES)
 
+from atd_data_lake_spark.round12_queries import (  # noqa: E402
+    ROUND12_ORACLES,
+    ROUND12_QUERIES,
+)
+
+QUERIES.update(ROUND12_QUERIES)
+ORACLES.update(ROUND12_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2086,6 +2094,8 @@ _DRIVER_PRIORITY = [
     "dedup_cross_source_report",
     "mm_audio_windows",
     "evt_rolling_active_hll",
+    "emb_norm_quality",
+    "evt_stickiness",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
