@@ -1994,6 +1994,14 @@ from atd_data_lake_spark.round12_queries import (  # noqa: E402
 QUERIES.update(ROUND12_QUERIES)
 ORACLES.update(ROUND12_ORACLES)
 
+from atd_data_lake_spark.round13_queries import (  # noqa: E402
+    ROUND13_ORACLES,
+    ROUND13_QUERIES,
+)
+
+QUERIES.update(ROUND13_QUERIES)
+ORACLES.update(ROUND13_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2096,6 +2104,18 @@ _DRIVER_PRIORITY = [
     "evt_rolling_active_hll",
     "emb_norm_quality",
     "evt_stickiness",
+    # round-13 additions (never driver-checked)
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "graph_common_neighbors",
+    "ts_autocorr",
+    "evt_hourly_seasonality",
+    "evt_burstiness",
+    "dq_uniqueness",
+    "text_hashing_tf",
+    "stats_moments",
+    "mm_image_phash",
+    "emb_pq_codes",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -87,6 +87,7 @@ HEADLINE = [
     "dq_snapshot_diff",
     # iterative graph analytics
     "graph_pagerank",
+    "graph_triangle_count",
     # round-8 flagships
     "cur_leakage_safe_split",
     "evt_interval_coverage",

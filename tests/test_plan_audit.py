@@ -41,6 +41,10 @@ BNLJ_ALLOWED = {
     # the 10-row literal bin scaffold crossJoins the stream×period totals
     # (≤ 2·|streams| rows) so empty bins smooth instead of vanish
     "dq_psi_drift",
+    # 1-row census crossJoins the 1-row triangle total; 1-row global
+    # minute-span crossJoins the per-type sums — broadcast pass-throughs
+    "graph_triangle_count",
+    "evt_burstiness",
 }
 
 
