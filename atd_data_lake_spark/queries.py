@@ -2002,6 +2002,14 @@ from atd_data_lake_spark.round13_queries import (  # noqa: E402
 QUERIES.update(ROUND13_QUERIES)
 ORACLES.update(ROUND13_ORACLES)
 
+from atd_data_lake_spark.round14_queries import (  # noqa: E402
+    ROUND14_ORACLES,
+    ROUND14_QUERIES,
+)
+
+QUERIES.update(ROUND14_QUERIES)
+ORACLES.update(ROUND14_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2116,6 +2124,11 @@ _DRIVER_PRIORITY = [
     "stats_moments",
     "mm_image_phash",
     "emb_pq_codes",
+    # round-14 additions (never driver-checked)
+    "cur_weighted_sample",
+    "evt_change_points",
+    "olap_revenue_gini",
+    "emb_pca_project",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
