@@ -272,6 +272,95 @@ def main() -> None:
 
     ops["pagerank_10x_graph"] = pagerank_10x
     ops["interval_coverage"] = interval_coverage_10x
+
+    # round-13/14 additions: the triangle census on 10 disjoint graph
+    # copies (wedge volume and triangle count must scale linearly — the
+    # degree orientation is what keeps it so), banded phash near-dup
+    # where every replica is an exact dup (max candidate volume), and
+    # the train-small/project-wide ops (PQ, PCA) which must stay one
+    # bounded collect + one map pass regardless of corpus size
+    def triangle_10x():
+        pairs = (
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+            .select("parts", F.posexplode("parts").alias("_i", "a"))
+            .select(
+                "a",
+                F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+            pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+        dl = F.broadcast(deg.select(F.col("s").alias("a"), F.col("deg").alias("dega")))
+        dr = F.broadcast(deg.select(F.col("s").alias("b"), F.col("deg").alias("degb")))
+        af = (F.col("dega") < F.col("degb")) | (
+            (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+        )
+        oriented = (
+            pairs.join(dl, "a")
+            .join(dr, "b")
+            .select(
+                F.when(af, F.col("a")).otherwise(F.col("b")).alias("src"),
+                F.when(af, F.col("b")).otherwise(F.col("a")).alias("dst"),
+                F.when(af, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
+            )
+            .persist()
+        )
+        e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("degv"))
+        e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("degw"))
+        wedges = e1.join(e2, "src").filter(
+            (F.col("degv") < F.col("degw"))
+            | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
+        )
+        closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        return wedges.join(closing, ["v", "w"]).agg(F.count("*").alias("n"))
+
+    def phash_10x():
+        from atd_data_lake_spark.round13_queries import media_phash, phash_near_dups
+
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return phash_near_dups(media_phash(media))
+
+    def pca_10x():
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from atd_data_lake_spark.round14_queries import _pca_components
+
+        sample_rows = (
+            emb.orderBy("vec_id").select("embedding").limit(4096).collect()
+        )
+        sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+        mean, comps, _ = _pca_components(sample)
+        schema = T.StructType(
+            [T.StructField("vec_id", T.LongType())]
+            + [T.StructField(f"p{i}", T.DoubleType()) for i in range(8)]
+        )
+
+        def op(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mean
+                P = np.round(X @ comps.T, 6)
+                out = {"vec_id": pdf["vec_id"]}
+                for i in range(8):
+                    out[f"p{i}"] = P[:, i]
+                yield pd.DataFrame(out)
+
+        return emb.select("vec_id", "embedding").mapInPandas(op, schema=schema)
+
+    ops["triangle_census"] = triangle_10x
+    ops["phash_near_dup"] = phash_10x
+    ops["pca_project"] = pca_10x
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
