@@ -2010,6 +2010,14 @@ from atd_data_lake_spark.round14_queries import (  # noqa: E402
 QUERIES.update(ROUND14_QUERIES)
 ORACLES.update(ROUND14_ORACLES)
 
+from atd_data_lake_spark.round15_queries import (  # noqa: E402
+    ROUND15_ORACLES,
+    ROUND15_QUERIES,
+)
+
+QUERIES.update(ROUND15_QUERIES)
+ORACLES.update(ROUND15_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2129,6 +2137,11 @@ _DRIVER_PRIORITY = [
     "evt_change_points",
     "olap_revenue_gini",
     "emb_pca_project",
+    # round-15 additions (never driver-checked)
+    "w4_value_frames",
+    "evt_user_entropy",
+    "olap_pareto_8020",
+    "text_compression_ratio",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
