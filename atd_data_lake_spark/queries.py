@@ -2018,6 +2018,14 @@ from atd_data_lake_spark.round15_queries import (  # noqa: E402
 QUERIES.update(ROUND15_QUERIES)
 ORACLES.update(ROUND15_ORACLES)
 
+from atd_data_lake_spark.round16_queries import (  # noqa: E402
+    ROUND16_ORACLES,
+    ROUND16_QUERIES,
+)
+
+QUERIES.update(ROUND16_QUERIES)
+ORACLES.update(ROUND16_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2142,6 +2150,9 @@ _DRIVER_PRIORITY = [
     "evt_user_entropy",
     "olap_pareto_8020",
     "text_compression_ratio",
+    # round-16 additions (never driver-checked)
+    "text_fertility_by_lang",
+    "io_compaction_plan",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
