@@ -2026,6 +2026,14 @@ from atd_data_lake_spark.round16_queries import (  # noqa: E402
 QUERIES.update(ROUND16_QUERIES)
 ORACLES.update(ROUND16_ORACLES)
 
+from atd_data_lake_spark.round17_queries import (  # noqa: E402
+    ROUND17_ORACLES,
+    ROUND17_QUERIES,
+)
+
+QUERIES.update(ROUND17_QUERIES)
+ORACLES.update(ROUND17_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2153,6 +2161,9 @@ _DRIVER_PRIORITY = [
     # round-16 additions (never driver-checked)
     "text_fertility_by_lang",
     "io_compaction_plan",
+    # round-17 additions (never driver-checked)
+    "agg_heavy_hitters_mg",
+    "u4_intersect_except",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
