@@ -2034,6 +2034,14 @@ from atd_data_lake_spark.round17_queries import (  # noqa: E402
 QUERIES.update(ROUND17_QUERIES)
 ORACLES.update(ROUND17_ORACLES)
 
+from atd_data_lake_spark.round18_queries import (  # noqa: E402
+    ROUND18_ORACLES,
+    ROUND18_QUERIES,
+)
+
+QUERIES.update(ROUND18_QUERIES)
+ORACLES.update(ROUND18_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2164,6 +2172,9 @@ _DRIVER_PRIORITY = [
     # round-17 additions (never driver-checked)
     "agg_heavy_hitters_mg",
     "u4_intersect_except",
+    # round-18 additions (never driver-checked)
+    "evt_stream_executed",
+    "evt_stream_dedup_executed",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -81,6 +81,88 @@ SQL_TEXT = {
         )
         SELECT * FROM j WHERE change_type != 'unchanged' ORDER BY o_orderkey
     """,
+    "olap_pareto_8020": """
+        WITH per_cust AS (
+            SELECT o.o_custkey,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DECIMAL(38,4)) AS rev
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+        ),
+        ranked AS (
+            SELECT n.n_name, p.rev,
+                   row_number() OVER (PARTITION BY n.n_name
+                                      ORDER BY p.rev DESC, p.o_custkey) AS i,
+                   sum(p.rev) OVER (PARTITION BY n.n_name
+                                    ORDER BY p.rev DESC, p.o_custkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(p.rev) OVER (PARTITION BY n.n_name) AS total
+            FROM per_cust p
+            JOIN customer c ON c.c_custkey = p.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ),
+        agg AS (
+            SELECT n_name, count(*) AS n_customers,
+                   min(CASE WHEN cum * 10 >= total * 8 THEN i END)
+                     AS top_for_80pct
+            FROM ranked GROUP BY n_name
+        )
+        SELECT n_name, n_customers, top_for_80pct,
+               round(top_for_80pct / CAST(n_customers AS DOUBLE), 6)
+                 AS share_of_customers
+        FROM agg
+        ORDER BY n_name
+    """,
+    "evt_user_entropy": """
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        agg AS (
+            SELECT user_id, sum(c) AS t, count(*) AS n_types,
+                   sum(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS _clnc
+            FROM counts GROUP BY user_id
+        )
+        SELECT user_id, t AS n_events, n_types,
+               round(ln(CAST(t AS DOUBLE)) - CAST(_clnc AS DOUBLE) / t, 6)
+                 AS entropy_nats
+        FROM agg
+        ORDER BY user_id
+    """,
+    "dq_uniqueness": """
+        WITH one AS (
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
+                   count(DISTINCT o_orderkey) AS nd_k,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c,
+                   count(DISTINCT o_custkey) AS nd_c,
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_s,
+                   count(DISTINCT o_orderstatus) AS nd_s,
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_t,
+                   count(DISTINCT o_totalprice) AS nd_t,
+                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_d,
+                   count(DISTINCT o_orderdate) AS nd_d,
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_p,
+                   count(DISTINCT o_orderpriority) AS nd_p
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS column_name, n_rows, nn_k AS n_nulls, nd_k AS n_distinct,
+               nd_k = n_rows - nn_k AS all_unique,
+               nn_k = 0 AND nd_k = n_rows AS is_candidate_key FROM one
+        UNION ALL SELECT 'o_custkey', n_rows, nn_c, nd_c,
+               nd_c = n_rows - nn_c, nn_c = 0 AND nd_c = n_rows FROM one
+        UNION ALL SELECT 'o_orderstatus', n_rows, nn_s, nd_s,
+               nd_s = n_rows - nn_s, nn_s = 0 AND nd_s = n_rows FROM one
+        UNION ALL SELECT 'o_totalprice', n_rows, nn_t, nd_t,
+               nd_t = n_rows - nn_t, nn_t = 0 AND nd_t = n_rows FROM one
+        UNION ALL SELECT 'o_orderdate', n_rows, nn_d, nd_d,
+               nd_d = n_rows - nn_d, nn_d = 0 AND nd_d = n_rows FROM one
+        UNION ALL SELECT 'o_orderpriority', n_rows, nn_p, nd_p,
+               nd_p = n_rows - nn_p, nn_p = 0 AND nd_p = n_rows FROM one
+        ORDER BY column_name
+    """,
 }
 
 
