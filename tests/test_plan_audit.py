@@ -57,6 +57,16 @@ def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
         )
+    # driver-canonicalizer guard: the external driver sorts raw result
+    # tuples, so a nested output column (array/map/struct) crashes the
+    # sweep (mm_media_features, round 1).  Registered projections must
+    # be scalar-only; array-returning operators stay library-level.
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        assert not isinstance(
+            field.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name} output column {field.name} is nested ({field.dataType})"
 
 
 # Queries over `documents` that derive everything from (doc_id, text):
