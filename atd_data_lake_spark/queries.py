@@ -2042,6 +2042,14 @@ from atd_data_lake_spark.round18_queries import (  # noqa: E402
 QUERIES.update(ROUND18_QUERIES)
 ORACLES.update(ROUND18_ORACLES)
 
+from atd_data_lake_spark.round19_queries import (  # noqa: E402
+    ROUND19_ORACLES,
+    ROUND19_QUERIES,
+)
+
+QUERIES.update(ROUND19_QUERIES)
+ORACLES.update(ROUND19_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2175,6 +2183,10 @@ _DRIVER_PRIORITY = [
     # round-18 additions (never driver-checked)
     "evt_stream_executed",
     "evt_stream_dedup_executed",
+    # round-19 additions (never driver-checked)
+    "dq_k_anonymity",
+    "evt_attribution_first_touch",
+    "dq_benford",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

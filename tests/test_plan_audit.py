@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     # minute-span crossJoins the per-type sums — broadcast pass-throughs
     "graph_triangle_count",
     "evt_burstiness",
+    # 1-row anonymity floor / digit total crossJoin class-bounded frames
+    "dq_k_anonymity",
+    "dq_benford",
 }
 
 
