@@ -2050,6 +2050,14 @@ from atd_data_lake_spark.round19_queries import (  # noqa: E402
 QUERIES.update(ROUND19_QUERIES)
 ORACLES.update(ROUND19_ORACLES)
 
+from atd_data_lake_spark.round20_queries import (  # noqa: E402
+    ROUND20_ORACLES,
+    ROUND20_QUERIES,
+)
+
+QUERIES.update(ROUND20_QUERIES)
+ORACLES.update(ROUND20_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2187,6 +2195,10 @@ _DRIVER_PRIORITY = [
     "dq_k_anonymity",
     "evt_attribution_first_touch",
     "dq_benford",
+    # round-20 additions (never driver-checked)
+    "dq_expectations",
+    "olap_yoy_growth",
+    "emb_matryoshka_eval",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
