@@ -88,6 +88,10 @@ HEADLINE = [
     # iterative graph analytics
     "graph_pagerank",
     "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_degree_stats",
+    # band-join attribution
+    "evt_attribution_first_touch",
     # round-8 flagships
     "cur_leakage_safe_split",
     "evt_interval_coverage",
