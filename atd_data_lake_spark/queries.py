@@ -2058,6 +2058,14 @@ from atd_data_lake_spark.round20_queries import (  # noqa: E402
 QUERIES.update(ROUND20_QUERIES)
 ORACLES.update(ROUND20_ORACLES)
 
+from atd_data_lake_spark.round21_queries import (  # noqa: E402
+    ROUND21_ORACLES,
+    ROUND21_QUERIES,
+)
+
+QUERIES.update(ROUND21_QUERIES)
+ORACLES.update(ROUND21_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2199,6 +2207,7 @@ _DRIVER_PRIORITY = [
     "dq_expectations",
     "olap_yoy_growth",
     "emb_matryoshka_eval",
+    "mm_scene_cuts",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
