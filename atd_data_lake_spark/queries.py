@@ -2066,6 +2066,14 @@ from atd_data_lake_spark.round21_queries import (  # noqa: E402
 QUERIES.update(ROUND21_QUERIES)
 ORACLES.update(ROUND21_ORACLES)
 
+from atd_data_lake_spark.round22_queries import (  # noqa: E402
+    ROUND22_ORACLES,
+    ROUND22_QUERIES,
+)
+
+QUERIES.update(ROUND22_QUERIES)
+ORACLES.update(ROUND22_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2208,6 +2216,7 @@ _DRIVER_PRIORITY = [
     "olap_yoy_growth",
     "emb_matryoshka_eval",
     "mm_scene_cuts",
+    "graph_k_hop",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -90,6 +90,7 @@ HEADLINE = [
     "graph_triangle_count",
     "graph_common_neighbors",
     "graph_degree_stats",
+    "graph_k_hop",
     # band-join attribution
     "evt_attribution_first_touch",
     # round-8 flagships
