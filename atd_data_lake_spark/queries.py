@@ -2074,6 +2074,14 @@ from atd_data_lake_spark.round22_queries import (  # noqa: E402
 QUERIES.update(ROUND22_QUERIES)
 ORACLES.update(ROUND22_ORACLES)
 
+from atd_data_lake_spark.round23_queries import (  # noqa: E402
+    ROUND23_QUERIES,
+    make_dedup_weights_sql,
+)
+
+QUERIES.update(ROUND23_QUERIES)
+ORACLES["cur_dedup_weights"] = make_dedup_weights_sql(DEDUP_JACCARD_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2217,6 +2225,7 @@ _DRIVER_PRIORITY = [
     "emb_matryoshka_eval",
     "mm_scene_cuts",
     "graph_k_hop",
+    "cur_dedup_weights",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
