@@ -2082,6 +2082,14 @@ from atd_data_lake_spark.round23_queries import (  # noqa: E402
 QUERIES.update(ROUND23_QUERIES)
 ORACLES["cur_dedup_weights"] = make_dedup_weights_sql(DEDUP_JACCARD_SQL)
 
+from atd_data_lake_spark.round24_queries import (  # noqa: E402
+    ROUND24_ORACLES,
+    ROUND24_QUERIES,
+)
+
+QUERIES.update(ROUND24_QUERIES)
+ORACLES.update(ROUND24_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2226,6 +2234,8 @@ _DRIVER_PRIORITY = [
     "mm_scene_cuts",
     "graph_k_hop",
     "cur_dedup_weights",
+    "graph_triangles",
+    "text_bm25_topk",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
