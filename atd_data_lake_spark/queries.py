@@ -2090,6 +2090,14 @@ from atd_data_lake_spark.round24_queries import (  # noqa: E402
 QUERIES.update(ROUND24_QUERIES)
 ORACLES.update(ROUND24_ORACLES)
 
+from atd_data_lake_spark.round25_queries import (  # noqa: E402
+    ROUND25_ORACLES,
+    ROUND25_QUERIES,
+)
+
+QUERIES.update(ROUND25_QUERIES)
+ORACLES.update(ROUND25_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2236,6 +2244,7 @@ _DRIVER_PRIORITY = [
     "cur_dedup_weights",
     "graph_triangles",
     "text_bm25_topk",
+    "sessionize_stream_executed",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -1,7 +1,10 @@
 """Round-24 query additions: triangle census and BM25 retrieval.
 
 ``graph_triangles`` — per-node triangle count and local clustering
-coefficient over the co-purchase graph.  The classic skew trap in
+coefficient over the co-purchase graph: the per-node drill-down of
+round 13's one-row global census (``graph_triangle_count``), which
+reports corpus-level totals but cannot say WHICH nodes sit in dense
+neighborhoods.  The classic skew trap in
 distributed triangle counting is wedge enumeration at hub nodes
 (wedges ∝ degree²); the standard fix (Suri & Vassilvitskii's MR
 node-iterator++) is to orient every edge from its lower-(degree, id)
