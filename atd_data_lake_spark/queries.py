@@ -2098,6 +2098,14 @@ from atd_data_lake_spark.round25_queries import (  # noqa: E402
 QUERIES.update(ROUND25_QUERIES)
 ORACLES.update(ROUND25_ORACLES)
 
+from atd_data_lake_spark.round26_queries import (  # noqa: E402
+    ROUND26_ORACLES,
+    ROUND26_QUERIES,
+)
+
+QUERIES.update(ROUND26_QUERIES)
+ORACLES.update(ROUND26_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2245,6 +2253,8 @@ _DRIVER_PRIORITY = [
     "graph_triangles",
     "text_bm25_topk",
     "sessionize_stream_executed",
+    "evt_stream_join_executed",
+    "rfm_segments",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
