@@ -2106,6 +2106,14 @@ from atd_data_lake_spark.round26_queries import (  # noqa: E402
 QUERIES.update(ROUND26_QUERIES)
 ORACLES.update(ROUND26_ORACLES)
 
+from atd_data_lake_spark.round27_queries import (  # noqa: E402
+    ROUND27_ORACLES,
+    ROUND27_QUERIES,
+)
+
+QUERIES.update(ROUND27_QUERIES)
+ORACLES.update(ROUND27_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
@@ -2255,6 +2263,8 @@ _DRIVER_PRIORITY = [
     "sessionize_stream_executed",
     "evt_stream_join_executed",
     "rfm_segments",
+    "evt_sliding_window",
+    "evt_session_window",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",
