@@ -61,18 +61,9 @@ def sessionize_stream_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hundreds of empty micro-batches).  The single input file drains in
     # the first data batch, after which the sink already holds every
     # gap-closed session — so poll for that batch's commit and stop.
-    import time
+    from atd_data_lake_spark.streaming.control import stop_after_data_batch
 
-    deadline = time.time() + 300.0
-    while time.time() < deadline:
-        prog = query.lastProgress
-        if prog and prog.get("numInputRows", 0) > 0:
-            break
-        if not query.isActive:
-            break
-        time.sleep(0.2)
-    query.stop()
-    query.awaitTermination(60)
+    stop_after_data_batch(query)
     return spark.table(name).orderBy("sensor", "session_start")
 
 

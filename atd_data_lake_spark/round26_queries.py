@@ -35,8 +35,6 @@ not the rounded double, so Spark and DuckDB tile identically.
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -100,16 +98,9 @@ def evt_stream_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Inner-join output is complete once the single data batch commits
     # (eviction batches that follow only clean state) — stop then.
-    deadline = time.time() + 300.0
-    while time.time() < deadline:
-        prog = query.lastProgress
-        if prog and prog.get("numInputRows", 0) > 0:
-            break
-        if not query.isActive:
-            break
-        time.sleep(0.2)
-    query.stop()
-    query.awaitTermination(60)
+    from atd_data_lake_spark.streaming.control import stop_after_data_batch
+
+    stop_after_data_batch(query)
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 

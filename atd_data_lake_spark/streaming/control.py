@@ -1,0 +1,53 @@
+"""Lifecycle control for driver-executed Structured Streaming queries.
+
+An ``availableNow`` query whose plan holds streaming state (a
+stream-stream join's buffered sides, or a stateful operator with a
+ProcessingTimeTimeout) does NOT self-terminate after the data drains:
+MicroBatchExecution keeps scheduling no-data batches to advance the
+watermark and fire timers (observed: ~30 min of empty-batch spin for a
+30-minute session gap).  The executed registry queries therefore poll
+for the data batch's commit and stop the query themselves.
+
+``query.stop()`` interrupts whatever batch is in flight.  When that is
+one of the no-data housekeeping batches mid-state-store-commit, the
+interrupt surfaces as STREAM_FAILED (SQLSTATE XXKST) from
+``awaitTermination`` — even though the data batch already committed its
+complete output to the sink.  That race is why ``stop_after_data_batch``
+swallows the exception ONLY once the data batch was observed committed;
+a failure before that is a real query error and re-raises.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.errors import StreamingQueryException
+
+
+def stop_after_data_batch(query, timeout_s: float = 300.0) -> None:
+    """Block until ``query``'s first data batch commits, then stop it.
+
+    ``lastProgress`` is published only after a batch completes, so
+    ``numInputRows > 0`` means the data batch (and its sink write) has
+    committed — for single-file ``availableNow`` sources the sink then
+    holds the query's entire deterministic output, and later no-data
+    batches only evict state.  A ``StreamingQueryException`` raised by
+    interrupting one of those housekeeping batches is swallowed; any
+    failure before the data batch commits re-raises.
+    """
+    saw_data = False
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        prog = query.lastProgress
+        if prog and prog.get("numInputRows", 0) > 0:
+            saw_data = True
+            break
+        if not query.isActive:
+            break
+        time.sleep(0.2)
+    try:
+        query.stop()
+        query.awaitTermination(60)
+    except StreamingQueryException:
+        if not saw_data:
+            raise
