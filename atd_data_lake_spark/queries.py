@@ -2123,62 +2123,20 @@ ORACLES.update(ROUND27_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-3 ordering, rebuilt from CORRECTNESS_r01+r02: (1) sessionize_batch
-    # first (red in r2 -- TIMESTAMP_NTZ crash fixed in 91f85ac -- must
-    # re-verify), (2) the 66 registry entries that have never received a
-    # driver row, including the seven queries added after the last reorder
-    # (the sweep caps at 50, so ~17 spill to round 4), (3) previously-green
-    # rows, r1-checked before r2-checked so staleness rotates through the cap.
-    "sessionize_batch",
-    "evt_time_window_join",
-    "evt_retention",
-    "text_top_tokens",
-    "emb_int8_quantize",
-    "q10_returned_items",
-    "j_asof_nearest",
+    # round-4 ordering, rebuilt from CORRECTNESS_r01+r02+r03: (1)
+    # cur_token_budget first (the one r3 hash-fail -- oracle HUGEINT cast
+    # fixed this round, must re-verify), (2) the four EXECUTED streaming
+    # queries (environment-sensitive under the driver harness: state-store
+    # dirs, availableNow termination -- verify early), (3) the remaining 74
+    # never-driver-checked entries in registry order (the sweep caps at 50,
+    # so ~29 spill to round 5 -- registry growth is frozen until that
+    # backlog clears), (4) previously-green rows, stalest-round-first so
+    # staleness rotates through the cap.
     "cur_token_budget",
-    "dedup_incremental_batch",
-    "evt_json_extract",
-    "evt_pivot",
-    "li_unpivot",
-    "evt_value_correlation",
-    "j_salted_skew_join",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_pricing",
-    "agg_group_medians",
-    "agg_approx_sketches",
-    "geo_radius_join",
-    "emb_label_centroids",
-    "cur_substring_decontaminate",
-    "evt_markov_transitions",
-    "doc_length_histogram",
-    "evt_rolling_active_users",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "evt_funnel",
-    "j9_asof_tolerance",
-    "p5_like_filter",
-    "w2_lead_lag_ntile",
-    "text_unigram_logprob",
-    "inc_agg_maintenance",
-    "evt_anomaly_zscore",
-    "agg_grouping_sets",
-    "text_pii_scrub",
-    "cur_keep_best_per_cluster",
-    "sim_semantic_dedup",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_priority_class",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
+    "evt_stream_executed",
+    "evt_stream_dedup_executed",
+    "sessionize_stream_executed",
+    "evt_stream_join_executed",
     "q21_suppliers_kept_waiting",
     "q22_sales_opportunity",
     "dq_profile",
@@ -2216,7 +2174,6 @@ _DRIVER_PRIORITY = [
     "evt_rolling_active_hll",
     "emb_norm_quality",
     "evt_stickiness",
-    # round-13 additions (never driver-checked)
     "graph_triangle_count",
     "graph_degree_stats",
     "graph_common_neighbors",
@@ -2228,30 +2185,21 @@ _DRIVER_PRIORITY = [
     "stats_moments",
     "mm_image_phash",
     "emb_pq_codes",
-    # round-14 additions (never driver-checked)
     "cur_weighted_sample",
     "evt_change_points",
     "olap_revenue_gini",
     "emb_pca_project",
-    # round-15 additions (never driver-checked)
     "w4_value_frames",
     "evt_user_entropy",
     "olap_pareto_8020",
     "text_compression_ratio",
-    # round-16 additions (never driver-checked)
     "text_fertility_by_lang",
     "io_compaction_plan",
-    # round-17 additions (never driver-checked)
     "agg_heavy_hitters_mg",
     "u4_intersect_except",
-    # round-18 additions (never driver-checked)
-    "evt_stream_executed",
-    "evt_stream_dedup_executed",
-    # round-19 additions (never driver-checked)
     "dq_k_anonymity",
     "evt_attribution_first_touch",
     "dq_benford",
-    # round-20 additions (never driver-checked)
     "dq_expectations",
     "olap_yoy_growth",
     "emb_matryoshka_eval",
@@ -2260,8 +2208,6 @@ _DRIVER_PRIORITY = [
     "cur_dedup_weights",
     "graph_triangles",
     "text_bm25_topk",
-    "sessionize_stream_executed",
-    "evt_stream_join_executed",
     "rfm_segments",
     "evt_sliding_window",
     "evt_session_window",
@@ -2350,8 +2296,56 @@ _DRIVER_PRIORITY = [
     "agg_cube",
     "agg_exact_percentiles",
     "agg_distinct_counts",
+    "sessionize_batch",
+    "evt_time_window_join",
+    "evt_retention",
+    "text_top_tokens",
+    "emb_int8_quantize",
+    "q10_returned_items",
+    "j_asof_nearest",
+    "dedup_incremental_batch",
+    "evt_json_extract",
+    "evt_pivot",
+    "li_unpivot",
+    "evt_value_correlation",
+    "j_salted_skew_join",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_pricing",
+    "agg_group_medians",
+    "agg_approx_sketches",
+    "geo_radius_join",
+    "emb_label_centroids",
+    "cur_substring_decontaminate",
+    "evt_markov_transitions",
+    "doc_length_histogram",
+    "evt_rolling_active_users",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "evt_funnel",
+    "j9_asof_tolerance",
+    "p5_like_filter",
+    "w2_lead_lag_ntile",
+    "text_unigram_logprob",
+    "inc_agg_maintenance",
+    "evt_anomaly_zscore",
+    "agg_grouping_sets",
+    "text_pii_scrub",
+    "cur_keep_best_per_cluster",
+    "sim_semantic_dedup",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_priority_class",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
 ]
-
 
 def _driver_order(d: dict) -> dict:
     head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}

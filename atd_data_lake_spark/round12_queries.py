@@ -138,8 +138,8 @@ SELECT e.label,
        any_value(e.norm2_mean) AS norm2_mean,
        any_value(e.norm2_min) AS norm2_min,
        any_value(e.norm2_max) AS norm2_max,
-       sum(CASE WHEN abs(n.norm2 - e.norm2_mean) > 3.0 * e._std
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN abs(n.norm2 - e.norm2_mean) > 3.0 * e._std
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM norms n JOIN enriched e USING (label)
 GROUP BY 1
 ORDER BY 1

@@ -157,7 +157,7 @@ agg AS (
            sum(CAST(round(c * ln(c), 9) AS DECIMAL(28,9))) AS _clnc
     FROM counts GROUP BY 1
 )
-SELECT user_id, t AS n_events, n_types,
+SELECT user_id, CAST(t AS BIGINT) AS n_events, n_types,
        round(ln(CAST(t AS DOUBLE)) - CAST(_clnc AS DOUBLE) / t, 6)
          AS entropy_nats
 FROM agg

@@ -148,7 +148,7 @@ binned AS (
              // {_COMPACT_TARGET} AS bin
     FROM manifest
 )
-SELECT bin, count(*) AS n_files,
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
        CAST(sum(size) AS BIGINT) AS bin_bytes,
        round(sum(size) / {float(_COMPACT_TARGET)!r}, 6) AS fill_ratio
 FROM binned

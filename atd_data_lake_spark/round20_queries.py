@@ -106,10 +106,14 @@ j_agg AS (
 )
 SELECT 'l_quantity > 0' AS rule, n AS n_checked,
        CAST(v_qty AS BIGINT) AS n_violations, v_qty = 0 AS pass FROM li_agg
-UNION ALL SELECT 'l_discount in [0,1]', n, v_disc, v_disc = 0 FROM li_agg
-UNION ALL SELECT 'l_extendedprice >= 0', n, v_price, v_price = 0 FROM li_agg
-UNION ALL SELECT 'l_returnflag in {A,N,R}', n, v_flag, v_flag = 0 FROM li_agg
-UNION ALL SELECT 'l_shipdate >= o_orderdate', n, v_ship, v_ship = 0 FROM j_agg
+UNION ALL SELECT 'l_discount in [0,1]', n, CAST(v_disc AS BIGINT),
+    v_disc = 0 FROM li_agg
+UNION ALL SELECT 'l_extendedprice >= 0', n, CAST(v_price AS BIGINT),
+    v_price = 0 FROM li_agg
+UNION ALL SELECT 'l_returnflag in {A,N,R}', n, CAST(v_flag AS BIGINT),
+    v_flag = 0 FROM li_agg
+UNION ALL SELECT 'l_shipdate >= o_orderdate', n, CAST(v_ship AS BIGINT),
+    v_ship = 0 FROM j_agg
 ORDER BY rule
 """
 

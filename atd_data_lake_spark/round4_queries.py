@@ -953,8 +953,12 @@ def mb_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent nested ``transform`` lambdas, which are interpreted
     per-element) — so candidate volume is Σ(basket size choose 2),
     bounded by the ~4-line TPC-H basket, never |lineitem|².  The
-    per-part support counts explode from the same persisted baskets.
-    Lift is one IEEE division of exact bigint counts (identical both
+    per-part support counts ride the SAME shuffle as the pairs: the
+    pair stream, the singleton stream (part, −1), and a per-basket
+    sentinel (−1, −1) union into ONE groupBy — one exchange computes
+    n_pair, n_part, and n_orders together (was three separate
+    aggregations over the persisted baskets = three exchanges).  Lift
+    is one IEEE division of exact bigint counts (identical both
     engines): lift = n_pair · n_orders / (n_a · n_b)."""
     baskets = (
         _t(spark, sf_dir, "lineitem")
@@ -962,22 +966,42 @@ def mb_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .persist()
     )
-    n_orders = baskets.agg(F.count("*").cast("long").alias("n_orders"))
-    per_part = (
-        baskets.select(F.explode("parts").alias("pk"))
-        .groupBy("pk")
-        .agg(F.count("*").cast("long").alias("n_part"))
-    )
-    pairs = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "part_a"))
+    pair_stream = (
+        baskets.select("parts", F.posexplode("parts").alias("_i", "_a"))
         .select(
-            "part_a",
-            F.explode(
-                F.expr("slice(parts, _i + 2, size(parts))")
-            ).alias("part_b"),
+            "_a",
+            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias(
+                "_b"
+            ),
         )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_pair"))
+        .select(
+            F.col("_a").cast("long").alias("a"),
+            F.col("_b").cast("long").alias("b"),
+        )
+    )
+    singleton_stream = baskets.select(
+        F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
+    ).select(F.col("_a").cast("long").alias("a"), "b")
+    order_stream = baskets.select(
+        F.lit(-1).cast("long").alias("a"), F.lit(-1).cast("long").alias("b")
+    )
+    counts = (
+        pair_stream.unionByName(singleton_stream)
+        .unionByName(order_stream)
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    n_orders = counts.filter((F.col("a") == -1) & (F.col("b") == -1)).select(
+        F.col("n").alias("n_orders")
+    )
+    per_part = counts.filter((F.col("a") != -1) & (F.col("b") == -1)).select(
+        F.col("a").alias("pk"), F.col("n").alias("n_part")
+    )
+    pairs = counts.filter(F.col("b") != -1).select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("n").alias("n_pair"),
     )
     return (
         pairs.join(

@@ -291,8 +291,8 @@ mad AS (
 )
 SELECT e.user_id,
        count(*) AS n_events,
-       sum(CASE WHEN abs(e.value - d.med) > {_MAD_K} * {_MAD_SCALE} * d.mad
-                THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs(e.value - d.med) > {_MAD_K} * {_MAD_SCALE} * d.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(any_value(d.med), 6) AS med,
        round(any_value(d.mad), 6) AS mad
 FROM events e JOIN mad d USING (user_id)

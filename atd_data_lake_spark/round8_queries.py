@@ -196,7 +196,7 @@ islands AS (
     FROM islands_src GROUP BY 1, 2
 )
 SELECT user_id,
-       sum(n_iv) AS n_intervals,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
        count(*) AS n_islands,
        round(sum(i_end - i_start) / 1000000.0, 6) AS covered_seconds
 FROM islands

@@ -38,13 +38,31 @@ def stop_after_data_batch(query, timeout_s: float = 300.0) -> None:
     saw_data = False
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        prog = query.lastProgress
-        if prog and prog.get("numInputRows", 0) > 0:
+        # Scan recentProgress (retains ~100 entries), not just
+        # lastProgress: a no-data housekeeping batch committing within
+        # the poll gap overwrites lastProgress (numInputRows reads 0
+        # thereafter) and would otherwise hide the data batch forever.
+        if any(
+            p and p.get("numInputRows", 0) > 0 for p in query.recentProgress
+        ):
             saw_data = True
             break
         if not query.isActive:
             break
         time.sleep(0.2)
+    if not saw_data and query.isActive and time.time() >= deadline:
+        # Deadline lapsed without ever observing the data batch: the
+        # memory sink may hold incomplete output.  Stop the query, then
+        # fail loudly instead of letting callers serve truncated rows.
+        try:
+            query.stop()
+            query.awaitTermination(60)
+        except StreamingQueryException:
+            pass
+        raise TimeoutError(
+            f"streaming query did not commit a data batch within "
+            f"{timeout_s}s; refusing to serve a possibly-incomplete sink"
+        )
     try:
         query.stop()
         query.awaitTermination(60)

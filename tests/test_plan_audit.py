@@ -51,6 +51,10 @@ BNLJ_ALLOWED = {
     # 1-row reference-date aggregate crossJoins the per-customer profile
     # (broadcast pass-through) before the RFM ntile windows
     "rfm_segments",
+    # the 1-ROW corpus-stats frame (n_docs, avgdl) crossJoins the tf
+    # posting stream (round24_queries.py text_bm25_topk) — broadcast
+    # pass-through, same class as pipe_gs_publish
+    "text_bm25_topk",
 }
 
 
