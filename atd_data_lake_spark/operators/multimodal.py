@@ -101,6 +101,49 @@ def extract_features(
     return fan_out(media).mapInPandas(op, schema=out_schema)
 
 
+def extract_features_wide(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode,
+    feature_dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """``extract_features`` with a scalar-wide output
+    (media_id, n_bytes, f0..f{dim-1}) instead of array<double>.
+
+    One decode pass emits the feature matrix as ``feature_dim`` double
+    COLUMNS straight from the Arrow batch (``np.vstack`` → columns), so
+    neither side pays the per-row Python-list → Arrow-list → JVM
+    element-extraction detour the array form needs when the consumer
+    wants scalars anyway (the external driver canonicalizer sorts raw
+    tuples and cannot take arrays).  Use the array form for composition
+    with the similarity/clustering operators."""
+    fields = [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ] + [T.StructField(f"f{i}", T.DoubleType()) for i in range(feature_dim)]
+    out_schema = T.StructType(fields)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = (
+                np.vstack([decode_fn(p) for p in pdf["payload"]])
+                if len(pdf)
+                else np.empty((0, feature_dim))
+            )
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf["payload"]
+                ],
+            }
+            for i in range(feature_dim):
+                out[f"f{i}"] = mat[:, i]
+            yield pd.DataFrame(out)
+
+    from atd_data_lake_spark.operators.scale import fan_out
+
+    return fan_out(media).mapInPandas(op, schema=out_schema)
+
+
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for a real image resize: returns a payload
     whose length scales with the target pixel count and whose content is

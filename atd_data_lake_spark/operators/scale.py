@@ -22,6 +22,9 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     execution of the expensive operator that follows."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side physical-RDD partition count: ~20x cheaper than df.rdd
+    # (which builds the Python-serialization RDD wrapper just to ask)
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -1341,7 +1341,7 @@ def mm_media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort an array column.  The library operator (``extract_features``)
     keeps its array<double> output for composition with the similarity /
     clustering operators."""
-    from atd_data_lake_spark.operators.multimodal import FEATURE_DIM, extract_features
+    from atd_data_lake_spark.operators.multimodal import extract_features_wide
 
     d = _t(spark, sf_dir, "documents")
     media = d.select(
@@ -1356,12 +1356,7 @@ def mm_media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
-    feats = extract_features(media)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        *[F.col("features")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
-    )
+    return extract_features_wide(media)
 
 
 def _mm_media_sql() -> str:

@@ -90,54 +90,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
 
-    # node-sized adjacency: ONE shuffle builds degree + neighbor list
-    # together; every loop consumer reads this cached frame, so the
-    # basket join is derived exactly once
-    adj = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("deg"), F.collect_list("dst").alias("dsts"))
-        .persist()
-    )
+    # node-sized adjacency + integer-exact rounds live in
+    # operators/graph.pagerank_masses (shared with the hub-salted
+    # variant, which is bit-identical — tests/test_graph_salted.py)
+    from atd_data_lake_spark.operators.graph import pagerank_masses
 
-    n_nodes = adj.agg(F.count("*").alias("n")).select(
-        "n",
-        (F.lit(15 * _PR_MASS)).alias("_tele_num"),
-    )
-    # base (teleport) mass per node and initial mass, both integer-exact
-    base = n_nodes.select(
-        F.expr(f"{_PR_MASS} div n").alias("_m0"),
-        F.expr("_tele_num div (100 * n)").alias("_base"),
-    )
-    ranks = adj.select("src").crossJoin(F.broadcast(base)).select(
-        F.col("src").alias("node"),
-        F.col("_m0").alias("mass"),
-        F.col("_base").alias("_base"),
-    )
-    for _ in range(_PR_ITER):
-        # the rank frame is node-sized (≤ |parts|): broadcast it so each
-        # round is a map-side join + explode + one agg exchange of
-        # contributions.  On a graph whose node set outgrows the
-        # broadcast threshold, drop the hint — the equi-join falls back
-        # to a shuffle join and every other property is unchanged
-        # (integer masses stay exact).
-        contrib = (
-            adj.join(F.broadcast(ranks), adj["src"] == ranks["node"])
-            .select(
-                F.explode("dsts").alias("dst"),
-                F.expr("(85 * mass) div (100 * deg)").alias("c"),
-                F.col("_base"),
-            )
-            .groupBy("dst")
-            .agg(
-                F.sum("c").alias("_in"),
-                F.first("_base").alias("_base"),
-            )
-        )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (F.col("_base") + F.col("_in")).alias("mass"),
-            F.col("_base"),
-        )
+    ranks = pagerank_masses(edges, n_iter=_PR_ITER, total_mass=_PR_MASS)
     return (
         ranks.select(F.col("node").alias("part"), "mass")
         .orderBy(F.desc("mass"), "part")
