@@ -171,6 +171,82 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag training docs
+    whose embedding is too close (cosine) to any held-out eval vector.
+
+    The n-gram ``decontaminate`` catches verbatim leakage; this catches
+    paraphrase-level leakage (the Phi/Llama eval-contamination report
+    recipe).  Returns one row per corpus vector:
+    (id, bench_id, cos_sim, contaminated) — the BEST benchmark match
+    (max rounded cosine, ties broken toward the smallest bench id) and
+    whether it crosses ``threshold``.  Filter ``~contaminated`` for the
+    clean side.
+
+    Scale shape (100 TB): benchmark sets are small (10³–10⁵ rows — MMLU
+    scale), so the benchmark matrix ships in the task closure and the
+    whole operator is ONE Arrow-batched map stage over the corpus —
+    zero shuffles, zero joins, corpus vectors never move.  Same float
+    discipline as ``cosine_topk``: float64 matmul, half-up round(6) so
+    the scores hash-match DuckDB's ``list_cosine_similarity``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from atd_data_lake_spark.operators.scale import fan_out
+    from atd_data_lake_spark.operators.similarity import (
+        _cosine_matrix,
+        _round_half_up,
+    )
+
+    brows = sorted(
+        benchmark.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    if not brows:
+        raise ValueError("benchmark set is empty")
+    bids = np.array([r[0] for r in brows], dtype=np.int64)
+    bmat = np.array([r[1] for r in brows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("bench_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _round_half_up(_cosine_matrix(mat, bmat))  # n×b
+            # bids are sorted ascending, argmax takes the FIRST max →
+            # ties resolve to the smallest bench id deterministically
+            best = np.argmax(sims, axis=1)
+            best_sim = sims[np.arange(len(mat)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bench_id": bids[best],
+                    "cos_sim": best_sim,
+                    "contaminated": best_sim >= threshold,
+                }
+            )
+
+    return fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        op, schema=out_schema
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

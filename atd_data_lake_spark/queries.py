@@ -2109,6 +2109,14 @@ from atd_data_lake_spark.round27_queries import (  # noqa: E402
 QUERIES.update(ROUND27_QUERIES)
 ORACLES.update(ROUND27_ORACLES)
 
+from atd_data_lake_spark.round28_queries import (  # noqa: E402
+    ROUND28_ORACLES,
+    ROUND28_QUERIES,
+)
+
+QUERIES.update(ROUND28_QUERIES)
+ORACLES.update(ROUND28_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep (50 rows in round 1, for 75 entries).
