@@ -103,6 +103,9 @@ HEADLINE = [
     "sim_recall_eval",
     "text_zipf_fit",
     "emb_drift_shift",
+    # round-28 flagships (TPC-H set completion + semantic decontam)
+    "q5_local_supplier_volume",
+    "cur_semantic_decontaminate",
 ]
 
 
