@@ -2214,6 +2214,10 @@ _DRIVER_PRIORITY = [
     "rfm_segments",
     "evt_sliding_window",
     "evt_session_window",
+    # round-28 additions enter BEHIND the never-checked backlog above
+    # (freeze policy) but before the previously-green rotation below
+    "q5_local_supplier_volume",
+    "cur_semantic_decontaminate",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

@@ -203,9 +203,7 @@ def main() -> None:
     )
     li.count()
 
-    def pagerank_10x():
-        from pyspark.sql import Window as _W  # noqa: F401
-
+    def _copurchase_edges_10x():
         baskets = li.groupBy("l_orderkey").agg(
             F.array_sort(F.collect_set("l_partkey")).alias("parts")
         )
@@ -216,34 +214,36 @@ def main() -> None:
                 F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
             )
             .distinct()
-            .persist()
         )
-        edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        return pairs.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst")
+        ).unionAll(
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-        edges = edges.join(deg, "src").persist()
-        M = 1_000_000_000_000
-        base = deg.agg(F.count("*").alias("n")).select(
-            F.expr(f"{M} div n").alias("_m0"),
-            F.expr(f"(15*{M}) div (100*n)").alias("_base"),
+
+    def pagerank_10x():
+        from atd_data_lake_spark.operators.graph import pagerank_masses
+
+        return pagerank_masses(_copurchase_edges_10x(), n_iter=5).orderBy(
+            F.desc("mass"), "node"
+        ).limit(100)
+
+    def pagerank_10x_hub_salted():
+        # hub injection: one synthetic node wired to EVERY part in the
+        # base replica (worst-degree row), then the salted adjacency
+        # must keep per-row neighbor lists bounded at ~deg/16 while
+        # producing masses through the identical integer arithmetic
+        from atd_data_lake_spark.operators.graph import pagerank_masses
+
+        hub = F.lit(-777).cast("long")
+        parts0 = li0.select(F.col("l_partkey").alias("dst")).distinct()
+        hub_edges = parts0.select(hub.alias("src"), "dst").unionAll(
+            parts0.select(F.col("dst").alias("src"), hub.alias("dst"))
         )
-        ranks = deg.select("src").crossJoin(F.broadcast(base)).select(
-            F.col("src").alias("node"), F.col("_m0").alias("mass"), F.col("_base")
-        )
-        for _ in range(5):
-            contrib = (
-                edges.join(ranks, edges["src"] == ranks["node"])
-                .select("dst", F.expr("(85*mass) div (100*deg)").alias("c"), "_base")
-                .groupBy("dst")
-                .agg(F.sum("c").alias("_in"), F.first("_base").alias("_base"))
-            )
-            ranks = contrib.select(
-                F.col("dst").alias("node"),
-                (F.col("_base") + F.col("_in")).alias("mass"),
-                "_base",
-            )
-        return ranks.orderBy(F.desc("mass"), "node").limit(100)
+        edges = _copurchase_edges_10x().unionAll(hub_edges)
+        return pagerank_masses(edges, n_iter=5, salt_buckets=16).orderBy(
+            F.desc("mass"), "node"
+        ).limit(100)
 
     def interval_coverage_10x():
         from pyspark.sql import Window as W
@@ -271,6 +271,7 @@ def main() -> None:
         )
 
     ops["pagerank_10x_graph"] = pagerank_10x
+    ops["pagerank_10x_hub_salted"] = pagerank_10x_hub_salted
     ops["interval_coverage"] = interval_coverage_10x
 
     # round-13/14 additions: the triangle census on 10 disjoint graph
