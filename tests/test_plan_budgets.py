@@ -111,7 +111,10 @@ EXCHANGE_BUDGETS = {
     # the basket subtree is persisted and computes ONCE at runtime; the
     # pre-execution plan string prints its lineage under each consumer,
     # so the static count over-reports (real shuffle count ≈ 4)
-    "mb_copurchase_lift": 8,
+    # round-4 rewrite: pair+singleton+sentinel rows union into ONE
+    # groupBy — baskets shuffle + combined-counts shuffle (deduped
+    # cache accounting; was 8 under the triple-aggregation plan)
+    "mb_copurchase_lift": 2,
     "w3_percent_rank_cume": 2,
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
@@ -141,9 +144,13 @@ def test_exchange_budget(spark, sf_dir, name):
     # cached subtree's exchanges through InMemoryTableScan — count each
     # query's OWN plan, not its neighbors' cache residue
     spark.catalog.clearCache()
+    from atd_data_lake_spark.plancheck import count_exchanges
+
     df = QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    exchanges = len(re.findall(r"\bExchange\b", plan))
+    # count through plancheck.dedupe_cached: a frame persisted once but
+    # referenced N times prints its cached subtree N times, while the
+    # runtime materializes it once (same accounting as plan_report.py)
+    exchanges = count_exchanges(df)
     assert exchanges <= EXCHANGE_BUDGETS[name], (
         f"{name}: {exchanges} exchanges > budget {EXCHANGE_BUDGETS[name]} — "
         "a shuffle crept in; fix the plan or deliberately raise the budget"
