@@ -6,8 +6,11 @@ join pushed down as a dbtable subquery — one round trip, the warehouse
 does the join — or (b) two table reads joined Spark-side when the
 detector dimension is reused across days (broadcast, J11→J4).
 
-No MSSQL exists in this environment; the helper builds the reader
-unconnected and is exercised by plan-construction only.
+No MSSQL exists in this environment; tests/test_jdbc_executed.py
+executes the full round trip against embedded Derby (bundled with
+Spark) instead — DDL and rows in through java.sql.DriverManager, the
+joined day slice back through this reader, with the plan asserted to be
+a single JDBCRelation scan (the database performs the join).
 """
 
 from __future__ import annotations
