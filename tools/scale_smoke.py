@@ -113,6 +113,15 @@ def main() -> None:
 
     cent = [(int(r[0]), list(r[1])) for r in emb0.limit(8).collect()]
     ops["centroid_assign"] = lambda: centroid_assign(emb, cent)
+
+    # round-28: benchmark matrix ships in the closure — one zero-shuffle
+    # map stage over the 10× corpus, wall must track the scan alone
+    from atd_data_lake_spark.operators.curation import semantic_decontaminate
+
+    bench = emb0.filter(F.col("vec_id") % 100 == 0)
+    ops["semantic_decontaminate"] = lambda: semantic_decontaminate(
+        emb, bench, threshold=0.30
+    )
     ops["ngram_containment"] = lambda: ngram_containment_pairs(
         docs, n=3, threshold=0.8
     )
