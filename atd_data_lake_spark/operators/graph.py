@@ -36,6 +36,7 @@ def pagerank_masses(
     n_iter: int = 5,
     total_mass: int = 1_000_000_000_000,
     salt_buckets: int | None = None,
+    dedupe_edges: bool = False,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` integer-exact PageRank rounds.
 
@@ -48,15 +49,31 @@ def pagerank_masses(
     ``salt_buckets=k`` splits each node's neighbor list across ``k``
     hash buckets (hub-degree bound) with bit-identical output.
 
+    ``dedupe_edges=True`` accepts a NON-distinct edge stream and
+    dedupes it inside the adjacency aggregation (``collect_set`` /
+    ``n_distinct``) — the map-side partial agg dedupes before the
+    shuffle, so callers can skip their own ``.distinct()`` exchange
+    over the full edge stream (one exchange saved on the cold path;
+    output bit-identical since deg and the neighbor set are the same).
+
     NOTE: nodes with out-degree but no in-edges still appear (every
     node of this symmetric-orientation graph has both); sink handling
     follows the registry query's convention (mass re-derived from
     in-contributions each round).
     """
+    if dedupe_edges:
+        # collect_set dedupes in the PARTIAL (map-side) aggregation, so
+        # duplicate edges never reach the shuffle; size(dsts) is the
+        # distinct degree
+        neigh_agg = F.collect_set("dst").alias("dsts")
+    else:
+        neigh_agg = F.collect_list("dst").alias("dsts")
+
     if salt_buckets is None:
         adj = (
             edges.groupBy("src")
-            .agg(F.count("*").alias("deg"), F.collect_list("dst").alias("dsts"))
+            .agg(neigh_agg)
+            .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
             .persist()
         )
         nodes = adj.select("src")  # unique by construction: groupBy key
@@ -66,9 +83,9 @@ def pagerank_masses(
                 "src",
                 F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_bkt"),
             )
-            .agg(
-                F.count("*").alias("_deg_b"),
-                F.collect_list("dst").alias("dsts"),
+            .agg(neigh_agg)
+            .select(
+                "src", F.size("dsts").cast("long").alias("_deg_b"), "dsts"
             )
             .persist()
         )

@@ -78,14 +78,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    pairs = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "pa"))
-        .select(
-            "pa",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
-        )
-        .distinct()
+    pairs = baskets.select(
+        "parts", F.posexplode("parts").alias("_i", "pa")
+    ).select(
+        "pa",
+        F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
     )
+    # NO .distinct() here: the raw pair stream (duplicates across
+    # baskets) feeds the adjacency groupBy, whose map-side collect_set
+    # partial dedupes before the shuffle — one full-edge-stream
+    # exchange saved vs distinct-then-aggregate, output bit-identical
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -95,7 +97,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant, which is bit-identical — tests/test_graph_salted.py)
     from atd_data_lake_spark.operators.graph import pagerank_masses
 
-    ranks = pagerank_masses(edges, n_iter=_PR_ITER, total_mass=_PR_MASS)
+    ranks = pagerank_masses(
+        edges, n_iter=_PR_ITER, total_mass=_PR_MASS, dedupe_edges=True
+    )
     return (
         ranks.select(F.col("node").alias("part"), "mass")
         .orderBy(F.desc("mass"), "part")
