@@ -226,7 +226,7 @@ def semantic_decontaminate(
     def op(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                continue
+                continue  # np.stack crashes on an empty partition
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = _round_half_up(_cosine_matrix(mat, bmat))  # n×b
             # bids are sorted ascending, argmax takes the FIRST max →
