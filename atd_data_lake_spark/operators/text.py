@@ -556,3 +556,56 @@ def unigram_logprob_score(
             "mean_logprob",
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    common_df: int = 2,
+) -> DataFrame:
+    """Memorization-risk scan: per document, the fraction of its
+    distinct word n-gram shingles that are "common" — shared with at
+    least ``common_df`` documents corpus-wide.
+
+    The per-DOCUMENT complement of the near-dup detectors: a doc can be
+    far from every single neighbor (low pairwise Jaccard) yet consist
+    mostly of corpus-frequent boilerplate n-grams — exactly the
+    over-represented spans an LM memorizes.  Low ``novelty_ratio`` →
+    boilerplate/template documents; combine with `quality_score` for
+    pruning decisions.
+
+    Output: (id, n_shingles, n_common, novelty_ratio) for every doc
+    with ≥ n tokens, novelty_ratio = round(1 − n_common/n_shingles, 6).
+
+    Scale shape (100 TB): shingling is the Arrow map stage shared with
+    the Jaccard/MinHash family (``shingle_hash_rows`` — 8-byte hashes,
+    never shingle strings, on the wire); then ONE hash-keyed exchange
+    builds the df counts, one join of (id, hash, sz) rows against the
+    (hash, df) side, one id-keyed agg.  Hot (stop-phrase) shingles skew
+    the df groupBy → map-side partial combine absorbs them; the join is
+    AQE-skew-eligible.  Nothing materializes per-shingle posting lists.
+    """
+    from atd_data_lake_spark.operators.dedup import shingle_hash_rows
+
+    sh = shingle_hash_rows(df, id_col, text_col, n=n, with_size=True)
+    dfc = sh.groupBy("_hash").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfc, "_hash")
+        .groupBy("_id")
+        .agg(
+            F.first("_sz").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= common_df, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.lit(1.0) - F.col("n_common") / F.col("n_shingles"), 6
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -2218,6 +2218,7 @@ _DRIVER_PRIORITY = [
     # (freeze policy) but before the previously-green rotation below
     "q5_local_supplier_volume",
     "cur_semantic_decontaminate",
+    "text_ngram_novelty",
     "j1_incremental_antijoin",
     "j2_enrich_broadcast",
     "j3_double_enrich",

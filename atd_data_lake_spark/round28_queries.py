@@ -166,12 +166,60 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — memorization-risk scan (common-shingle fraction)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_COMMON_DF = 2
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty profile: fraction of each doc's distinct
+    word trigrams shared with >= 2 documents (operators/text.ngram_novelty
+    — the per-document complement of the pairwise near-dup detectors;
+    the planted duplicates in the synthetic corpus give a real common
+    tail)."""
+    from atd_data_lake_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty(d, common_df=_NOVELTY_COMMON_DF).orderBy("doc_id")
+
+
+TEXT_NGRAM_NOVELTY_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+dfc AS (SELECT shingle, count(*) AS dfn FROM g GROUP BY 1),
+per AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN dfc.dfn >= {_NOVELTY_COMMON_DF}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+    FROM g JOIN dfc USING (shingle)
+    GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_common,
+       round(1.0 - n_common * 1.0 / n_shingles, 6) AS novelty_ratio
+FROM per
+ORDER BY doc_id
+"""
+
+
 ROUND28_QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "cur_semantic_decontaminate": cur_semantic_decontaminate,
+    "text_ngram_novelty": text_ngram_novelty,
 }
 
 ROUND28_ORACLES = {
     "q5_local_supplier_volume": Q5_SQL,
     "cur_semantic_decontaminate": CUR_SEMDECON_SQL,
+    "text_ngram_novelty": TEXT_NGRAM_NOVELTY_SQL,
 }

@@ -106,6 +106,7 @@ HEADLINE = [
     # round-28 flagships (TPC-H set completion + semantic decontam)
     "q5_local_supplier_volume",
     "cur_semantic_decontaminate",
+    "text_ngram_novelty",
 ]
 
 

@@ -72,3 +72,34 @@ def test_q5_same_nation_only(spark, sf_dir):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_ngram_novelty_planted_boilerplate(spark):
+    """A doc made of corpus-common trigrams scores near-zero novelty; a
+    unique doc scores 1.0; sub-n docs drop out."""
+    from atd_data_lake_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),   # shares 2 of its trigrams
+            (3, "entirely novel words appear here once"),
+            (4, "too short"),                     # < 3 tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, common_df=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1: trigrams {t q b, q b f, b f j}; shares the first two with doc2
+    assert out[1]["n_shingles"] == 3 and out[1]["n_common"] == 2
+    assert out[1]["novelty_ratio"] == pytest.approx(0.333333)
+    assert out[3]["n_common"] == 0 and out[3]["novelty_ratio"] == 1.0
+
+
+def test_ngram_novelty_registry_signal(spark, sf_dir):
+    out = QUERIES["text_ngram_novelty"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(0.0 <= r["novelty_ratio"] <= 1.0 for r in rows)
+    # the synthetic corpus is template-generated: common tail must exist
+    assert any(r["n_common"] > 0 for r in rows)
