@@ -589,7 +589,9 @@ def ngram_novelty(
     """
     from atd_data_lake_spark.operators.dedup import shingle_hash_rows
 
-    sh = shingle_hash_rows(df, id_col, text_col, n=n, with_size=True)
+    # sh feeds BOTH the df count and the membership join: persist so
+    # the Arrow shingling stage runs once, not twice
+    sh = shingle_hash_rows(df, id_col, text_col, n=n, with_size=True).persist()
     dfc = sh.groupBy("_hash").agg(F.count("*").alias("_df"))
     return (
         sh.join(dfc, "_hash")
