@@ -177,6 +177,7 @@ def semantic_decontaminate(
     threshold: float = 0.30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_benchmark_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: flag training docs
     whose embedding is too close (cosine) to any held-out eval vector.
@@ -206,6 +207,17 @@ def semantic_decontaminate(
         _round_half_up,
     )
 
+    # Enforce the "benchmark sets are small" contract BEFORE collecting:
+    # a miscalled benchmark=corpus would otherwise OOM the driver and ship
+    # an O(N) matrix in every task closure (same gate pattern as
+    # similarity.embedding_near_dups' max_collect_rows).
+    n_bench = benchmark.limit(max_benchmark_rows + 1).count()
+    if n_bench > max_benchmark_rows:
+        raise ValueError(
+            f"benchmark set exceeds max_benchmark_rows={max_benchmark_rows}; "
+            "semantic_decontaminate broadcasts the benchmark matrix to every "
+            "task — pass a held-out eval set (10^3-10^5 rows), not a corpus"
+        )
     brows = sorted(
         benchmark.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )

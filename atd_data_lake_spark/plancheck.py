@@ -1,13 +1,30 @@
-"""Physical-plan string accounting shared by tools/plan_report.py and
+"""Physical-plan accounting shared by tools/plan_report.py and
 tests/test_plan_budgets.py.
 
 A frame persisted once but referenced N times prints its cached child
 plan under EVERY InMemoryRelation occurrence, so naive substring counts
 charge N× the exchanges/scans the runtime actually executes (the cache
-materializes once).  ``dedupe_cached`` keeps one copy of each distinct
-cached subtree — normalized by stripping the tree-drawing prefix,
-expression ids, and plan ids — recursively, since a cached plan may
-itself reference another cached frame.
+materializes once).
+
+Two accounting paths:
+
+- ``count_exchanges`` (the budget gate) walks the JVM plan tree and
+  keys cached subtrees on their ``CachedRDDBuilder`` identity — the
+  object the runtime itself dedups on.  String normalization CANNOT do
+  this correctly: the printed child plan of two *different* caches with
+  identical structure carries the same original expr ids (verified on
+  Spark 4: both print ``Project [id#0L, ...]``), while a *re-reference*
+  of one cache is re-aliased by DeduplicateRelations — so the string
+  alone can neither split distinct-but-identical caches nor merge
+  self-join re-references.  Exchange nodes are counted on each distinct
+  plan fragment's string with all InMemoryRelation blocks stripped
+  (each cache's own exchanges are added exactly once).
+- ``dedupe_cached`` (display only, tools/plan_report.py) collapses
+  repeated InMemoryRelation printouts by normalized structure.  It can
+  under-report a genuinely duplicated identical-structure cache — fine
+  for a human-readable report, not for the budget gate.  The seen set
+  threads through the recursion so a nested cache referenced under two
+  distinct outer caches is still printed only once.
 """
 
 from __future__ import annotations
@@ -19,10 +36,10 @@ def _depth(s: str) -> int:
     return re.match(r"^[\s:+\-]*", s).end()
 
 
-def dedupe_cached(plan: str) -> str:
-    """Collapse repeated InMemoryRelation child-plan printouts."""
+def dedupe_cached(plan: str, _seen: set[str] | None = None) -> str:
+    """Collapse repeated InMemoryRelation child-plan printouts (display)."""
     out_lines: list[str] = []
-    seen: set[str] = set()
+    seen: set[str] = _seen if _seen is not None else set()
     lines = plan.split("\n")
     i = 0
     while i < len(lines):
@@ -40,11 +57,102 @@ def dedupe_cached(plan: str) -> str:
             norm = re.sub(r"plan_id=\d+", "plan_id=x", norm)
             if norm not in seen:
                 seen.add(norm)
-                out_lines.append(dedupe_cached("\n".join(block)))
+                out_lines.append(dedupe_cached("\n".join(block), seen))
     return "\n".join(out_lines)
 
 
+def strip_cached(plan: str) -> str:
+    """Drop every InMemoryRelation child-plan block from a plan string
+    (the cache's own exchanges are accounted separately, once)."""
+    out: list[str] = []
+    lines = plan.split("\n")
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        out.append(line)
+        i += 1
+        if "InMemoryRelation" in line:
+            d = _depth(line)
+            while i < len(lines) and _depth(lines[i]) > d:
+                i += 1
+    return "\n".join(out)
+
+
+def _distinct_cached_plans(root) -> list:
+    """Walk a JVM SparkPlan tree; return each DISTINCT cache's cached
+    physical plan (identity = ``CachedRDDBuilder`` equality, which is
+    reference equality for re-references of one cache and false for
+    different caches even when structurally identical).  Descends
+    through AQE wrappers, query stages, subqueries, and nested caches.
+    All JVM calls are defensive — a node type without the accessor is
+    simply not descended through that edge.
+    """
+    builders: list = []  # (builder jobj, cachedPlan jobj)
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        try:
+            cls = n.getClass().getSimpleName()
+        except Exception:
+            continue
+        if cls == "InMemoryTableScanExec":
+            try:
+                rel = n.relation()
+                b = rel.cacheBuilder()
+                if not any(ob.equals(b) for ob, _ in builders):
+                    cp = rel.cachedPlan()
+                    builders.append((b, cp))
+                    stack.append(cp)  # a cache may read another cache
+            except Exception:
+                pass
+            continue
+        if cls == "AdaptiveSparkPlanExec":
+            try:
+                stack.append(n.executedPlan())
+            except Exception:
+                pass
+        elif cls.endswith("QueryStageExec"):
+            try:
+                stack.append(n.plan())
+            except Exception:
+                pass
+        try:
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        except Exception:
+            pass
+        try:
+            sq = n.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:
+            pass
+    return [cp for _, cp in builders]
+
+
+def _plan_str(p) -> str:
+    """A plan fragment's printout with each shuffle printed ONCE: a
+    finalized AdaptiveSparkPlanExec's toString prints BOTH the Final and
+    Initial plans (every Exchange twice), so unwrap to the current
+    physical plan first."""
+    try:
+        if p.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            return p.executedPlan().toString()
+    except Exception:
+        pass
+    return p.toString()
+
+
 def count_exchanges(df) -> int:
-    """Exchange nodes the runtime will actually execute (deduped)."""
-    plan = dedupe_cached(df._jdf.queryExecution().executedPlan().toString())
-    return len(re.findall(r"\bExchange\b", plan))
+    """Shuffle Exchange nodes the runtime will actually execute: the top
+    plan's exchanges plus each DISTINCT cache's exchanges, exactly once.
+    (BroadcastExchange deliberately does not match ``\\bExchange\\b`` —
+    budgets track shuffles.)"""
+    plan = df._jdf.queryExecution().executedPlan()
+    total = len(re.findall(r"\bExchange\b", strip_cached(_plan_str(plan))))
+    for cp in _distinct_cached_plans(plan):
+        total += len(
+            re.findall(r"\bExchange\b", strip_cached(_plan_str(cp)))
+        )
+    return total

@@ -2126,15 +2126,183 @@ ORACLES.update(ROUND28_ORACLES)
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-4 ordering, rebuilt from CORRECTNESS_r01+r02+r03: (1)
-    # cur_token_budget first (the one r3 hash-fail -- oracle HUGEINT cast
-    # fixed this round, must re-verify), (2) the four EXECUTED streaming
-    # queries (environment-sensitive under the driver harness: state-store
-    # dirs, availableNow termination -- verify early), (3) the remaining 74
-    # never-driver-checked entries in registry order (the sweep caps at 50,
-    # so ~29 spill to round 5 -- registry growth is frozen until that
-    # backlog clears), (4) previously-green rows, stalest-round-first so
-    # staleness rotates through the cap.
+    # round-5 ordering, rebuilt from CORRECTNESS_r01+r02+r03+r04: (1) the
+    # 32 registry entries that have never received a driver CORRECTNESS row
+    # (the complete remaining backlog -- fits in one 50-row sweep), then
+    # (2) previously-green rows stalest-round-first so staleness rotates
+    # through the cap. Registry growth stays frozen until the backlog is
+    # zero after the r05 sweep.
+    "stats_moments",
+    "mm_image_phash",
+    "emb_pq_codes",
+    "cur_weighted_sample",
+    "evt_change_points",
+    "olap_revenue_gini",
+    "emb_pca_project",
+    "w4_value_frames",
+    "evt_user_entropy",
+    "olap_pareto_8020",
+    "text_compression_ratio",
+    "text_fertility_by_lang",
+    "io_compaction_plan",
+    "agg_heavy_hitters_mg",
+    "u4_intersect_except",
+    "dq_k_anonymity",
+    "evt_attribution_first_touch",
+    "dq_benford",
+    "dq_expectations",
+    "olap_yoy_growth",
+    "emb_matryoshka_eval",
+    "mm_scene_cuts",
+    "graph_k_hop",
+    "cur_dedup_weights",
+    "graph_triangles",
+    "text_bm25_topk",
+    "rfm_segments",
+    "evt_sliding_window",
+    "evt_session_window",
+    "q5_local_supplier_volume",
+    "cur_semantic_decontaminate",
+    "text_ngram_novelty",
+    # --- previously-green rows below, stalest-round-first ---
+    # last checked r1
+    "j1_incremental_antijoin",
+    "j2_enrich_broadcast",
+    "j3_double_enrich",
+    "j7_semi_join_pruning",
+    "j8_asof_backward",
+    "j9_asof_forward",
+    "j10_fuzzy_match",
+    "p4_pushdown_range",
+    "p12_case_normalize",
+    "p13_derived_flag",
+    "p14_split_extract",
+    "p15_guid_redash",
+    "u1_cross_day_union",
+    "s_scalar_record_id",
+    "s_scalar_timebin",
+    "s_date_parts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_profile",
+    "text_bpe_tokens",
+    "corpus_curation",
+    "dedup_clusters",
+    "text_repetition",
+    "text_langid_ngram",
+    "text_winnow_fingerprint",
+    "sim_knn_bruteforce",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "pipe_wt_standardize",
+    "pipe_wt_ready",
+    "pipe_wt_publish",
+    "pipe_bt_ready_unmatched",
+    "pipe_bt_publish_unmatched",
+    "pipe_bt_ready_matched",
+    "pipe_bt_publish_matched",
+    # last checked r2
+    "q1_pricing_summary",
+    "olap_star_join",
+    "a1_tumbling_window_15min",
+    "a2_daily_counts",
+    "a3_sensor_daily_obs",
+    "a5_first_seen_rank",
+    "a6_trailing_7day_avg",
+    "a7_latest_per_group",
+    "w1_daily_cumulative",
+    "o1_topk_per_group",
+    "o2_latest_top1",
+    "dedup_embedding_cosine",
+    "mm_media_features",
+    "mm_frame_sample",
+    "text_tfidf_top_terms",
+    "cur_split_assign",
+    "cur_stratified_sample",
+    "cur_decontaminate",
+    "cur_chunk_documents",
+    "cur_pack_chunks",
+    "cur_cap_per_source",
+    "cur_quality_gate",
+    "dedup_simhash",
+    "a1_streaming_parity",
+    "pipe_gs_agg",
+    "pipe_gs_publish",
+    "pipe_gs_clock_drift",
+    "p1_rename_map",
+    "p2_select_reorder",
+    "p3_null_safe_coercion",
+    "p6_same_day_exclusion",
+    "p7_file_kind_guard",
+    "p8_day_window",
+    "p9_regex_filter",
+    "p10_validity_filter",
+    "p11_dup_key_dedup",
+    "j5_left_join",
+    "a4_collect_range",
+    "a8_distinct_set",
+    "a9_item_count",
+    "o3_top1_latest",
+    "o5_fuzzy_top1_max_by",
+    "u2_union_distinct",
+    "u3_multi_pattern_union",
+    "s_haversine",
+    "agg_rollup",
+    "agg_cube",
+    "agg_exact_percentiles",
+    "agg_distinct_counts",
+    # last checked r3
+    "sessionize_batch",
+    "evt_time_window_join",
+    "evt_retention",
+    "text_top_tokens",
+    "emb_int8_quantize",
+    "q10_returned_items",
+    "j_asof_nearest",
+    "dedup_incremental_batch",
+    "evt_json_extract",
+    "evt_pivot",
+    "li_unpivot",
+    "evt_value_correlation",
+    "j_salted_skew_join",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_pricing",
+    "agg_group_medians",
+    "agg_approx_sketches",
+    "geo_radius_join",
+    "emb_label_centroids",
+    "cur_substring_decontaminate",
+    "evt_markov_transitions",
+    "doc_length_histogram",
+    "evt_rolling_active_users",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "evt_funnel",
+    "j9_asof_tolerance",
+    "p5_like_filter",
+    "w2_lead_lag_ntile",
+    "text_unigram_logprob",
+    "inc_agg_maintenance",
+    "evt_anomaly_zscore",
+    "agg_grouping_sets",
+    "text_pii_scrub",
+    "cur_keep_best_per_cluster",
+    "sim_semantic_dedup",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_priority_class",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    # last checked r4
     "cur_token_budget",
     "evt_stream_executed",
     "evt_stream_dedup_executed",
@@ -2185,174 +2353,6 @@ _DRIVER_PRIORITY = [
     "evt_burstiness",
     "dq_uniqueness",
     "text_hashing_tf",
-    "stats_moments",
-    "mm_image_phash",
-    "emb_pq_codes",
-    "cur_weighted_sample",
-    "evt_change_points",
-    "olap_revenue_gini",
-    "emb_pca_project",
-    "w4_value_frames",
-    "evt_user_entropy",
-    "olap_pareto_8020",
-    "text_compression_ratio",
-    "text_fertility_by_lang",
-    "io_compaction_plan",
-    "agg_heavy_hitters_mg",
-    "u4_intersect_except",
-    "dq_k_anonymity",
-    "evt_attribution_first_touch",
-    "dq_benford",
-    "dq_expectations",
-    "olap_yoy_growth",
-    "emb_matryoshka_eval",
-    "mm_scene_cuts",
-    "graph_k_hop",
-    "cur_dedup_weights",
-    "graph_triangles",
-    "text_bm25_topk",
-    "rfm_segments",
-    "evt_sliding_window",
-    "evt_session_window",
-    # round-28 additions enter BEHIND the never-checked backlog above
-    # (freeze policy) but before the previously-green rotation below
-    "q5_local_supplier_volume",
-    "cur_semantic_decontaminate",
-    "text_ngram_novelty",
-    "j1_incremental_antijoin",
-    "j2_enrich_broadcast",
-    "j3_double_enrich",
-    "j7_semi_join_pruning",
-    "j8_asof_backward",
-    "j9_asof_forward",
-    "j10_fuzzy_match",
-    "p4_pushdown_range",
-    "p12_case_normalize",
-    "p13_derived_flag",
-    "p14_split_extract",
-    "p15_guid_redash",
-    "u1_cross_day_union",
-    "s_scalar_record_id",
-    "s_scalar_timebin",
-    "s_date_parts",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_profile",
-    "text_bpe_tokens",
-    "corpus_curation",
-    "dedup_clusters",
-    "text_repetition",
-    "text_langid_ngram",
-    "text_winnow_fingerprint",
-    "sim_knn_bruteforce",
-    "dedup_minhash_lsh",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "pipe_wt_standardize",
-    "pipe_wt_ready",
-    "pipe_wt_publish",
-    "pipe_bt_ready_unmatched",
-    "pipe_bt_publish_unmatched",
-    "pipe_bt_ready_matched",
-    "pipe_bt_publish_matched",
-    "q1_pricing_summary",
-    "olap_star_join",
-    "a1_tumbling_window_15min",
-    "a2_daily_counts",
-    "a3_sensor_daily_obs",
-    "a5_first_seen_rank",
-    "a6_trailing_7day_avg",
-    "a7_latest_per_group",
-    "w1_daily_cumulative",
-    "o1_topk_per_group",
-    "o2_latest_top1",
-    "dedup_embedding_cosine",
-    "mm_media_features",
-    "mm_frame_sample",
-    "text_tfidf_top_terms",
-    "cur_split_assign",
-    "cur_stratified_sample",
-    "cur_decontaminate",
-    "cur_chunk_documents",
-    "cur_pack_chunks",
-    "cur_cap_per_source",
-    "cur_quality_gate",
-    "dedup_simhash",
-    "a1_streaming_parity",
-    "pipe_gs_agg",
-    "pipe_gs_publish",
-    "pipe_gs_clock_drift",
-    "p1_rename_map",
-    "p2_select_reorder",
-    "p3_null_safe_coercion",
-    "p6_same_day_exclusion",
-    "p7_file_kind_guard",
-    "p8_day_window",
-    "p9_regex_filter",
-    "p10_validity_filter",
-    "p11_dup_key_dedup",
-    "j5_left_join",
-    "a4_collect_range",
-    "a8_distinct_set",
-    "a9_item_count",
-    "o3_top1_latest",
-    "o5_fuzzy_top1_max_by",
-    "u2_union_distinct",
-    "u3_multi_pattern_union",
-    "s_haversine",
-    "agg_rollup",
-    "agg_cube",
-    "agg_exact_percentiles",
-    "agg_distinct_counts",
-    "sessionize_batch",
-    "evt_time_window_join",
-    "evt_retention",
-    "text_top_tokens",
-    "emb_int8_quantize",
-    "q10_returned_items",
-    "j_asof_nearest",
-    "dedup_incremental_batch",
-    "evt_json_extract",
-    "evt_pivot",
-    "li_unpivot",
-    "evt_value_correlation",
-    "j_salted_skew_join",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_pricing",
-    "agg_group_medians",
-    "agg_approx_sketches",
-    "geo_radius_join",
-    "emb_label_centroids",
-    "cur_substring_decontaminate",
-    "evt_markov_transitions",
-    "doc_length_histogram",
-    "evt_rolling_active_users",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "evt_funnel",
-    "j9_asof_tolerance",
-    "p5_like_filter",
-    "w2_lead_lag_ntile",
-    "text_unigram_logprob",
-    "inc_agg_maintenance",
-    "evt_anomaly_zscore",
-    "agg_grouping_sets",
-    "text_pii_scrub",
-    "cur_keep_best_per_cluster",
-    "sim_semantic_dedup",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_priority_class",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
 ]
 
 def _driver_order(d: dict) -> dict:

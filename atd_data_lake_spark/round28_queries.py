@@ -119,7 +119,12 @@ ORDER BY revenue DESC, n_name
 # ---------------------------------------------------------------------------
 
 _SEMDECON_THRESHOLD = 0.30
-_SEMDECON_BENCH_MOD = 100  # vec_id % 100 == 0 plays the held-out eval set
+# The held-out eval set is a FIXED id range (vec_id < 20), not a modulo
+# fraction: a fraction grows with SF, which contradicts the operator's
+# "benchmark sets are small" scale contract (the benchmark matrix ships in
+# every task closure and the DuckDB oracle cross-joins corpus x bench).
+# A fixed range keeps driver memory and oracle cost LINEAR in corpus size.
+_SEMDECON_BENCH_MAX_ID = 20
 
 
 def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +136,8 @@ def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atd_data_lake_spark.operators.curation import semantic_decontaminate
 
     emb = _t(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % _SEMDECON_BENCH_MOD == 0)
-    corpus = emb.filter(F.col("vec_id") % _SEMDECON_BENCH_MOD != 0)
+    bench = emb.filter(F.col("vec_id") < _SEMDECON_BENCH_MAX_ID)
+    corpus = emb.filter(F.col("vec_id") >= _SEMDECON_BENCH_MAX_ID)
     return semantic_decontaminate(
         corpus, bench, threshold=_SEMDECON_THRESHOLD
     ).orderBy("vec_id")
@@ -141,11 +146,11 @@ def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUR_SEMDECON_SQL = f"""
 WITH bench AS (
     SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bvec
-    FROM embeddings WHERE vec_id % {_SEMDECON_BENCH_MOD} = 0
+    FROM embeddings WHERE vec_id < {_SEMDECON_BENCH_MAX_ID}
 ),
 corpus AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec
-    FROM embeddings WHERE vec_id % {_SEMDECON_BENCH_MOD} <> 0
+    FROM embeddings WHERE vec_id >= {_SEMDECON_BENCH_MAX_ID}
 ),
 scored AS (
     SELECT c.vec_id, b.bench_id,

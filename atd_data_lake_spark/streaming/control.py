@@ -50,6 +50,15 @@ def stop_after_data_batch(query, timeout_s: float = 300.0) -> None:
         if not query.isActive:
             break
         time.sleep(0.2)
+    if not saw_data:
+        # One final re-scan before declaring a timeout: the data batch may
+        # have committed during the last poll sleep (or the loop exited on
+        # isActive=False after the final progress was published).  Without
+        # this, a batch landing in the final 200 ms gap is misreported as
+        # a timeout even though the sink is complete.
+        saw_data = any(
+            p and p.get("numInputRows", 0) > 0 for p in query.recentProgress
+        )
     if not saw_data and query.isActive and time.time() >= deadline:
         # Deadline lapsed without ever observing the data batch: the
         # memory sink may hold incomplete output.  Stop the query, then

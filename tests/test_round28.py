@@ -54,6 +54,16 @@ def test_semdecon_empty_benchmark_raises(spark):
         semantic_decontaminate(corpus, bench)
 
 
+def test_semdecon_oversized_benchmark_raises(spark):
+    """The collect gate: a benchmark larger than max_benchmark_rows must
+    raise BEFORE collecting (a miscalled benchmark=corpus would OOM the
+    driver at scale)."""
+    bench = _vec_df(spark, [(i, [1.0, 0.0]) for i in range(10)])
+    corpus = _vec_df(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="max_benchmark_rows"):
+        semantic_decontaminate(corpus, bench, max_benchmark_rows=5)
+
+
 def test_semdecon_registry_flags_tail(spark, sf_dir):
     """At every SF the 0.30 threshold flags a real non-empty, non-total
     tail (the synthetic embeddings' p99 benchmark cosine is ~0.29)."""
