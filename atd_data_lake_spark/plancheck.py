@@ -78,17 +78,31 @@ def strip_cached(plan: str) -> str:
     return "\n".join(out)
 
 
-def _distinct_cached_plans(root) -> list:
-    """Walk a JVM SparkPlan tree; return each DISTINCT cache's cached
-    physical plan (identity = ``CachedRDDBuilder`` equality, which is
-    reference equality for re-references of one cache and false for
-    different caches even when structurally identical).  Descends
-    through AQE wrappers, query stages, subqueries, and nested caches.
-    All JVM calls are defensive — a node type without the accessor is
-    simply not descended through that edge.
-    """
-    builders: list = []  # (builder jobj, cachedPlan jobj)
-    stack = [root]
+def count_exchanges(df) -> int:
+    """Distinct shuffle exchanges the runtime will actually MATERIALIZE.
+
+    Walks the JVM plan tree (not the printout) and counts
+    ``ShuffleExchangeExec`` nodes deduplicated two ways, both mirroring
+    what the engine itself deduplicates:
+
+    - cached subtrees by ``CachedRDDBuilder`` identity — a frame
+      persisted once but referenced N times contributes its shuffles
+      once (the cache materializes once);
+    - canonically-equal exchanges by ``semanticHash`` — AQE's stage
+      cache (``spark.sql.exchange.reuse``) materializes one shuffle and
+      wraps every other occurrence in ReusedExchange, so a subtree the
+      optimizer duplicated (e.g. a multi-branch union re-reading one
+      grouped frame) still shuffles once at runtime.
+
+    Broadcast exchanges are deliberately NOT counted — budgets track
+    shuffles.  Descends through AQE wrappers, query stages, subqueries,
+    and nested caches; every JVM accessor is defensive, and a shuffle
+    whose ``semanticHash`` call fails is counted as unique (overcount,
+    never undercount)."""
+    shuffle_hashes: set[int] = set()
+    unkeyed = 0
+    builders: list = []  # distinct CachedRDDBuilder jobjs
+    stack = [df._jdf.queryExecution().executedPlan()]
     while stack:
         n = stack.pop()
         try:
@@ -99,14 +113,18 @@ def _distinct_cached_plans(root) -> list:
             try:
                 rel = n.relation()
                 b = rel.cacheBuilder()
-                if not any(ob.equals(b) for ob, _ in builders):
-                    cp = rel.cachedPlan()
-                    builders.append((b, cp))
-                    stack.append(cp)  # a cache may read another cache
+                if not any(ob.equals(b) for ob in builders):
+                    builders.append(b)
+                    stack.append(rel.cachedPlan())  # caches can nest
             except Exception:
                 pass
             continue
-        if cls == "AdaptiveSparkPlanExec":
+        if cls == "ShuffleExchangeExec":
+            try:
+                shuffle_hashes.add(n.semanticHash())
+            except Exception:
+                unkeyed += 1
+        elif cls == "AdaptiveSparkPlanExec":
             try:
                 stack.append(n.executedPlan())
             except Exception:
@@ -128,31 +146,4 @@ def _distinct_cached_plans(root) -> list:
                 stack.append(sq.apply(i))
         except Exception:
             pass
-    return [cp for _, cp in builders]
-
-
-def _plan_str(p) -> str:
-    """A plan fragment's printout with each shuffle printed ONCE: a
-    finalized AdaptiveSparkPlanExec's toString prints BOTH the Final and
-    Initial plans (every Exchange twice), so unwrap to the current
-    physical plan first."""
-    try:
-        if p.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-            return p.executedPlan().toString()
-    except Exception:
-        pass
-    return p.toString()
-
-
-def count_exchanges(df) -> int:
-    """Shuffle Exchange nodes the runtime will actually execute: the top
-    plan's exchanges plus each DISTINCT cache's exchanges, exactly once.
-    (BroadcastExchange deliberately does not match ``\\bExchange\\b`` —
-    budgets track shuffles.)"""
-    plan = df._jdf.queryExecution().executedPlan()
-    total = len(re.findall(r"\bExchange\b", strip_cached(_plan_str(plan))))
-    for cp in _distinct_cached_plans(plan):
-        total += len(
-            re.findall(r"\bExchange\b", strip_cached(_plan_str(cp)))
-        )
-    return total
+    return len(shuffle_hashes) + unkeyed

@@ -114,7 +114,12 @@ EXCHANGE_BUDGETS = {
     # round-4 rewrite: pair+singleton+sentinel rows union into ONE
     # groupBy — baskets shuffle + combined-counts shuffle (deduped
     # cache accounting; was 8 under the triple-aggregation plan)
-    "mb_copurchase_lift": 2,
+    # 5 DISJOINT-slice shuffles, not 5 passes: one baskets shuffle
+    # (lineitem→l_orderkey, AQE-reused by every branch) plus the pushed-
+    # down pair/singleton/sentinel branch shuffles that together carry
+    # the same bytes the old single counts exchange did. Deliberately
+    # raised from 2 when the two persists were dropped (5.4→1.4 s cold)
+    "mb_copurchase_lift": 5,
     "w3_percent_rank_cume": 2,
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
