@@ -245,6 +245,99 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_pairs_jaccard(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for GIVEN candidate pairs — the verify stage
+    every LSH dedup pipeline runs before acting on candidates.
+
+    Candidate-driven, never corpus-quadratic: pairs join to the a-side
+    shingle postings (one equi-join on id, |pairs|·|shingles/doc| rows),
+    then to the b-side postings on (id, hash) to count the intersection;
+    set sizes ride along so no separate size aggregation or re-join.
+    Cost is linear in candidate volume — which LSH banding already made
+    linear in corpus size — independent of how big the corpus is.
+
+    Output: (id_a, id_b, jaccard) for pairs with exact J ≥ threshold,
+    rounded to 6 places — same contract as ``ngram_jaccard_pairs``.
+    """
+    sh = shingle_hash_rows(docs, id_col, text_col, shingle_n, with_size=True)
+    a_side = (
+        cands.select("id_a", "id_b")
+        .join(sh.alias("a"), F.col("id_a") == F.col("a._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("a._hash").alias("_ha"),
+            F.col("a._sz").alias("_sza"),
+        )
+    )
+    inter = (
+        a_side.join(
+            sh.alias("b"),
+            (F.col("id_b") == F.col("b._id"))
+            & (F.col("_ha") == F.col("b._hash")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("_inter"),
+            F.min("_sza").alias("_min_sza"),
+            F.min("b._sz").alias("_szb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_min_sza") + F.col("_szb") - F.col("_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs VERIFIED by exact Jaccard — the full
+    production dedup shape (candidates are an internal artifact; acting
+    on them unverified deletes false positives).
+
+    Recall: a pair with true Jaccard j survives banding with
+    p = 1 − (1 − j^r)^bands, r = num_hashes/bands.  The defaults
+    (r = 2, 32 bands) give miss probability (1 − 0.64)³² ≈ 6e-15 at
+    j = 0.8 — and the hash family is deterministic (fixed multipliers
+    over ``pd.util.hash_array``), so a given corpus either passes or
+    misses reproducibly, never randomly.  r = 2 admits more false
+    candidates than r = 4; the exact-verify join filters them, trading
+    bounded candidate volume for provable recall at the threshold.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, exact J ≥ threshold —
+    equals ``ngram_jaccard_pairs(df, threshold)`` whenever no true pair
+    is banding-missed, which makes this operator SQL-oracle-checkable.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    return verify_pairs_jaccard(
+        cands, df, id_col, text_col, shingle_n, threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -634,6 +727,49 @@ def incremental_near_dup_new(
     dup_ids = cands.select(F.col("id_b").alias("_dup_id")).distinct()
     return incoming.join(
         dup_ids, F.col(id_col) == F.col("_dup_id"), "left_anti"
+    )
+
+
+def incremental_minhash_near_dups(
+    standing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    standing_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-ingest near-dup pairs VERIFIED by exact Jaccard —
+    ``incremental_minhash_candidates`` (standing side never self-joins)
+    followed by the candidate-driven ``verify_pairs_jaccard`` stage.
+
+    Same deterministic-recall geometry as ``minhash_near_dups`` (r = 2,
+    32 bands ⇒ miss ≈ 6e-15 at J = 0.8), so the output equals the exact
+    cross-group Jaccard pair set and is SQL-oracle-checkable.  The
+    verify join reads shingles for BOTH sides from the union frame —
+    candidate-bounded, so the standing corpus is still never shuffled
+    wholesale.
+
+    Output: (id_a, id_b, jaccard) with exact J ≥ threshold; id_b is
+    always an incoming doc, id_a < id_b when both are incoming.
+    """
+    cands = incremental_minhash_candidates(
+        standing,
+        incoming,
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        standing_sig,
+    )
+    docs = standing.select(id_col, text_col).unionByName(
+        incoming.select(id_col, text_col)
+    )
+    return verify_pairs_jaccard(
+        cands, docs, id_col, text_col, shingle_n, threshold
     )
 
 

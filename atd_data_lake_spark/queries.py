@@ -24,8 +24,8 @@ from atd_data_lake_spark.functions.datetime_fns import floor_15min_epoch, timebi
 from atd_data_lake_spark.operators.asof import asof_join
 from atd_data_lake_spark.operators.dedup import (
     exact_dedup,
-    incremental_minhash_candidates,
-    minhash_lsh_candidates,
+    incremental_minhash_near_dups,
+    minhash_near_dups,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -922,6 +922,41 @@ FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
 WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.1
 """
 
+# Oracles for the VERIFIED MinHash queries: banding recall at the
+# r=2/32-band geometry is 1 − ~6e-15 at J = 0.8 (and deterministic), so
+# the verified output equals the exact Jaccard pair set — which DuckDB
+# computes directly, no MinHash needed.
+DEDUP_MINHASH_SQL = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+    FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.8
+"""
+
+# Incremental variant: only pairs touching the incoming batch
+# (doc_id % 10 == 7); id_b is always incoming, id_a < id_b when both are.
+DEDUP_INC_MINHASH_SQL = """
+WITH p AS (""" + DEDUP_MINHASH_SQL + """)
+SELECT CASE WHEN id_a % 10 = 7 AND id_b % 10 <> 7 THEN id_b ELSE id_a END AS id_a,
+       CASE WHEN id_a % 10 = 7 AND id_b % 10 <> 7 THEN id_a ELSE id_b END AS id_b,
+       jaccard
+FROM p
+WHERE id_a % 10 = 7 OR id_b % 10 = 7
+"""
+
 
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, punctuation ratio, heuristic language
@@ -1253,25 +1288,30 @@ FROM (
 
 
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64-based; no SQL oracle —
-    driver records rows-only check)."""
+    """MinHash+LSH near-dup pairs, VERIFIED by exact Jaccard ≥ 0.8 —
+    the full production shape (operators/dedup.minhash_near_dups).
+    Because banding recall at the r=2/32-band geometry is 1 − 6e-15 at
+    J = 0.8 (and the hash family is deterministic), the output equals
+    the exact Jaccard pair set, which the DuckDB oracle computes
+    directly — upgrading this from the rows-only check the candidate
+    form was limited to."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, num_hashes=32, bands=8)
+    return minhash_near_dups(d, num_hashes=64, bands=32, threshold=0.8)
 
 
 def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-ingest near-dup candidates: docs with doc_id%10==7
-    arrive as the new batch against the rest as standing corpus
-    (operators/dedup.py incremental_minhash_candidates — the standing
-    side never self-joins; incoming band keys broadcast).  xxhash64-
-    based like dedup_minhash_lsh — driver records rows-only; the
-    full-corpus-restriction equivalence is pytest-enforced
-    (test_dedup_scale.py)."""
+    """Continuous-ingest near-dup pairs: docs with doc_id%10==7 arrive
+    as the new batch against the rest as standing corpus; candidates
+    (standing side never self-joins; incoming band keys broadcast) are
+    verified by exact Jaccard ≥ 0.8
+    (operators/dedup.incremental_minhash_near_dups).  Deterministic
+    recall ≈ 1 at the r=2/32-band geometry makes the output equal the
+    exact cross-group pair set — SQL-oracle-checked (was rows-only)."""
     d = _t(spark, sf_dir, "documents")
     standing = d.filter(F.col("doc_id") % 10 != 7)
     incoming = d.filter(F.col("doc_id") % 10 == 7)
-    return incremental_minhash_candidates(
-        standing, incoming, num_hashes=32, bands=8
+    return incremental_minhash_near_dups(
+        standing, incoming, num_hashes=64, bands=32, threshold=0.8
     )
 
 
@@ -1859,6 +1899,8 @@ ORACLES: dict[str, str] = {
     "s_date_parts": S_DATE_PARTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_incremental_minhash": DEDUP_INC_MINHASH_SQL,
     "text_profile": _text_profile_sql(),
     "text_bpe_tokens": _text_bpe_tokens_sql(),
     "corpus_curation": _corpus_curation_sql(),
@@ -2164,6 +2206,10 @@ _DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "cur_semantic_decontaminate",
     "text_ngram_novelty",
+    # changed this round (candidates -> verified pairs + new oracle):
+    # re-verify before the green rotation
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     # --- previously-green rows below, stalest-round-first ---
     # last checked r1
     "j1_incremental_antijoin",
@@ -2192,7 +2238,6 @@ _DRIVER_PRIORITY = [
     "text_langid_ngram",
     "text_winnow_fingerprint",
     "sim_knn_bruteforce",
-    "dedup_minhash_lsh",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "pipe_wt_standardize",
@@ -2316,7 +2361,6 @@ _DRIVER_PRIORITY = [
     "w3_percent_rank_cume",
     "evt_gap_stats",
     "text_top_bigrams",
-    "dedup_incremental_minhash",
     "cur_deterministic_shuffle",
     "emb_kmeans_assign",
     "evt_scd2_intervals",

@@ -193,3 +193,84 @@ def test_incremental_minhash_precomputed_signatures_identical(spark, sf_dir):
         ).collect()
     )
     assert derived == stored and derived
+
+
+def test_minhash_near_dups_equals_exact_jaccard(spark, sf_dir):
+    """The verified operator's contract: at the r=2/32-band geometry the
+    banding miss probability is ~6e-15 at J=0.8, so the verified output
+    must EQUAL ngram_jaccard_pairs at the same threshold — this equality
+    is what licenses the SQL oracle for dedup_minhash_lsh."""
+    from atd_data_lake_spark.operators.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    verified = sorted(
+        tuple(r)
+        for r in minhash_near_dups(
+            d, num_hashes=64, bands=32, threshold=0.8
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(d, threshold=0.8).collect()
+    )
+    assert verified == exact and verified
+
+
+def test_minhash_near_dups_verify_kills_false_candidates(spark):
+    """A loose geometry (r=1) floods candidates; the exact-Jaccard
+    verify stage must still emit only true pairs."""
+    from atd_data_lake_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # J high vs 1
+            (3, "one two three four five six seven"),
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(
+            docs, num_hashes=8, bands=8, threshold=0.3
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    # J(1,2): shingles 4 each, 3 shared -> 3/5 = 0.6
+    assert out[(1, 2)] == 0.6
+
+
+def test_incremental_minhash_near_dups_cross_group_only(spark, sf_dir):
+    """Verified incremental pairs = verified full-corpus pairs touching
+    the incoming batch, with id_b oriented to the incoming doc."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+        minhash_near_dups,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_near_dups(
+            standing, incoming, num_hashes=64, bands=32, threshold=0.8
+        ).collect()
+    }
+    full = {}
+    for r in minhash_near_dups(
+        d, num_hashes=64, bands=32, threshold=0.8
+    ).collect():
+        a_new, b_new = r.id_a % 10 == 7, r.id_b % 10 == 7
+        if not (a_new or b_new):
+            continue
+        if b_new:
+            full[(r.id_a, r.id_b)] = r.jaccard
+        else:
+            full[(r.id_b, r.id_a)] = r.jaccard
+    assert inc == full and inc

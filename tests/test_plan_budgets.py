@@ -37,7 +37,9 @@ EXCHANGE_BUDGETS = {
     "a1_streaming_parity": 1,
     "dedup_exact": 1,
     "dedup_embedding_cosine": 1,
-    "dedup_minhash_lsh": 3,
+    # signature persist + banded self-join; the candidate-driven exact-
+    # Jaccard verify joins ride broadcasts at the test SF
+    "dedup_minhash_lsh": 2,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 2,
     "dedup_simhash": 3,
