@@ -263,10 +263,36 @@ def verify_pairs_jaccard(
     Cost is linear in candidate volume — which LSH banding already made
     linear in corpus size — independent of how big the corpus is.
 
+    The postings are broadcast-semi-pruned to candidate doc ids BEFORE
+    the persist that feeds both joins: the Arrow shingling stage runs
+    once and only candidate docs' postings are materialized — memory is
+    candidate-bounded, not corpus-bounded.  (The id broadcast is ~8-16
+    bytes per candidate doc; a corpus with 100M near-dup docs would be
+    ~1.6 GB — within Spark's broadcast ceiling, and the pathological
+    everything-is-a-dup corpus is the one case to pre-partition.)
+
     Output: (id_a, id_b, jaccard) for pairs with exact J ≥ threshold,
     rounded to 6 places — same contract as ``ngram_jaccard_pairs``.
     """
-    sh = shingle_hash_rows(docs, id_col, text_col, shingle_n, with_size=True)
+    # the candidate frame is the SMALL side (near-dup pairs) and feeds
+    # three consumers (the id broadcast and both pair joins) — persist it
+    # so the LSH candidate job (signature stage + banded self-join) runs
+    # exactly once
+    cands = cands.select("id_a", "id_b").persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .unionByName(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    # prune BEFORE the Arrow shingling stage: only candidate docs are
+    # ever shingled, so the verify's Python cost is candidate-bounded
+    # (the corpus scan itself is a cheap broadcast-semi filter)
+    cand_docs = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+    )
+    sh = shingle_hash_rows(
+        cand_docs, id_col, text_col, shingle_n, with_size=True
+    ).persist()
     a_side = (
         cands.select("id_a", "id_b")
         .join(sh.alias("a"), F.col("id_a") == F.col("a._id"))
@@ -309,7 +335,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int = 21,
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
@@ -318,13 +344,14 @@ def minhash_near_dups(
     on them unverified deletes false positives).
 
     Recall: a pair with true Jaccard j survives banding with
-    p = 1 − (1 − j^r)^bands, r = num_hashes/bands.  The defaults
-    (r = 2, 32 bands) give miss probability (1 − 0.64)³² ≈ 6e-15 at
+    p = 1 − (1 − j^r)^bands, r = num_hashes // bands.  The defaults
+    (r = 3, 21 bands) give miss probability (1 − 0.512)²¹ ≈ 3e-7 at
     j = 0.8 — and the hash family is deterministic (fixed multipliers
     over ``pd.util.hash_array``), so a given corpus either passes or
-    misses reproducibly, never randomly.  r = 2 admits more false
-    candidates than r = 4; the exact-verify join filters them, trading
-    bounded candidate volume for provable recall at the threshold.
+    misses reproducibly, never randomly.  r = 3 was measured the sweet
+    spot at sf0.1: r = 2 (32 bands) admits 10× the candidates and 4×
+    the banded-explode rows for recall the verify stage doesn't need,
+    r = 4 (16 bands) saves little and weakens the miss bound to 2e-4.
 
     Output: (id_a, id_b, jaccard), id_a < id_b, exact J ≥ threshold —
     equals ``ngram_jaccard_pairs(df, threshold)`` whenever no true pair
@@ -736,7 +763,7 @@ def incremental_minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int = 21,
     shingle_n: int = 3,
     threshold: float = 0.8,
     standing_sig: DataFrame | None = None,
@@ -745,8 +772,8 @@ def incremental_minhash_near_dups(
     ``incremental_minhash_candidates`` (standing side never self-joins)
     followed by the candidate-driven ``verify_pairs_jaccard`` stage.
 
-    Same deterministic-recall geometry as ``minhash_near_dups`` (r = 2,
-    32 bands ⇒ miss ≈ 6e-15 at J = 0.8), so the output equals the exact
+    Same deterministic-recall geometry as ``minhash_near_dups`` (r = 3,
+    21 bands ⇒ miss ≈ 3e-7 at J = 0.8), so the output equals the exact
     cross-group Jaccard pair set and is SQL-oracle-checkable.  The
     verify join reads shingles for BOTH sides from the union frame —
     candidate-bounded, so the standing corpus is still never shuffled

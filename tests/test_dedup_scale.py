@@ -195,11 +195,17 @@ def test_incremental_minhash_precomputed_signatures_identical(spark, sf_dir):
     assert derived == stored and derived
 
 
-def test_minhash_near_dups_equals_exact_jaccard(spark, sf_dir):
-    """The verified operator's contract: at the r=2/32-band geometry the
-    banding miss probability is ~6e-15 at J=0.8, so the verified output
-    must EQUAL ngram_jaccard_pairs at the same threshold — this equality
-    is what licenses the SQL oracle for dedup_minhash_lsh."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("nh,b", [(32, 10), (64, 21)])
+def test_minhash_near_dups_equals_exact_jaccard(spark, sf_dir, nh, b):
+    """The verified operator's contract: banding recall ≈ 1 at these
+    geometries for this corpus's J ≥ 0.8 pairs (deterministic hash
+    family), so the verified output must EQUAL ngram_jaccard_pairs at
+    the same threshold — the equality that licenses the SQL oracle for
+    dedup_minhash_lsh.  (32,10) is the registry geometry, (64,21) the
+    operator default."""
     from atd_data_lake_spark.operators.dedup import (
         minhash_near_dups,
         ngram_jaccard_pairs,
@@ -209,7 +215,7 @@ def test_minhash_near_dups_equals_exact_jaccard(spark, sf_dir):
     verified = sorted(
         tuple(r)
         for r in minhash_near_dups(
-            d, num_hashes=64, bands=32, threshold=0.8
+            d, num_hashes=nh, bands=b, threshold=0.8
         ).collect()
     )
     exact = sorted(
@@ -259,12 +265,12 @@ def test_incremental_minhash_near_dups_cross_group_only(spark, sf_dir):
     inc = {
         (r.id_a, r.id_b): r.jaccard
         for r in incremental_minhash_near_dups(
-            standing, incoming, num_hashes=64, bands=32, threshold=0.8
+            standing, incoming, num_hashes=32, bands=10, threshold=0.8
         ).collect()
     }
     full = {}
     for r in minhash_near_dups(
-        d, num_hashes=64, bands=32, threshold=0.8
+        d, num_hashes=32, bands=10, threshold=0.8
     ).collect():
         a_new, b_new = r.id_a % 10 == 7, r.id_b % 10 == 7
         if not (a_new or b_new):

@@ -37,9 +37,11 @@ EXCHANGE_BUDGETS = {
     "a1_streaming_parity": 1,
     "dedup_exact": 1,
     "dedup_embedding_cosine": 1,
-    # signature persist + banded self-join; the candidate-driven exact-
-    # Jaccard verify joins ride broadcasts at the test SF
-    "dedup_minhash_lsh": 2,
+    # verified shape: banded self-join + pair groupBy (2), the fan_out
+    # repartition before the candidate-pruned shingle stage (1), and the
+    # two candidate-driven verify joins' aggregation (2) — all candidate-
+    # bounded except the one corpus-wide banded exchange
+    "dedup_minhash_lsh": 5,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 2,
     "dedup_simhash": 3,
@@ -126,7 +128,9 @@ EXCHANGE_BUDGETS = {
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
     "cur_deterministic_shuffle": 3,
-    "dedup_incremental_minhash": 4,
+    # incremental twin: adds the standing/incoming union pass feeding the
+    # verify shingle stage
+    "dedup_incremental_minhash": 7,
     # round-5 additions
     "emb_kmeans_assign": 0,  # model-as-literals: assignment must never shuffle
     "evt_scd2_intervals": 1,  # both row_number windows share one Exchange
