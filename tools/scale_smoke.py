@@ -115,13 +115,22 @@ def main() -> None:
     ops["centroid_assign"] = lambda: centroid_assign(emb, cent)
 
     # round-28: benchmark matrix ships in the closure — one zero-shuffle
-    # map stage over the 10× corpus, wall must track the scan alone
+    # map stage over the 10× corpus, wall must track the scan alone.
+    # Fixed-range benchmark (matches the registry query): the eval set
+    # must NOT grow with the corpus
     from atd_data_lake_spark.operators.curation import semantic_decontaminate
 
-    bench = emb0.filter(F.col("vec_id") % 100 == 0)
+    bench = emb0.filter(F.col("vec_id") < 20)
     ops["semantic_decontaminate"] = lambda: semantic_decontaminate(
         emb, bench, threshold=0.30
     )
+
+    # round-28: n-gram novelty shares the 8-byte shingle-hash exchange
+    # with the Jaccard family; replicas make every source shingle
+    # corpus-common (df ≥ 10), the worst case for the common-set size
+    from atd_data_lake_spark.operators.text import ngram_novelty
+
+    ops["ngram_novelty"] = lambda: ngram_novelty(docs, common_df=10)
     ops["ngram_containment"] = lambda: ngram_containment_pairs(
         docs, n=3, threshold=0.8
     )
