@@ -99,7 +99,28 @@ def count_exchanges(df) -> int:
     and nested caches; every JVM accessor is defensive, and a shuffle
     whose ``semanticHash`` call fails is counted as unique (overcount,
     never undercount)."""
-    shuffle_hashes: set[int] = set()
+    return _count_distinct_nodes(df, ("ShuffleExchangeExec",))
+
+
+def count_python_stages(df) -> int:
+    """Distinct Arrow/Python stages the runtime will actually run, with
+    the same cache-identity + semanticHash dedup as ``count_exchanges``
+    — a frame persisted once runs its MapInPandas once, however many
+    consumers print its lineage."""
+    return _count_distinct_nodes(
+        df,
+        (
+            "MapInPandasExec",
+            "ArrowEvalPythonExec",
+            "FlatMapGroupsInPandasExec",
+            "FlatMapGroupsInPandasWithStateExec",
+            "BatchEvalPythonExec",
+        ),
+    )
+
+
+def _count_distinct_nodes(df, class_names: tuple[str, ...]) -> int:
+    matched_hashes: set[tuple[str, int]] = set()
     unkeyed = 0
     builders: list = []  # distinct CachedRDDBuilder jobjs
     stack = [df._jdf.queryExecution().executedPlan()]
@@ -119,12 +140,12 @@ def count_exchanges(df) -> int:
             except Exception:
                 pass
             continue
-        if cls == "ShuffleExchangeExec":
+        if cls in class_names:
             try:
-                shuffle_hashes.add(n.semanticHash())
+                matched_hashes.add((cls, n.semanticHash()))
             except Exception:
                 unkeyed += 1
-        elif cls == "AdaptiveSparkPlanExec":
+        if cls == "AdaptiveSparkPlanExec":
             try:
                 stack.append(n.executedPlan())
             except Exception:
@@ -146,4 +167,4 @@ def count_exchanges(df) -> int:
                 stack.append(sq.apply(i))
         except Exception:
             pass
-    return len(shuffle_hashes) + unkeyed
+    return len(matched_hashes) + unkeyed
