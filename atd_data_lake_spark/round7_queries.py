@@ -53,21 +53,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines identically (all operands positive), so five rounds of
     joins are hash-exact — no float accumulation anywhere.
 
-    Scale shape: the graph materializes once as a NODE-sized adjacency
-    frame ``(src, deg, dsts array)`` — one groupBy shuffle builds degree
-    and neighbor list together, and each iteration is a broadcast join
-    of two node-sized frames followed by an explode back to per-edge
-    contributions and a map-side-combined sum (the textbook
-    message-passing round, with the join moved from edge-sized to
-    node-sized inputs; measured 4.6 → 4.2 s warm / 9.7 → 5.6 s cold vs
-    the per-edge-row formulation at sf0.1).  Adjacency rows are bounded
-    by max degree; on a hub-heavy graph, salt the groupBy into fixed
-    buckets ``(src, pmod(hash(dst), k))`` and aggregate degree
-    separately — the integer arithmetic is unchanged.  The rank frame is
-    node-sized; AQE broadcasts it while it fits, shuffle-joins beyond.
-    Driver involvement per round: zero (no collect, no count) — the loop
-    is a fixed 5-round unroll, so lineage stays bounded without
-    checkpoints.
+    Scale shape: the graph materializes once as a RECEIVER-keyed
+    adjacency ``(dst, ins array<struct<src, deg>>)`` — one groupBy(dst)
+    shuffle, with each in-neighbor's total out-degree riding in the
+    struct.  That orientation makes the ITERATIONS shuffle-free: the
+    cached adjacency is dst-partitioned, and explode + the broadcast
+    rank join preserve that partitioning, so each round's groupBy(dst)
+    plans partial+final HashAggregate with NO Exchange between them
+    (verified: the executed 5-round plan holds exactly ONE
+    ``hashpartitioning(dst)`` exchange — the build).  Five rounds over
+    a 100 TB edge set shuffle the edge stream once, not once per round
+    (the earlier src-keyed adjacency paid an edge-sized contribution
+    shuffle every round; the swap measured bit-identical and
+    flat-to-faster at sf0.1 where round shuffles are cheap — the win is
+    structural).  Hub-heavy graphs: ``salt_buckets=k`` bounds adjacency
+    rows at max_in_degree/k for one ≤k-rows-per-node exchange per round
+    (tests/test_graph_salted.py asserts bit-identical masses).  The
+    rank frame is node-sized; AQE broadcasts it while it fits,
+    shuffle-joins beyond.  Driver involvement per round: zero (no
+    collect, no count) — the loop is a fixed 5-round unroll, so lineage
+    stays bounded without checkpoints.
     """
     # basket posexplode×slice pair generation (the mb_copurchase_lift
     # codegen path — measured 1.7× faster end-to-end here than the
