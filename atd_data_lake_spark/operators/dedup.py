@@ -74,9 +74,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _doc_shingles(text: str, n: int) -> list[str] | None:
+def _doc_shingles(text: str | None, n: int) -> list[str] | None:
     """Distinct word n-gram shingles; None when the doc has < n tokens
-    (same semantics as ``word_shingles``'s empty array after explode)."""
+    or NULL/empty text (same semantics as ``word_shingles``'s empty
+    array after explode) — a NULL row must degrade to "no shingles",
+    never crash the Arrow worker."""
+    if not text:
+        return None
     toks = text.split()
     if len(toks) < n:
         return None
@@ -392,7 +396,7 @@ def simhash_df(
             all_toks: list[str] = []
             offsets = [0]
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.split()
+                toks = text.split() if text else []  # NULL-safe
                 if not toks:
                     continue
                 ids.append(did)

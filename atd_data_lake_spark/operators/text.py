@@ -213,7 +213,9 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            text = pdf[text_col]
+            # NULL text degrades to the empty-string profile (0 tokens,
+            # quality floor) instead of crashing the Arrow worker
+            text = pdf[text_col].fillna("")
             low = text.str.lower()
             padded = " " + low + " "
             hits = {}
@@ -285,8 +287,8 @@ def repetition_profile(
     def _hu6(x: float) -> float:
         return np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6
 
-    def one(text: str) -> tuple[float, float]:
-        toks = text.split()
+    def one(text: str | None) -> tuple[float, float]:
+        toks = text.split() if text else []  # NULL-safe
         if not toks:
             return 0.0, 0.0
         dup = _hu6(1.0 - len(set(toks)) / len(toks))
@@ -342,7 +344,7 @@ def langid_trigram_documents(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            padded = " " + pdf[text_col].str.lower() + " "
+            padded = " " + pdf[text_col].fillna("").str.lower() + " "
             H = np.stack(
                 [
                     sum(
@@ -428,6 +430,7 @@ def winnow_fingerprints(
                 continue
             norm = (
                 pdf[text_col]
+                .fillna("")
                 .str.lower()
                 .str.replace(r"[^a-z0-9]+", " ", regex=True)
                 .str.strip()

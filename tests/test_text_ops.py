@@ -218,3 +218,58 @@ def test_repetition_profile_edges(spark):
     assert got[3] == (1.0, 0.75)
     # all-distinct bigrams: the max still takes 1 of 3 occurrences
     assert got[4] == (0.333333, 0.0)
+
+
+def test_corpus_ops_survive_null_and_empty_text(spark):
+    """A single NULL (or empty) text row in a 100 TB corpus must degrade
+    to 'no tokens', never crash an Arrow worker mid-job — every per-doc
+    text op is exercised over a frame containing both."""
+    from atd_data_lake_spark.operators.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+    from atd_data_lake_spark.operators.text import (
+        langid_trigram_documents,
+        ngram_novelty,
+        profile_documents,
+        repetition_profile,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {r.doc_id: r for r in profile_documents(docs).collect()}
+    assert prof[3]["n_tokens"] == 0 and prof[4]["n_tokens"] == 0
+    assert prof[3]["lang_pred"] == "und"
+
+    rep = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert rep[3]["dup_token_frac"] == 0.0
+
+    assert langid_trigram_documents(docs).count() == 5
+    assert winnow_fingerprints(docs).count() == 5
+
+    # shingle-family ops silently drop sub-n/NULL docs
+    nov = {r.doc_id for r in ngram_novelty(docs).collect()}
+    assert nov == {1, 2}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs == {(1, 2)}
+    assert {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(docs, threshold=0.3).collect()
+    } == {(1, 2)}
+    # simhash must run through the NULL rows; candidate pairs (if any at
+    # this radius — 5-token docs hash far apart) involve real docs only
+    sh_pairs = simhash_near_dups(docs, max_hamming=6, block_bits=8).collect()
+    assert all(r.id_a in {1, 2} and r.id_b in {1, 2} for r in sh_pairs)
