@@ -205,7 +205,11 @@ def semantic_decontaminate(
     from atd_data_lake_spark.operators.similarity import (
         _cosine_matrix,
         _round_half_up,
+        drop_null_vectors,
     )
+
+    corpus = drop_null_vectors(corpus, vec_col)
+    benchmark = drop_null_vectors(benchmark, vec_col)
 
     # Enforce the "benchmark sets are small" contract BEFORE collecting:
     # a miscalled benchmark=corpus would otherwise OOM the driver and ship

@@ -68,6 +68,9 @@ def semantic_dedup(
     """One row per corpus vector: its cluster, whether it survives the
     semantic prune, the kept member it duplicates (`dup_of`, null when
     kept), and its max cosine similarity to earlier-kept members."""
+    from atd_data_lake_spark.operators.similarity import drop_null_vectors
+
+    corpus = drop_null_vectors(corpus, vec_col)
     sample_rows = (
         corpus.orderBy(id_col).select(vec_col).limit(train_sample).collect()
     )

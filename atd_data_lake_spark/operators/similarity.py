@@ -56,6 +56,20 @@ def _cosine_matrix(corpus_mat: np.ndarray, query_mat: np.ndarray) -> np.ndarray:
     return (corpus_mat / cn) @ (query_mat / qn).T
 
 
+
+def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL/empty vectors before any Arrow vector-math stage.
+
+    ``np.stack`` over a batch containing a NULL (or zero-length) array
+    raises inside the Python worker and kills the whole job — one bad
+    row in a 100 TB embedding table must degrade to "not comparable",
+    not a job failure.  One whole-stage-codegen filter at the scan;
+    dimension mismatches remain a data contract (they indicate a broken
+    pipeline upstream, not a row-level defect)."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,6 +85,8 @@ def cosine_topk(
     when ids collide.  Output: (query_id, neighbor_id, cos_sim, rank)
     with deterministic tie-break on neighbor id.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -202,6 +218,8 @@ def lsh_topk(
     rises with r to hold OR-recall; candidates per query stay
     ≈ bands · target_bucket_load regardless of corpus size.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     if n_planes is None:
         import math
 
@@ -376,6 +394,8 @@ def ivf_topk(
     closure-broadcast — at any corpus size the shuffled data is the
     candidate set, never the corpus.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
     # orderBy before limit: a bare limit picks arbitrary partitions and
     # would make the trained quantizer (and thus results) nondeterministic
     sample_rows = corpus.orderBy(id_col).select(vec_col).limit(train_sample).collect()
@@ -508,6 +528,7 @@ def embedding_near_dups(
     near-identicals (cos → 1) stay ≈ 1.0 at any r).  Pass explicit
     ``n_planes``/``bands`` to pin the geometry.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
     n_rows = corpus.count()
     if n_rows > max_collect_rows:
         if n_planes is None:
@@ -652,6 +673,7 @@ def centroid_assign(
     — switch to the Arrow-batched matmul in ``cosine_topk`` (k=1) at
     that point; the semantics here are the oracle either way.
     """
+    corpus = drop_null_vectors(corpus, vec_col)
     doc_norm = _norm(F.col(vec_col))
     entries = []
     for cid, vec in centroids:

@@ -280,3 +280,48 @@ def test_incremental_minhash_near_dups_cross_group_only(spark, sf_dir):
         else:
             full[(r.id_b, r.id_a)] = r.jaccard
     assert inc == full and inc
+
+
+def test_vector_ops_survive_null_and_empty_embeddings(spark):
+    """A NULL (or zero-length) embedding row must be dropped at the scan
+    — np.stack over a batch containing one would kill the Arrow worker."""
+    from atd_data_lake_spark.operators.curation import semantic_decontaminate
+    from atd_data_lake_spark.operators.semdedup import semantic_dedup
+    from atd_data_lake_spark.operators.similarity import (
+        centroid_assign,
+        cosine_topk,
+        embedding_near_dups,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, None),
+            (4, []),
+            (5, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id = 1").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = {r.neighbor_id for r in cosine_topk(emb, q, k=3).collect()}
+    assert got == {2, 5}  # null/empty rows dropped, not crashed
+
+    assert lsh_topk(emb, q, k=3, dim=4, n_planes=4, bands=2).count() >= 1
+    assert ivf_topk(emb, q, k=3, n_cells=2, n_probe=2).count() >= 1
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(1, 2)}
+    assert centroid_assign(
+        emb, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    ).count() == 3
+    assert semantic_dedup(emb, n_clusters=2).count() == 3
+    bench = emb.filter("vec_id = 5")
+    out = semantic_decontaminate(emb.filter("vec_id < 5"), bench)
+    assert out.count() == 2  # corpus rows 1,2 scored; 3,4 dropped
