@@ -425,3 +425,64 @@ def test_radius_join_equals_bruteforce(spark, lpts, rpts, radius):
         for r in l.crossJoin(rr).filter(d <= radius).select("lid", "rid").collect()
     )
     assert got == want
+
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+DOC = st.lists(WORD, min_size=0, max_size=10).map(" ".join)
+
+
+def _py_jaccard_pairs(texts: list[str], n: int = 3, threshold: float = 0.5):
+    """Direct Python reference: distinct word n-gram shingle sets,
+    exact Jaccard, half-up round(6) — the oracle the verified MinHash
+    operator must never exceed."""
+    sh = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) >= n:
+            sh[i] = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+    import math
+
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            j6 = math.floor(j * 1e6 + 0.5) / 1e6
+            if j6 >= threshold:
+                out[(a, b)] = j6
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(DOC, min_size=2, max_size=7))
+def test_minhash_verified_pairs_subset_of_exact(spark, texts):
+    """Invariant of the verify stage: every emitted pair IS an exact
+    Jaccard >= threshold pair with the exact value (precision 1.0 by
+    construction — banding can only MISS pairs, never invent them), and
+    the output is deterministic across runs."""
+    from atd_data_lake_spark.operators.dedup import minhash_near_dups
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(
+            df, num_hashes=32, bands=10, threshold=0.5
+        ).collect()
+    }
+    exact = _py_jaccard_pairs(texts, threshold=0.5)
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact[pair], abs=1e-9)
+    again = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(
+            df, num_hashes=32, bands=10, threshold=0.5
+        ).collect()
+    }
+    assert again == got
