@@ -11,9 +11,11 @@ order, salting, or engine — the discipline that gives an iterative
 algorithm a full value-hash DuckDB oracle.
 
 Scale shape (100 TB argument): the adjacency is keyed by the
-RECEIVING node — ``(dst, ins array<struct<src, deg>>)`` — built by one
-groupBy(dst) shuffle (with each in-neighbor's total out-degree riding
-in the struct, so no re-attach join).  That orientation is what makes
+RECEIVING node — ``(dst, ins array<struct<src, deg>>)`` — built by an
+out-adjacency groupBy (degree + neighbor set in one pass, map-side
+edge dedupe) exploded and re-grouped by dst, each in-neighbor's total
+out-degree riding in the struct (two edge-sized build exchanges, no
+degree join).  That orientation is what makes
 the ITERATIONS shuffle-free: the cached adjacency is hash-partitioned
 by ``dst``; ``explode`` and a broadcast join against the node-sized
 rank frame both preserve that partitioning, so the per-round
@@ -22,8 +24,11 @@ HashAggregate with NO Exchange between them (verified in the executed
 plan).  Five rounds over a 100 TB edge set therefore shuffle the edge
 stream exactly once (the build), not once per round; the old
 src-keyed formulation paid an edge-sized contribution shuffle every
-round.  Measured at sf0.1 (20k nodes, cold cache): 11.5 s → 8.2 s,
-masses bit-identical.
+round.  Measured at sf0.1 (20k nodes, interleaved A/B, cold cache per
+run): near-parity on wall — 3.1 s vs the src-keyed formulation's
+3.2–4.9 s window; five sequential job waves dominate both at this SF,
+and the win is the SHAPE (per-round shuffled bytes: edge-sized → zero).
+Masses bit-identical.
 
 On a hub-heavy graph a single receiving node's ``collect_list`` row
 would hold its full in-neighbor set; ``salt_buckets=k`` splits each
@@ -60,34 +65,40 @@ def pagerank_masses(
     ``salt_buckets=k`` splits each node's in-neighbor list across ``k``
     hash buckets (hub-degree bound) with bit-identical output.
 
-    ``dedupe_edges=True`` accepts a NON-distinct edge stream: degrees
-    come from a distinct-aggregate and the in-neighbor lists from
-    ``collect_set`` — both dedupe in the partial (map-side)
+    ``dedupe_edges=True`` accepts a NON-distinct edge stream: the
+    out-adjacency's ``collect_set`` dedupes in the partial (map-side)
     aggregation, so duplicate edges never reach a shuffle and callers
     skip their own ``.distinct()`` exchange over the full edge stream.
 
-    The degree frame and the per-round rank frame are node-sized and
-    broadcast; when the node set outgrows the broadcast ceiling, drop
-    the hints — integer masses stay exact under shuffle joins too.
+    The per-round rank frame is node-sized and broadcast; when the node
+    set outgrows the broadcast ceiling, drop the hint — integer masses
+    stay exact under a shuffle join too.
 
     NOTE: nodes with out-degree but no in-edges still appear in round
     0 (every node of a symmetric-orientation graph has both); sink
     handling follows the registry query's convention (mass re-derived
     from in-contributions each round).
     """
-    if dedupe_edges:
-        deg = edges.groupBy("src").agg(F.countDistinct("dst").alias("deg"))
-        ins_agg = F.collect_set(F.struct("src", "deg")).alias("ins")
-    else:
-        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        ins_agg = F.collect_list(F.struct("src", "deg")).alias("ins")
-
-    with_deg = edges.join(F.broadcast(deg), "src")
+    # Build path: ONE out-adjacency groupBy (collect_set dedupes
+    # duplicate edges in the map-side partial when asked) computes each
+    # node's degree and neighbor set together, then explodes and
+    # re-groups by the receiving node with the sender's degree riding in
+    # the struct.  Two edge-sized exchanges total and no degree join —
+    # measured 0.6 s faster at sf0.1 than the countDistinct +
+    # broadcast-join build it replaces, output identical.
+    neigh = F.collect_set("dst") if dedupe_edges else F.collect_list("dst")
+    out_adj = (
+        edges.groupBy("src")
+        .agg(neigh.alias("dsts"))
+        .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
+    )
+    flat = out_adj.select("src", "deg", F.explode("dsts").alias("dst"))
+    ins_agg = F.collect_list(F.struct("src", "deg")).alias("ins")
     if salt_buckets is None:
-        in_adj = with_deg.groupBy("dst").agg(ins_agg).persist()
+        in_adj = flat.groupBy("dst").agg(ins_agg).persist()
     else:
         in_adj = (
-            with_deg.groupBy(
+            flat.groupBy(
                 "dst",
                 F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).alias("_bkt"),
             )
@@ -95,7 +106,7 @@ def pagerank_masses(
             .persist()
         )
 
-    nodes = deg.select("src")  # unique by construction: groupBy key
+    nodes = out_adj.select("src")  # unique by construction: groupBy key
     n_nodes = nodes.agg(F.count("*").alias("n")).select(
         "n", F.lit(15 * total_mass).alias("_tele_num")
     )
