@@ -902,7 +902,13 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.1)
 
 
-DEDUP_JACCARD_SQL = """
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exact word-trigram Jaccard pair list at ``threshold`` — the one
+    pair construction every cluster/report/split oracle must share with
+    its Spark query AT THE SAME THRESHOLD (a 0.1-threshold oracle under
+    a 0.5-threshold query agreed by luck below sf0.1, where no pair's
+    jaccard fell in [0.1, 0.5) — caught by the round-5 sf0.1 sweep)."""
+    return f"""
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
     FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
@@ -919,8 +925,11 @@ inter AS (
 )
 SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
 FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.1
+WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 6) >= {threshold}
 """
+
+
+DEDUP_JACCARD_SQL = _jaccard_pairs_sql(0.1)
 
 # Oracles for the VERIFIED MinHash queries: banding recall at the
 # r=3/21-band geometry is 1 − ~3e-7 at J = 0.8 (and deterministic), so
@@ -2000,8 +2009,9 @@ from atd_data_lake_spark.round8_queries import (  # noqa: E402
 
 QUERIES.update(ROUND8_QUERIES)
 ORACLES.update(ROUND8_ORACLES)
+# threshold 0.5 — MUST match cur_leakage_safe_split's Spark-side pairs
 ORACLES["cur_leakage_safe_split"] = make_leakage_split_sql(
-    DEDUP_JACCARD_SQL, _bucket_sql("group_key", "v1")
+    _jaccard_pairs_sql(0.5), _bucket_sql("group_key", "v1")
 )
 
 from atd_data_lake_spark.round9_queries import (  # noqa: E402
@@ -2020,7 +2030,10 @@ from atd_data_lake_spark.round10_queries import (  # noqa: E402
 
 QUERIES.update(ROUND10_QUERIES)
 ORACLES.update(ROUND10_ORACLES)
-ORACLES["dedup_cross_source_report"] = make_cross_source_sql(DEDUP_JACCARD_SQL)
+# threshold 0.5 — MUST match dedup_cross_source_report's Spark-side pairs
+ORACLES["dedup_cross_source_report"] = make_cross_source_sql(
+    _jaccard_pairs_sql(0.5)
+)
 
 from atd_data_lake_spark.round11_queries import (  # noqa: E402
     ROUND11_QUERIES,
@@ -2122,7 +2135,8 @@ from atd_data_lake_spark.round23_queries import (  # noqa: E402
 )
 
 QUERIES.update(ROUND23_QUERIES)
-ORACLES["cur_dedup_weights"] = make_dedup_weights_sql(DEDUP_JACCARD_SQL)
+# threshold 0.5 — MUST match cur_dedup_weights's Spark-side pairs
+ORACLES["cur_dedup_weights"] = make_dedup_weights_sql(_jaccard_pairs_sql(0.5))
 
 from atd_data_lake_spark.round24_queries import (  # noqa: E402
     ROUND24_ORACLES,

@@ -88,16 +88,30 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("o")
         )
         .select("o.src", "o.dst", "o.rdst")
-        .persist()
+        # no persist: the three consumers re-derive the frame through
+        # AQE-reused shuffles (free disk reuse) instead of pinning an
+        # edge-sized deserialized block in executor memory — the
+        # difference between finishing and GC-thrashing in a small heap
     )
 
     # wedges at apex u: out-neighbors v < w in rank order; close with
-    # the oriented edge (v, w)
+    # the oriented edge (v, w).  Both joins carry EDGE-sized (and at the
+    # apex, wedge-sized) streams, so they are hinted to sort-merge:
+    # Catalyst's size estimate through the basket posexplode is garbage
+    # (it priced the oriented edge frame under the broadcast threshold
+    # and planned THREE edge-sized broadcast builds — which OOMs a
+    # default 1 GB driver at sf0.1 and would be catastrophic at scale;
+    # SMJ spills gracefully at any size)
     e1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("rdst").alias("rv"))
     e2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("rdst").alias("rw"))
-    wedges = e1.join(e2, "u").filter(F.col("rv") < F.col("rw")).select("u", "v", "w")
+    wedges = (
+        e1.join(e2.hint("merge"), "u")
+        .filter(F.col("rv") < F.col("rw"))
+        .select("u", "v", "w")
+    )
     tri = wedges.join(
-        e.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")).hint("merge"),
+        ["v", "w"],
     ).select("u", "v", "w")
 
     tcnt = (

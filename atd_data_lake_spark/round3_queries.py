@@ -1041,9 +1041,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the centroid of a BILLION vectors a plain partial-agg shuffle.
 
     Float discipline: elements round(6) BEFORE summing as
-    decimal(18,6) — the sum is then exact and order-independent, so the
-    cross-engine hash matches (a raw float sum is accumulation-order-
-    dependent and cannot oracle-match)."""
+    decimal(18,6) — the sum is then exact and order-independent — and
+    the MEAN is integer half-away-from-zero arithmetic on the exact
+    micro-sum (the _avg_hu recipe, sign-extended for negative embedding
+    components).  A bare ``round(sum/count, 6)`` double division hit a
+    half-boundary 1-ulp divergence at sf0.1 (0.003213 vs 0.003214 —
+    caught by the round-5 full sf0.1 sweep): Spark rounds the decimal
+    string, DuckDB the binary value."""
     e = _t(spark, sf_dir, "embeddings")
     pos_val = e.select(
         "label",
@@ -1052,17 +1056,25 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     d6 = "decimal(18,6)"
+    agg = pos_val.groupBy("label", (F.col("pos") + 1).alias("pos")).agg(
+        F.count("*").alias("n_vecs"),
+        # exact integer micro-sum: the decimal(18,6) sum × 1e6 is
+        # integral by construction, so the bigint cast is exact
+        (F.sum(F.round("val", 6).cast(d6)) * 1000000)
+        .cast("long")
+        .alias("_s"),
+    )
     return (
-        pos_val.groupBy("label", (F.col("pos") + 1).alias("pos"))
-        .agg(
-            F.count("*").alias("n_vecs"),
-            # exact decimal sum → double FIRST, then the double/long
-            # division (identical IEEE in both engines; decimal division
-            # rounds under engine-specific scale rules and diverges)
-            F.round(
-                F.sum(F.round("val", 6).cast(d6)).cast("double")
-                / F.count("*"),
-                6,
+        agg.select(
+            "label",
+            "pos",
+            "n_vecs",
+            # nearest-micro, half away from zero, all-positive integer
+            # ops (identical div semantics in both engines)
+            F.expr(
+                "CAST(CASE WHEN _s < 0 THEN -1 ELSE 1 END"
+                " * ((abs(_s) * 2 + n_vecs) div (2 * n_vecs)) AS DOUBLE)"
+                " / 1000000.0"
             ).alias("mean_val"),
         )
         .orderBy("label", "pos")
@@ -1070,14 +1082,19 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_LABEL_CENTROIDS_SQL = """
-SELECT label,
-       CAST(i AS INT) AS pos,
-       CAST(count(*) AS BIGINT) AS n_vecs,
-       round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
-                          AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-         AS mean_val
-FROM embeddings, range(1, 65) t(i)
-GROUP BY label, i
+WITH agg AS (
+    SELECT label,
+           CAST(i AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                         AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+)
+SELECT label, pos, n_vecs,
+       (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+         * ((abs(s) * 2 + n_vecs) // (2 * n_vecs)) / 1000000.0 AS mean_val
+FROM agg
 ORDER BY label, pos
 """
 
