@@ -211,20 +211,21 @@ def semantic_decontaminate(
     corpus = drop_null_vectors(corpus, vec_col)
     benchmark = drop_null_vectors(benchmark, vec_col)
 
-    # Enforce the "benchmark sets are small" contract BEFORE collecting:
-    # a miscalled benchmark=corpus would otherwise OOM the driver and ship
-    # an O(N) matrix in every task closure (same gate pattern as
+    # Enforce the "benchmark sets are small" contract IN the collect:
+    # one pass collects at most max+1 rows — the cap protects the driver
+    # (a miscalled benchmark=corpus would otherwise OOM it and ship an
+    # O(N) matrix in every task closure; same gate pattern as
     # similarity.embedding_near_dups' max_collect_rows).
-    n_bench = benchmark.limit(max_benchmark_rows + 1).count()
-    if n_bench > max_benchmark_rows:
+    brows = benchmark.select(id_col, vec_col).limit(
+        max_benchmark_rows + 1
+    ).collect()
+    if len(brows) > max_benchmark_rows:
         raise ValueError(
             f"benchmark set exceeds max_benchmark_rows={max_benchmark_rows}; "
             "semantic_decontaminate broadcasts the benchmark matrix to every "
             "task — pass a held-out eval set (10^3-10^5 rows), not a corpus"
         )
-    brows = sorted(
-        benchmark.select(id_col, vec_col).collect(), key=lambda r: r[0]
-    )
+    brows = sorted(brows, key=lambda r: r[0])
     if not brows:
         raise ValueError("benchmark set is empty")
     bids = np.array([r[0] for r in brows], dtype=np.int64)

@@ -256,6 +256,7 @@ def verify_pairs_jaccard(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    dedupe_doc_ids: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for GIVEN candidate pairs — the verify stage
     every LSH dedup pipeline runs before acting on candidates.
@@ -294,6 +295,12 @@ def verify_pairs_jaccard(
     cand_docs = docs.join(
         F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
     )
+    if dedupe_doc_ids:
+        # a doc id present twice in ``docs`` (e.g. a standing∪incoming
+        # union during ingest replay) would duplicate its postings and
+        # inflate every intersection count it touches — one candidate-
+        # bounded dedup keeps jaccard exact
+        cand_docs = cand_docs.dropDuplicates([id_col])
     sh = shingle_hash_rows(
         cand_docs, id_col, text_col, shingle_n, with_size=True
     ).persist()
@@ -799,8 +806,13 @@ def incremental_minhash_near_dups(
     docs = standing.select(id_col, text_col).unionByName(
         incoming.select(id_col, text_col)
     )
+    # dedupe_doc_ids: an id re-ingested (present in BOTH frames) must
+    # not double its postings in the union — jaccard stays exact, and
+    # the standing/incoming copies of one id are the same doc by
+    # contract, not a near-dup pair
     return verify_pairs_jaccard(
-        cands, docs, id_col, text_col, shingle_n, threshold
+        cands, docs, id_col, text_col, shingle_n, threshold,
+        dedupe_doc_ids=True,
     )
 
 

@@ -79,20 +79,42 @@ def pagerank_masses(
     handling follows the registry query's convention (mass re-derived
     from in-contributions each round).
     """
-    # Build path: ONE out-adjacency groupBy (collect_set dedupes
+    # Build path: an out-adjacency groupBy (collect_set dedupes
     # duplicate edges in the map-side partial when asked) computes each
     # node's degree and neighbor set together, then explodes and
     # re-groups by the receiving node with the sender's degree riding in
-    # the struct.  Two edge-sized exchanges total and no degree join —
-    # measured 0.6 s faster at sf0.1 than the countDistinct +
-    # broadcast-join build it replaces, output identical.
+    # the struct.  Two edge-sized exchanges total and (unsalted) no
+    # degree join — measured 0.6 s faster at sf0.1 than the
+    # countDistinct + broadcast-join build it replaced, output
+    # identical.
     neigh = F.collect_set("dst") if dedupe_edges else F.collect_list("dst")
-    out_adj = (
-        edges.groupBy("src")
-        .agg(neigh.alias("dsts"))
-        .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
-    )
-    flat = out_adj.select("src", "deg", F.explode("dsts").alias("dst"))
+    if salt_buckets is None:
+        out_adj = (
+            edges.groupBy("src")
+            .agg(neigh.alias("dsts"))
+            .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
+        )
+        flat = out_adj.select("src", "deg", F.explode("dsts").alias("dst"))
+    else:
+        # the hub bound must hold at the BUILD too: an unbucketed
+        # collect_set would materialize a hub's full out-neighbor set in
+        # one aggregation buffer — exactly the row the salt exists to
+        # split.  Bucket the out-adjacency by hash(dst), re-aggregate
+        # TOTAL degree from the ≤k bucket sizes per node (node×k rows),
+        # and broadcast it back onto the bucketed rows.
+        out_bkt = (
+            edges.groupBy(
+                "src",
+                F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_ob"),
+            )
+            .agg(neigh.alias("dsts"))
+            .select("src", F.size("dsts").cast("long").alias("_deg_b"), "dsts")
+        )
+        deg = out_bkt.groupBy("src").agg(F.sum("_deg_b").alias("deg"))
+        flat = (
+            out_bkt.join(F.broadcast(deg), "src")
+            .select("src", "deg", F.explode("dsts").alias("dst"))
+        )
     ins_agg = F.collect_list(F.struct("src", "deg")).alias("ins")
     if salt_buckets is None:
         in_adj = flat.groupBy("dst").agg(ins_agg).persist()
@@ -106,7 +128,9 @@ def pagerank_masses(
             .persist()
         )
 
-    nodes = out_adj.select("src")  # unique by construction: groupBy key
+    # cheap distinct lineage — NOT the collect_set aggregation, which
+    # would otherwise re-evaluate for the rank-init consumers
+    nodes = edges.select("src").distinct()
     n_nodes = nodes.agg(F.count("*").alias("n")).select(
         "n", F.lit(15 * total_mass).alias("_tele_num")
     )

@@ -8,17 +8,21 @@ materializes once).
 
 Two accounting paths:
 
-- ``count_exchanges`` (the budget gate) walks the JVM plan tree and
-  keys cached subtrees on their ``CachedRDDBuilder`` identity — the
-  object the runtime itself dedups on.  String normalization CANNOT do
-  this correctly: the printed child plan of two *different* caches with
-  identical structure carries the same original expr ids (verified on
-  Spark 4: both print ``Project [id#0L, ...]``), while a *re-reference*
-  of one cache is re-aliased by DeduplicateRelations — so the string
-  alone can neither split distinct-but-identical caches nor merge
-  self-join re-references.  Exchange nodes are counted on each distinct
-  plan fragment's string with all InMemoryRelation blocks stripped
-  (each cache's own exchanges are added exactly once).
+- ``count_exchanges`` / ``count_python_stages`` (the budget gates)
+  walk the JVM plan tree and key cached subtrees on their
+  ``CachedRDDBuilder`` identity — the object the runtime itself dedups
+  on.  String normalization CANNOT do this correctly: the printed child
+  plan of two *different* caches with identical structure carries the
+  same original expr ids (verified on Spark 4: both print
+  ``Project [id#0L, ...]``), while a *re-reference* of one cache is
+  re-aliased by DeduplicateRelations — so the string alone can neither
+  split distinct-but-identical caches nor merge self-join
+  re-references.  Exchanges are ADDITIONALLY deduplicated by
+  ``semanticHash`` because AQE's stage cache reuses canonically-equal
+  shuffles at runtime; Python map stages are NOT — Spark has no reuse
+  mechanism for them (only ReuseExchange/ReuseSubquery), so a
+  duplicated un-persisted Arrow stage genuinely runs once per
+  occurrence and is counted that way.
 - ``dedupe_cached`` (display only, tools/plan_report.py) collapses
   repeated InMemoryRelation printouts by normalized structure.  It can
   under-report a genuinely duplicated identical-structure cache — fine
@@ -61,23 +65,6 @@ def dedupe_cached(plan: str, _seen: set[str] | None = None) -> str:
     return "\n".join(out_lines)
 
 
-def strip_cached(plan: str) -> str:
-    """Drop every InMemoryRelation child-plan block from a plan string
-    (the cache's own exchanges are accounted separately, once)."""
-    out: list[str] = []
-    lines = plan.split("\n")
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        out.append(line)
-        i += 1
-        if "InMemoryRelation" in line:
-            d = _depth(line)
-            while i < len(lines) and _depth(lines[i]) > d:
-                i += 1
-    return "\n".join(out)
-
-
 def count_exchanges(df) -> int:
     """Distinct shuffle exchanges the runtime will actually MATERIALIZE.
 
@@ -99,14 +86,17 @@ def count_exchanges(df) -> int:
     and nested caches; every JVM accessor is defensive, and a shuffle
     whose ``semanticHash`` call fails is counted as unique (overcount,
     never undercount)."""
-    return _count_distinct_nodes(df, ("ShuffleExchangeExec",))
+    return _count_distinct_nodes(
+        df, ("ShuffleExchangeExec",), semantic_dedup=True
+    )
 
 
 def count_python_stages(df) -> int:
-    """Distinct Arrow/Python stages the runtime will actually run, with
-    the same cache-identity + semanticHash dedup as ``count_exchanges``
-    — a frame persisted once runs its MapInPandas once, however many
-    consumers print its lineage."""
+    """Arrow/Python stages the runtime will actually run: cache-identity
+    dedup only (a frame persisted once runs its MapInPandas once,
+    however many consumers print its lineage) — NO semanticHash dedup,
+    because Spark has no stage-reuse for map stages: a duplicated
+    un-persisted Arrow subtree executes once per occurrence."""
     return _count_distinct_nodes(
         df,
         (
@@ -116,10 +106,13 @@ def count_python_stages(df) -> int:
             "FlatMapGroupsInPandasWithStateExec",
             "BatchEvalPythonExec",
         ),
+        semantic_dedup=False,
     )
 
 
-def _count_distinct_nodes(df, class_names: tuple[str, ...]) -> int:
+def _count_distinct_nodes(
+    df, class_names: tuple[str, ...], semantic_dedup: bool
+) -> int:
     matched_hashes: set[tuple[str, int]] = set()
     unkeyed = 0
     builders: list = []  # distinct CachedRDDBuilder jobjs
@@ -141,10 +134,13 @@ def _count_distinct_nodes(df, class_names: tuple[str, ...]) -> int:
                 pass
             continue
         if cls in class_names:
-            try:
-                matched_hashes.add((cls, n.semanticHash()))
-            except Exception:
+            if not semantic_dedup:
                 unkeyed += 1
+            else:
+                try:
+                    matched_hashes.add((cls, n.semanticHash()))
+                except Exception:
+                    unkeyed += 1
         if cls == "AdaptiveSparkPlanExec":
             try:
                 stack.append(n.executedPlan())

@@ -325,3 +325,32 @@ def test_vector_ops_survive_null_and_empty_embeddings(spark):
     bench = emb.filter("vec_id = 5")
     out = semantic_decontaminate(emb.filter("vec_id < 5"), bench)
     assert out.count() == 2  # corpus rows 1,2 scored; 3,4 dropped
+
+
+def test_incremental_minhash_replay_id_in_both_frames(spark):
+    """An id re-ingested (present in BOTH standing and incoming) must
+    not double its postings: jaccard values stay exact and no phantom
+    self-pair appears."""
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+    )
+
+    doc42 = "alpha beta gamma delta epsilon zeta"
+    standing = spark.createDataFrame(
+        [(42, doc42), (7, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(42, doc42), (99, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_near_dups(
+            standing, incoming, num_hashes=32, bands=10, threshold=0.3
+        ).collect()
+    }
+    # true pairs touching incoming: (42, 99) with J = 3 shared of 5
+    # distinct 3-gram shingles = 0.6 — NOT inflated by the replayed 42
+    assert (42, 42) not in out
+    assert out == {(42, 99): 0.6}

@@ -128,9 +128,10 @@ EXCHANGE_BUDGETS = {
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
     "cur_deterministic_shuffle": 3,
-    # incremental twin: adds the standing/incoming union pass feeding the
-    # verify shingle stage
-    "dedup_incremental_minhash": 7,
+    # incremental twin: adds the standing/incoming union pass feeding
+    # the verify shingle stage, plus the candidate-bounded replay-id
+    # dedup exchange (dropDuplicates before shingling)
+    "dedup_incremental_minhash": 8,
     # round-5 additions
     "emb_kmeans_assign": 0,  # model-as-literals: assignment must never shuffle
     "evt_scd2_intervals": 1,  # both row_number windows share one Exchange

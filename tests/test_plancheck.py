@@ -13,7 +13,6 @@ from atd_data_lake_spark.plancheck import (
     count_exchanges,
     count_python_stages,
     dedupe_cached,
-    strip_cached,
 )
 
 
@@ -111,8 +110,8 @@ def test_python_stage_counted_once_across_consumers(spark):
             F.col("v") == F.col("id2"),
         )
         assert count_python_stages(j) == 1
-        # un-persisted duplicated lineage: the same canonical stage still
-        # counts once (semanticHash dedup)
+        # while base is persisted, an identical-plan raw frame gets
+        # cache-SUBSTITUTED by CacheManager — still one stage
         raw = spark.range(100).mapInPandas(op, schema=schema)
         j2 = raw.join(
             raw.selectExpr("id as id2", "v as v2"),
@@ -121,22 +120,15 @@ def test_python_stage_counted_once_across_consumers(spark):
         assert count_python_stages(j2) == 1
     finally:
         base.unpersist()
-
-
-def test_strip_cached_drops_relation_blocks():
-    plan = "\n".join(
-        [
-            "Top",
-            "+- InMemoryTableScan [a#1]",
-            "      +- InMemoryRelation [a#1]",
-            "            +- Exchange hashpartitioning(a#1, 8)",
-            "               +- Scan parquet",
-            "+- Exchange rangepartitioning(a#1, 8)",
-        ]
+    # un-persisted duplicated lineage: Spark has NO stage reuse for map
+    # stages (only ReuseExchange), so the duplicated Arrow subtree
+    # genuinely runs twice and must count twice
+    raw = spark.range(100).mapInPandas(op, schema=schema)
+    j3 = raw.join(
+        raw.selectExpr("id as id2", "v as v2"),
+        F.col("v") == F.col("id2"),
     )
-    out = strip_cached(plan)
-    assert "rangepartitioning" in out
-    assert "hashpartitioning" not in out
+    assert count_python_stages(j3) == 2
 
 
 def test_dedupe_cached_threads_seen_through_recursion():
