@@ -2180,243 +2180,21 @@ ORACLES.update(ROUND28_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
-# in dict order and caps its sweep (50 rows in round 1, for 75 entries).
-# Queries that have never received a driver CORRECTNESS row — plus entries
-# that changed this round — are moved to the front so every operator gets
-# the external (not self-graded) check at least once.
+# in dict order and caps its sweep at ~50 rows per round.  The ordering is
+# GENERATED from the union of the driver's own CORRECTNESS_r*.json records
+# (latest-red first, then never-checked, then green stalest-first) by
+# tools/gen_driver_priority.py — rerun it at round close after adding or
+# changing queries, instead of hand-editing a list that goes stale
+# (it did, two rounds running: VERDICT r4/r5).
 # ---------------------------------------------------------------------------
 
-_DRIVER_PRIORITY = [
-    # round-5 ordering, rebuilt from CORRECTNESS_r01+r02+r03+r04: (1) the
-    # 32 registry entries that have never received a driver CORRECTNESS row
-    # (the complete remaining backlog -- fits in one 50-row sweep), then
-    # (2) previously-green rows stalest-round-first so staleness rotates
-    # through the cap. Registry growth stays frozen until the backlog is
-    # zero after the r05 sweep.
-    "stats_moments",
-    "mm_image_phash",
-    "emb_pq_codes",
-    "cur_weighted_sample",
-    "evt_change_points",
-    "olap_revenue_gini",
-    "emb_pca_project",
-    "w4_value_frames",
-    "evt_user_entropy",
-    "olap_pareto_8020",
-    "text_compression_ratio",
-    "text_fertility_by_lang",
-    "io_compaction_plan",
-    "agg_heavy_hitters_mg",
-    "u4_intersect_except",
-    "dq_k_anonymity",
-    "evt_attribution_first_touch",
-    "dq_benford",
-    "dq_expectations",
-    "olap_yoy_growth",
-    "emb_matryoshka_eval",
-    "mm_scene_cuts",
-    "graph_k_hop",
-    "cur_dedup_weights",
-    "graph_triangles",
-    "text_bm25_topk",
-    "rfm_segments",
-    "evt_sliding_window",
-    "evt_session_window",
-    "q5_local_supplier_volume",
-    "cur_semantic_decontaminate",
-    "text_ngram_novelty",
-    # changed this round (candidates -> verified pairs + new oracle):
-    # re-verify before the green rotation
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    # --- previously-green rows below, stalest-round-first ---
-    # last checked r1
-    "j1_incremental_antijoin",
-    "j2_enrich_broadcast",
-    "j3_double_enrich",
-    "j7_semi_join_pruning",
-    "j8_asof_backward",
-    "j9_asof_forward",
-    "j10_fuzzy_match",
-    "p4_pushdown_range",
-    "p12_case_normalize",
-    "p13_derived_flag",
-    "p14_split_extract",
-    "p15_guid_redash",
-    "u1_cross_day_union",
-    "s_scalar_record_id",
-    "s_scalar_timebin",
-    "s_date_parts",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "text_profile",
-    "text_bpe_tokens",
-    "corpus_curation",
-    "dedup_clusters",
-    "text_repetition",
-    "text_langid_ngram",
-    "text_winnow_fingerprint",
-    "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "pipe_wt_standardize",
-    "pipe_wt_ready",
-    "pipe_wt_publish",
-    "pipe_bt_ready_unmatched",
-    "pipe_bt_publish_unmatched",
-    "pipe_bt_ready_matched",
-    "pipe_bt_publish_matched",
-    # last checked r2
-    "q1_pricing_summary",
-    "olap_star_join",
-    "a1_tumbling_window_15min",
-    "a2_daily_counts",
-    "a3_sensor_daily_obs",
-    "a5_first_seen_rank",
-    "a6_trailing_7day_avg",
-    "a7_latest_per_group",
-    "w1_daily_cumulative",
-    "o1_topk_per_group",
-    "o2_latest_top1",
-    "dedup_embedding_cosine",
-    "mm_media_features",
-    "mm_frame_sample",
-    "text_tfidf_top_terms",
-    "cur_split_assign",
-    "cur_stratified_sample",
-    "cur_decontaminate",
-    "cur_chunk_documents",
-    "cur_pack_chunks",
-    "cur_cap_per_source",
-    "cur_quality_gate",
-    "dedup_simhash",
-    "a1_streaming_parity",
-    "pipe_gs_agg",
-    "pipe_gs_publish",
-    "pipe_gs_clock_drift",
-    "p1_rename_map",
-    "p2_select_reorder",
-    "p3_null_safe_coercion",
-    "p6_same_day_exclusion",
-    "p7_file_kind_guard",
-    "p8_day_window",
-    "p9_regex_filter",
-    "p10_validity_filter",
-    "p11_dup_key_dedup",
-    "j5_left_join",
-    "a4_collect_range",
-    "a8_distinct_set",
-    "a9_item_count",
-    "o3_top1_latest",
-    "o5_fuzzy_top1_max_by",
-    "u2_union_distinct",
-    "u3_multi_pattern_union",
-    "s_haversine",
-    "agg_rollup",
-    "agg_cube",
-    "agg_exact_percentiles",
-    "agg_distinct_counts",
-    # last checked r3
-    "sessionize_batch",
-    "evt_time_window_join",
-    "evt_retention",
-    "text_top_tokens",
-    "emb_int8_quantize",
-    "q10_returned_items",
-    "j_asof_nearest",
-    "dedup_incremental_batch",
-    "evt_json_extract",
-    "evt_pivot",
-    "li_unpivot",
-    "evt_value_correlation",
-    "j_salted_skew_join",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_pricing",
-    "agg_group_medians",
-    "agg_approx_sketches",
-    "geo_radius_join",
-    "emb_label_centroids",
-    "cur_substring_decontaminate",
-    "evt_markov_transitions",
-    "doc_length_histogram",
-    "evt_rolling_active_users",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "evt_funnel",
-    "j9_asof_tolerance",
-    "p5_like_filter",
-    "w2_lead_lag_ntile",
-    "text_unigram_logprob",
-    "inc_agg_maintenance",
-    "evt_anomaly_zscore",
-    "agg_grouping_sets",
-    "text_pii_scrub",
-    "cur_keep_best_per_cluster",
-    "sim_semantic_dedup",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_priority_class",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    # last checked r4
-    "cur_token_budget",
-    "evt_stream_executed",
-    "evt_stream_dedup_executed",
-    "sessionize_stream_executed",
-    "evt_stream_join_executed",
-    "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity",
-    "dq_profile",
-    "dq_referential_orphans",
-    "mb_copurchase_lift",
-    "w3_percent_rank_cume",
-    "evt_gap_stats",
-    "text_top_bigrams",
-    "cur_deterministic_shuffle",
-    "emb_kmeans_assign",
-    "evt_scd2_intervals",
-    "text_containment",
-    "evt_zorder_audit",
-    "cur_mixture_resample",
-    "dq_schema_drift",
-    "cur_winsorize",
-    "evt_resample_ffill",
-    "evt_top_paths",
-    "dq_freshness",
-    "evt_anomaly_mad",
-    "graph_pagerank",
-    "dq_snapshot_diff",
-    "cur_leakage_safe_split",
-    "evt_interval_coverage",
-    "text_token_entropy",
-    "dq_psi_drift",
-    "dq_watermark_lateness",
-    "sim_recall_eval",
-    "text_zipf_fit",
-    "emb_drift_shift",
-    "evt_abtest_lift",
-    "dedup_cross_source_report",
-    "mm_audio_windows",
-    "evt_rolling_active_hll",
-    "emb_norm_quality",
-    "evt_stickiness",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "graph_common_neighbors",
-    "ts_autocorr",
-    "evt_hourly_seasonality",
-    "evt_burstiness",
-    "dq_uniqueness",
-    "text_hashing_tf",
-]
+try:
+    from atd_data_lake_spark._driver_priority import (  # noqa: E402
+        DRIVER_PRIORITY as _DRIVER_PRIORITY,
+    )
+except ImportError:  # first generation bootstraps from registry order
+    _DRIVER_PRIORITY = []
+
 
 def _driver_order(d: dict) -> dict:
     head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}

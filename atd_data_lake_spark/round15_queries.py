@@ -57,6 +57,13 @@ def w4_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window partition (user) serves all four frames — a single
     exchange + sort in the plan.
+
+    The window math runs on decimal(12,2) (exact), but the OUTPUT
+    columns are cast to double on both sides: the driver hasher renders
+    DuckDB DECIMAL via pandas float64 ("31.4"/NaN) unlike Spark's
+    collected Decimal("31.40")/None, so DecimalType outputs hash-
+    mismatch even when bit-identical (the r05 red row).  Values are
+    exact 2-decimal quantities, so the double cast is lossless.
     """
     from pyspark.sql import Window
     from atd_data_lake_spark.functions.datetime_fns import as_instant
@@ -88,23 +95,24 @@ def w4_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id",
         "user_id",
-        F.nth_value("v", 2).over(w_rows).alias("nth2_prev3"),
-        F.first("v").over(w_anchor).alias("first_seen_value"),
-        F.last("v").over(w_rows).alias("last_of_prev3"),
+        F.nth_value("v", 2).over(w_rows).cast("double").alias("nth2_prev3"),
+        F.first("v").over(w_anchor).cast("double").alias("first_seen_value"),
+        F.last("v").over(w_rows).cast("double").alias("last_of_prev3"),
         F.count("*").over(w_range).alias("n_5min"),
     ).orderBy("event_id")
 
 
 W4_VALUE_FRAMES_SQL = """
 SELECT event_id, user_id,
-       nth_value(v, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(nth_value(v, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
-         AS nth2_prev3,
-       first_value(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS first_seen_value,
-       last_value(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         AS DOUBLE) AS nth2_prev3,
+       CAST(first_value(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS first_seen_value,
+       CAST(last_value(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
-         AS last_of_prev3,
+         AS DOUBLE) AS last_of_prev3,
        count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
          AS n_5min

@@ -10,7 +10,13 @@ shipped red in round 3.  These tests gate the contract at the TYPE
 level so the class cannot reenter:
 
 - every oracle's DuckDB output must be HUGEINT-free and nested-free;
-- every registered Spark query's schema must be scalars-only.
+- every registered Spark query's schema must be scalars-only and
+  DecimalType-free: the driver renders DuckDB DECIMAL via pandas
+  float64 ("31.4"/NaN) but collects Spark DecimalType as
+  Decimal("31.40")/None, so a DecimalType output column hash-mismatches
+  on every trailing-zero and NULL cell even when values are
+  bit-identical — the round-5 ``w4_value_frames`` red row.  Keep
+  decimal math internal; cast final outputs to DOUBLE/BIGINT.
 """
 
 from __future__ import annotations
@@ -53,10 +59,25 @@ def test_oracles_emit_no_hugeint_or_nested_columns(duck):
     )
 
 
-def test_registered_queries_emit_scalars_only(spark, sf_dir):
+def _forbidden_output_fields(schema):
     from pyspark.sql import types as T
 
-    nested = (T.ArrayType, T.MapType, T.StructType)
+    forbidden = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, forbidden)
+    ]
+
+
+def test_gate_flags_decimal_output(spark):
+    """The gate itself must catch a deliberately-DecimalType schema —
+    this is the hole that let ``w4_value_frames`` ship red in round 5."""
+    df = spark.range(1).selectExpr(
+        "CAST(id AS DECIMAL(12,2)) AS v", "id AS ok"
+    )
+    assert _forbidden_output_fields(df.schema) == ["v"]
+
+
+def test_registered_queries_emit_scalars_only(spark, sf_dir):
     bad = {}
     for name, fn in QUERIES.items():
         # Mostly analysis-only, but not entirely: the four *_executed
@@ -65,13 +86,11 @@ def test_registered_queries_emit_scalars_only(spark, sf_dir):
         # construction time — building every registry frame costs a few
         # real jobs, which is accepted here because this is the only gate
         # that sees every schema the driver will hash.
-        schema = fn(spark, sf_dir).schema
-        offenders = [
-            f.name for f in schema.fields if isinstance(f.dataType, nested)
-        ]
+        offenders = _forbidden_output_fields(fn(spark, sf_dir).schema)
         if offenders:
             bad[name] = offenders
     assert not bad, (
-        f"registered queries must project scalar columns only (the "
-        f"driver canonicalizer sorts raw row tuples): {bad}"
+        f"registered queries must project scalar, non-decimal columns "
+        f"only (nested crashes the driver canonicalizer; DecimalType "
+        f"hash-mismatches the pandas-rendered DuckDB side): {bad}"
     )
