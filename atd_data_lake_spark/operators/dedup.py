@@ -18,10 +18,21 @@ deterministic across runs and cluster layouts).
 
 All derived hash seeds are fixed constants, so the operators are
 reproducible across runs and partitionings.
+
+Cache lifecycle: several operators persist small intermediate frames
+(candidate pairs, pruned shingle postings) because Arrow ``mapInPandas``
+stages get no AQE exchange reuse — without the persist the signature
+stage would recompute per consumer.  The returned frames are lazy, so
+the operator cannot know when it is safe to unpersist.  Callers that run
+many queries in one session should either wrap each query in
+``tracked_caches()`` (collect inside the block; exiting unpersists every
+cache the block created) or call ``spark.catalog.clearCache()`` between
+queries (what ``bench.py``, the sweep scripts, and ``plan_report`` do).
 """
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,6 +42,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from atd_data_lake_spark.operators.scale import fan_out
+
+# ---------------------------------------------------------------------------
+# Cache-scope tracking (ADVICE r5: operator persists outlived their query)
+# ---------------------------------------------------------------------------
+
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextlib.contextmanager
+def tracked_caches():
+    """Collects every persist an enclosed operator call creates and
+    unpersists them on exit — materialize results INSIDE the block::
+
+        with tracked_caches():
+            out = minhash_near_dups(docs).collect()
+
+    Scopes nest (inner scope owns its own persists).  Outside any scope,
+    operators persist untracked, and the session-level
+    ``spark.catalog.clearCache()`` discipline applies.
+    """
+    reg: list[DataFrame] = []
+    _CACHE_SCOPES.append(reg)
+    try:
+        yield reg
+    finally:
+        _CACHE_SCOPES.pop()
+        for frame in reg:
+            frame.unpersist()
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -215,7 +262,7 @@ def minhash_lsh_candidates(
     # the signature frame feeds both sides of the bucket self-join; persist
     # so the Python signature stage runs once (it is tiny: docs x num_hashes
     # longs; MEMORY_AND_DISK spills gracefully at any scale)
-    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = _persist(minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n))
     banded = sig.select(
         "_id",
         F.explode(
@@ -283,7 +330,7 @@ def verify_pairs_jaccard(
     # three consumers (the id broadcast and both pair joins) — persist it
     # so the LSH candidate job (signature stage + banded self-join) runs
     # exactly once
-    cands = cands.select("id_a", "id_b").persist()
+    cands = _persist(cands.select("id_a", "id_b"))
     cand_ids = (
         cands.select(F.col("id_a").alias("_cid"))
         .unionByName(cands.select(F.col("id_b").alias("_cid")))
@@ -299,11 +346,27 @@ def verify_pairs_jaccard(
         # a doc id present twice in ``docs`` (e.g. a standing∪incoming
         # union during ingest replay) would duplicate its postings and
         # inflate every intersection count it touches — one candidate-
-        # bounded dedup keeps jaccard exact
-        cand_docs = cand_docs.dropDuplicates([id_col])
-    sh = shingle_hash_rows(
+        # bounded dedup keeps jaccard exact.  When the caller marked
+        # copies with a ``_prio`` column, the max-priority copy wins
+        # DETERMINISTICALLY (the incremental path prefers the incoming
+        # copy — a replayed doc whose text changed must be judged by
+        # what was just ingested, not by whichever copy a task scanned
+        # first); without ``_prio``, ids are unique by contract and
+        # dropDuplicates is a no-op safety net.
+        if "_prio" in cand_docs.columns:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col).orderBy(F.desc("_prio"))
+            cand_docs = (
+                cand_docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_prio")
+            )
+        else:
+            cand_docs = cand_docs.dropDuplicates([id_col])
+    sh = _persist(shingle_hash_rows(
         cand_docs, id_col, text_col, shingle_n, with_size=True
-    ).persist()
+    ))
     a_side = (
         cands.select("id_a", "id_b")
         .join(sh.alias("a"), F.col("id_a") == F.col("a._id"))
@@ -451,7 +514,7 @@ def simhash_near_dups(
             f"max_hamming < {n_blocks}; use smaller blocks (more of them) "
             f"for larger distances"
         )
-    sh = simhash_df(df, id_col, text_col).persist()  # both join sides reuse
+    sh = _persist(simhash_df(df, id_col, text_col))  # both join sides reuse
     mask = (1 << block_bits) - 1
     blocked = sh.select(
         "_id",
@@ -534,7 +597,7 @@ def ngram_jaccard_pairs(
     """
     if prefix_filter is None:
         prefix_filter = False
-    sh = shingle_hash_rows(df, id_col, text_col, n, with_size=True).persist()
+    sh = _persist(shingle_hash_rows(df, id_col, text_col, n, with_size=True))
 
     if not prefix_filter:
         # both self-join sides consume the Python stage: persist so the
@@ -710,7 +773,7 @@ def incremental_minhash_candidates(
     inc_sig = minhash_signature_df(incoming, id_col, text_col, num_hashes, shingle_n)
 
     std_banded = _banded(standing_sig).withColumn("_new", F.lit(False))
-    inc_banded = _banded(inc_sig).persist()
+    inc_banded = _persist(_banded(inc_sig))
     left = std_banded.unionByName(inc_banded.withColumn("_new", F.lit(True)))
     right = inc_banded.select(
         F.col("_id").alias("_rid"),
@@ -803,13 +866,19 @@ def incremental_minhash_near_dups(
         shingle_n,
         standing_sig,
     )
-    docs = standing.select(id_col, text_col).unionByName(
-        incoming.select(id_col, text_col)
+    docs = (
+        standing.select(id_col, text_col)
+        .withColumn("_prio", F.lit(0))
+        .unionByName(
+            incoming.select(id_col, text_col).withColumn("_prio", F.lit(1))
+        )
     )
-    # dedupe_doc_ids: an id re-ingested (present in BOTH frames) must
-    # not double its postings in the union — jaccard stays exact, and
-    # the standing/incoming copies of one id are the same doc by
-    # contract, not a near-dup pair
+    # dedupe_doc_ids + _prio: an id re-ingested (present in BOTH frames)
+    # must not double its postings in the union — jaccard stays exact —
+    # and when the replayed text differs, the INCOMING copy wins
+    # deterministically (prio 1 > 0): verify judges what was just
+    # ingested, never an arbitrary scan-order copy.  The window dedup is
+    # candidate-bounded (runs after the broadcast-semi prune).
     return verify_pairs_jaccard(
         cands, docs, id_col, text_col, shingle_n, threshold,
         dedupe_doc_ids=True,
@@ -842,7 +911,7 @@ def ngram_containment_pairs(
     ``cont_a_in_b`` vs ``cont_b_in_a`` for the directional question.
     Pair survives when max(directions) ≥ threshold.
     """
-    sh = shingle_hash_rows(df, id_col, text_col, n, with_size=True).persist()
+    sh = _persist(shingle_hash_rows(df, id_col, text_col, n, with_size=True))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(

@@ -75,11 +75,17 @@ def count_exchanges(df) -> int:
     - cached subtrees by ``CachedRDDBuilder`` identity — a frame
       persisted once but referenced N times contributes its shuffles
       once (the cache materializes once);
-    - canonically-equal exchanges by ``semanticHash`` — AQE's stage
-      cache (``spark.sql.exchange.reuse``) materializes one shuffle and
-      wraps every other occurrence in ReusedExchange, so a subtree the
+    - canonically-equal exchanges by ``semanticHash``, scoped PER PLAN
+      ROOT (the main plan, or one cached plan) — AQE's stage cache
+      (``spark.sql.exchange.reuse``) materializes one shuffle and wraps
+      every other occurrence in ReusedExchange, so a subtree the
       optimizer duplicated (e.g. a multi-branch union re-reading one
-      grouped frame) still shuffles once at runtime.
+      grouped frame) still shuffles once at runtime.  But that reuse
+      lives inside ONE physical plan execution: each cache materializes
+      in its own job with its own plan, so a canonically-equal shuffle
+      appearing under two DIFFERENT cached-plan roots (or under a cache
+      and the main plan) executes once per root and is counted per root
+      (ADVICE r5 — the global seen-set undercounted this case).
 
     Broadcast exchanges are deliberately NOT counted — budgets track
     shuffles.  Descends through AQE wrappers, query stages, subqueries,
@@ -113,12 +119,17 @@ def count_python_stages(df) -> int:
 def _count_distinct_nodes(
     df, class_names: tuple[str, ...], semantic_dedup: bool
 ) -> int:
-    matched_hashes: set[tuple[str, int]] = set()
+    # semanticHash dedup is keyed by (scope, cls, hash): scope 0 is the
+    # main plan; each distinct CachedRDDBuilder's cached plan gets its
+    # own scope, because exchange reuse only happens within one physical
+    # plan execution — a cache materializes in its own job, so an equal
+    # shuffle under two roots runs twice and must count twice.
+    matched_hashes: set[tuple[int, str, int]] = set()
     unkeyed = 0
     builders: list = []  # distinct CachedRDDBuilder jobjs
-    stack = [df._jdf.queryExecution().executedPlan()]
+    stack = [(df._jdf.queryExecution().executedPlan(), 0)]
     while stack:
-        n = stack.pop()
+        n, scope = stack.pop()
         try:
             cls = n.getClass().getSimpleName()
         except Exception:
@@ -129,7 +140,8 @@ def _count_distinct_nodes(
                 b = rel.cacheBuilder()
                 if not any(ob.equals(b) for ob in builders):
                     builders.append(b)
-                    stack.append(rel.cachedPlan())  # caches can nest
+                    # caches can nest; each cache root is its own scope
+                    stack.append((rel.cachedPlan(), len(builders)))
             except Exception:
                 pass
             continue
@@ -138,29 +150,29 @@ def _count_distinct_nodes(
                 unkeyed += 1
             else:
                 try:
-                    matched_hashes.add((cls, n.semanticHash()))
+                    matched_hashes.add((scope, cls, n.semanticHash()))
                 except Exception:
                     unkeyed += 1
         if cls == "AdaptiveSparkPlanExec":
             try:
-                stack.append(n.executedPlan())
+                stack.append((n.executedPlan(), scope))
             except Exception:
                 pass
         elif cls.endswith("QueryStageExec"):
             try:
-                stack.append(n.plan())
+                stack.append((n.plan(), scope))
             except Exception:
                 pass
         try:
             ch = n.children()
             for i in range(ch.size()):
-                stack.append(ch.apply(i))
+                stack.append((ch.apply(i), scope))
         except Exception:
             pass
         try:
             sq = n.subqueries()
             for i in range(sq.size()):
-                stack.append(sq.apply(i))
+                stack.append((sq.apply(i), scope))
         except Exception:
             pass
     return len(matched_hashes) + unkeyed

@@ -354,3 +354,98 @@ def test_incremental_minhash_replay_id_in_both_frames(spark):
     # distinct 3-gram shingles = 0.6 — NOT inflated by the replayed 42
     assert (42, 42) not in out
     assert out == {(42, 99): 0.6}
+
+
+@_pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_registry_geometry_banding_recall_holds_multi_sf(spark, sf):
+    """ADVICE r5: the DuckDB oracle for dedup_minhash_lsh /
+    dedup_incremental_minhash is licensed by ZERO banding misses at the
+    light 32/10 registry geometry (per-pair miss ≈ 7.7e-4 at J = 0.8) —
+    a property of the CORPUS, not the operator.  This gate re-proves the
+    equality at two SFs in the default suite so a regenerated corpus
+    with a borderline pair fails HERE, not in the external driver; the
+    round-close multi-SF sweep extends it to sf0.1."""
+    import os
+
+    from atd_data_lake_spark.operators.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    if not os.path.isdir(sf):
+        _pytest.skip(f"{sf} absent")
+    d = read_table(spark, sf, "documents")
+    verified = sorted(
+        tuple(r)
+        for r in minhash_near_dups(
+            d, num_hashes=32, bands=10, threshold=0.8
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(d, threshold=0.8).collect()
+    )
+    assert verified == exact and verified
+
+
+def test_tracked_caches_unpersists_operator_persists(spark, sf_dir):
+    """ADVICE r5: operator persists outlived their query in a
+    many-query session.  tracked_caches() collects every persist the
+    enclosed operator creates and unpersists on exit."""
+    from atd_data_lake_spark.operators.dedup import (
+        minhash_near_dups,
+        tracked_caches,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    with tracked_caches() as reg:
+        out = minhash_near_dups(
+            d, num_hashes=32, bands=10, threshold=0.8
+        ).collect()
+        assert out
+        # sig + cands + pruned shingles were persisted inside the scope
+        assert len(reg) == 3
+        assert all(f.is_cached for f in reg)
+    assert all(not f.is_cached for f in reg)
+
+
+def test_replayed_id_prefers_incoming_copy_deterministically(spark):
+    """ADVICE r5: a doc id present in BOTH standing and incoming with
+    DIFFERENT text (updated on replay) must be judged by the incoming
+    text — not whichever copy a task scanned first."""
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    standing = spark.createDataFrame(
+        [
+            (1, base),
+            # id 3's STANDING text is a near-dup of doc 1 ...
+            (3, base + " iota"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        # ... but its replayed INCOMING text is unrelated: with the
+        # incoming copy preferred, no verified pair may survive
+        [(3, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_near_dups(
+        standing, incoming, num_hashes=16, bands=16, threshold=0.5
+    ).collect()
+    assert out == []
+    # and the mirror case: incoming text IS the near-dup
+    incoming2 = spark.createDataFrame(
+        [(3, base + " iota")], "doc_id long, text string"
+    )
+    standing2 = spark.createDataFrame(
+        [(1, base), (3, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_minhash_near_dups(
+        standing2, incoming2, num_hashes=16, bands=16, threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out2] == [(1, 3)]

@@ -150,3 +150,30 @@ def test_dedupe_cached_threads_seen_through_recursion():
     out = dedupe_cached(plan)
     # the inner cache's Exchange line survives exactly once
     assert out.count("hashpartitioning(b#") == 1
+
+
+def test_equal_shuffle_under_two_distinct_caches_counts_per_cache(spark):
+    """ADVICE r5: exchange reuse lives inside ONE physical plan — each
+    cache materializes in its own job, so a canonically-equal shuffle
+    under two DIFFERENT cached-plan roots executes twice and must count
+    twice (the global semanticHash seen-set undercounted this)."""
+    g = (
+        spark.range(1000)
+        .selectExpr("id % 7 as k", "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"))
+    )
+    # distinct canonical plans (different filters) -> distinct builders,
+    # but both cached plans contain g's identical groupBy exchange
+    a = g.filter("s > 10").cache()
+    b = g.filter("s < 10").cache()
+    try:
+        a.count()
+        b.count()
+        j = a.selectExpr("k", "s as sa").join(
+            b.selectExpr("k as k2", "s as sb"), F.col("k") == F.col("k2")
+        )
+        assert count_exchanges(j) == 2
+    finally:
+        a.unpersist()
+        b.unpersist()
