@@ -143,6 +143,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _plane_bits(mat: np.ndarray, planes: np.ndarray, sign_mode: str) -> np.ndarray:
+    """Sign bits of ``mat`` (n×d) against ``planes`` (p×d) → n×p {0,1}.
+
+    ``dot`` is the production path (one matmul, sign of the raw float
+    dot).  ``cosine6`` decides the sign on the 6-dp-half-up-rounded
+    COSINE instead — same bits except within 1e-6 of the boundary, but
+    SQL-reproducible: ``round(list_cosine_similarity(v, p), 6) >= 0`` in
+    DuckDB computes the identical decision (the green parity recipe
+    behind ``centroid_assign``/``cosine_topk`` oracles)."""
+    if sign_mode == "dot":
+        return (mat @ planes.T >= 0).astype(np.int64)
+    if sign_mode != "cosine6":
+        raise ValueError(f"unknown sign_mode {sign_mode!r}")
+    return (_round_half_up(_cosine_matrix(mat, planes)) >= 0).astype(np.int64)
+
+
 def _band_keys(
     df: DataFrame,
     id_col: str,
@@ -150,6 +166,7 @@ def _band_keys(
     planes: np.ndarray,
     bands: int,
     rows_per_band: int,
+    sign_mode: str = "dot",
 ) -> DataFrame:
     """Sign-LSH banded bucket keys: one Arrow pass emitting ``bands`` rows
     (_id, band, bucket) per vector.  The bucket is the band's sign-bit
@@ -170,7 +187,7 @@ def _band_keys(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes.T >= 0).astype(np.int64)  # n × n_planes
+            bits = _plane_bits(mat, planes, sign_mode)  # n × n_planes
             frames = []
             for b in range(bands):
                 chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -200,6 +217,8 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 42,
     target_bucket_load: int = 32,
+    planes: np.ndarray | None = None,
+    sign_mode: str = "dot",
 ) -> DataFrame:
     """Approximate top-k: sign-LSH banded bucketing for candidates, exact
     cosine re-rank.  A query and corpus vector are candidates iff they
@@ -220,27 +239,38 @@ def lsh_topk(
     """
     corpus = drop_null_vectors(corpus, vec_col)
     queries = drop_null_vectors(queries, vec_col)
-    if n_planes is None:
-        import math
+    if planes is not None:
+        # injected model (e.g. the oracle-reproducible data-derived
+        # planes of sim_ann_lsh) — geometry comes from its shape
+        planes = np.asarray(planes, dtype=np.float64)
+        n_planes = planes.shape[0]
+    else:
+        if n_planes is None:
+            import math
 
-        n_rows = corpus.count()
-        r = min(20, max(2, math.ceil(math.log2(max(n_rows / target_bucket_load, 4)))))
-        bands = max(bands, r)
-        n_planes = r * bands
-    planes = _hyperplanes(dim, n_planes, seed)
+            n_rows = corpus.count()
+            r = min(
+                20,
+                max(2, math.ceil(math.log2(max(n_rows / target_bucket_load, 4)))),
+            )
+            bands = max(bands, r)
+            n_planes = r * bands
+        planes = _hyperplanes(dim, n_planes, seed)
+    if n_planes % bands:
+        raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
     rows_per_band = n_planes // bands
     weights = 1 << np.arange(rows_per_band)  # bits → int bucket key
 
     # corpus band keys: 3 small columns — the vectors stay in their scan
     # partitions until the (tiny) candidate set is known
-    c = _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band)
+    c = _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band, sign_mode)
 
     # queries are driver-small (same contract as cosine_topk/ivf_topk):
     # band them locally — no Spark stage, no Arrow roundtrip
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qbits = (qmat @ planes.T >= 0).astype(np.int64)
+    qbits = _plane_bits(qmat, planes, sign_mode)
     q_band_rows = [
         (int(qid), int(b), int(qbits[i, b * rows_per_band : (b + 1) * rows_per_band] @ weights))
         for i, qid in enumerate(qids)
@@ -259,8 +289,26 @@ def lsh_topk(
         .distinct()
     )
 
-    # rejoin the (small) candidate set to the corpus vectors; query vectors
-    # ride along in the closure keyed by query id
+    return _rerank_pairs(corpus, pair_ids, qids, qmat, k, id_col, vec_col)
+
+
+def _rerank_pairs(
+    corpus: DataFrame,
+    pair_ids: DataFrame,
+    qids,
+    qmat: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of candidate ``(_id, _qid)`` pairs → top-k
+    per query, shared by ``lsh_topk`` / ``ivf_topk_model``.
+
+    The (small) candidate id set broadcasts back onto the corpus scan so
+    vectors only leave their partitions for actual candidates; query
+    vectors ride in the task closure keyed by id (model-sized).  Scores
+    are 6-dp half-up — the SQL-reproducible contract — and ties break to
+    the smaller neighbor id."""
     qvec_by_id = {int(qid): qmat[i] for i, qid in enumerate(qids)}
     qnorms = np.linalg.norm(qmat, axis=1)
     qnorms[qnorms == 0] = 1.0
@@ -478,6 +526,111 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk_model(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k against an INJECTED coarse-quantizer model
+    (a driver-small ``(centroid_id, vector)`` list) — the production
+    shape where the quantizer was trained offline and the search loads
+    it, vs ``ivf_topk`` which trains its own.
+
+    Unlike ``ivf_topk``'s raw-float euclidean argmin, cell assignment
+    and probe selection here use the 6-dp-rounded COSINE with
+    smallest-id tie-breaks (``centroid_assign``), making every decision
+    — and therefore the full ranked result — SQL-reproducible, so the
+    query carries a complete DuckDB oracle.
+
+    Plan shape: assignment is zero-shuffle JVM column math over the
+    scan; probes are computed driver-side from the model; candidates are
+    one broadcast equi-join on cell id; the exact re-rank touches only
+    candidates.  Nothing corpus-sized ever shuffles.
+    """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
+    cells = centroid_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    cids = [int(c) for c, _ in centroids]
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    sims = _round_half_up(_cosine_matrix(qmat, cmat))  # q × cells
+    probe_rows = []
+    for i, qid in enumerate(qids):
+        order = sorted(range(len(cids)), key=lambda j: (-sims[i, j], cids[j]))
+        probe_rows += [(qid, cids[j]) for j in order[:n_probe]]
+    q = corpus.sparkSession.createDataFrame(
+        probe_rows, "_qid long, centroid_id long"
+    )
+
+    pair_ids = (
+        cells.select(F.col(id_col).alias("_id"), "centroid_id")
+        .join(F.broadcast(q), "centroid_id")
+        .filter(F.col("_id") != F.col("_qid"))
+        .select("_id", "_qid")
+        .distinct()
+    )
+    return _rerank_pairs(corpus, pair_ids, qids, qmat, k, id_col, vec_col)
+
+
+def ivf_upsert(
+    standing: DataFrame,
+    incoming: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance — the reference's incremental
+    anti-join ingest pattern (``operators/incremental.py``, J1 /
+    ``last_update.py`` compare-loop) applied to an ANN index: given the
+    ``standing`` index (``id, centroid_id`` rows already indexed) and an
+    ``incoming`` vector batch that may re-deliver already-indexed ids,
+    assign ONLY the genuinely new vectors to their nearest cell and
+    report the per-cell delta.
+
+    Output per cell: ``centroid_id, n_standing, n_added, n_total,
+    added_sim_sum`` (6-dp decimal-exact sum of the new members' centroid
+    similarities — the drift signal that tells an index operator a cell
+    needs re-training or splitting).
+
+    100 TB shape: the anti-join is id-only (two slim columns shuffle, or
+    broadcast when the batch is small); assignment of the surviving new
+    rows is zero-shuffle JVM math against the inlined model; both
+    rollups are cell-cardinality aggregates with map-side combine.  The
+    standing index is never re-scored and the corpus never re-shuffles —
+    cost scales with the incoming batch, not the index.
+    """
+    new_vecs = incoming.select(id_col, vec_col).join(
+        standing.select(id_col), id_col, "left_anti"
+    )
+    added = centroid_assign(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+    std_roll = standing.groupBy("centroid_id").agg(
+        F.count("*").alias("n_standing")
+    )
+    add_roll = added.groupBy("centroid_id").agg(
+        F.count("*").alias("n_added"),
+        F.round(
+            F.sum(F.col("cos_sim").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("added_sim_sum"),
+    )
+    n_std = F.coalesce("n_standing", F.lit(0)).cast("long")
+    n_add = F.coalesce("n_added", F.lit(0)).cast("long")
+    return std_roll.join(add_roll, "centroid_id", "full").select(
+        "centroid_id",
+        n_std.alias("n_standing"),
+        n_add.alias("n_added"),
+        (n_std + n_add).alias("n_total"),
+        F.coalesce("added_sim_sum", F.lit(0.0)).alias("added_sim_sum"),
     )
 
 
