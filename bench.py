@@ -107,6 +107,9 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "cur_semantic_decontaminate",
     "text_ngram_novelty",
+    # round-29 flagships (URL/domain curation + incremental ANN index)
+    "url_domain_rollup",
+    "sim_ivf_upsert",
 ]
 
 
