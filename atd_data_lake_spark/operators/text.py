@@ -614,3 +614,77 @@ def ngram_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (RefinedWeb / CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def line_level_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 10,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE dedup: any line appearing in ``max_df`` or more
+    distinct documents is boilerplate (nav bars, cookie banners, license
+    headers) and is removed from every document — the RefinedWeb/CCNet
+    line-dedup pass, the single highest-yield cleaning step for web
+    corpora after URL dedup.
+
+    The corpus has no newline structure, so "lines" are deterministic
+    ``words_per_line``-word chunks (the same windowing as
+    ``cur_chunk_documents``); with real page text the splitter would be
+    ``split(text, '\\n')`` and everything downstream is unchanged.
+
+    Output per doc: ``n_lines / n_kept / n_dropped / clean_md5`` (md5 of
+    the surviving lines re-joined in order — portable across engines).
+
+    100 TB shape: two shuffles total — groupBy(line) computes document
+    frequency (map-side partial on the line key; at scale the key would
+    be the 8-byte xxhash of the line, same exchange shape), and
+    groupBy(doc) reassembles.  The frequent-line set joins back on the
+    same line key the df-aggregate just exchanged on, so AQE reuses that
+    exchange; the frequent set itself is output-sized (repeated lines
+    only), never corpus-sized, and the per-doc collect_list is bounded
+    by document length, not corpus size.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(words_per_line))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * words_per_line + 1, words_per_line)
+        ),
+    )
+    lines = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "line")
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= max_df)
+        .select("line", F.lit(True).alias("_is_freq"))
+    )
+    flagged = lines.join(freq, "line", "left").withColumn(
+        "_drop", F.coalesce("_is_freq", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_drop"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("_drop"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )

@@ -302,17 +302,311 @@ ORDER BY centroid_id
 
 
 # ---------------------------------------------------------------------------
+# url_domain_gate — the rollup's keep verdict applied back to documents
+# ---------------------------------------------------------------------------
+
+
+def url_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4-style domain gate: rollup the domains, broadcast the
+    (domain → keep) verdicts back onto the page stream, and report the
+    per-source kept/dropped split.
+
+    100 TB shape: the verdict table is domain-cardinality (model-sized
+    next to pages) and broadcasts; pages never shuffle for the gate —
+    the only exchanges are the rollup's own and the final per-source
+    aggregate."""
+    from atd_data_lake_spark.operators.urls import (
+        domain_quality_rollup,
+        url_parts,
+        with_registrable_domain,
+    )
+
+    d = _with_url(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        )
+    )
+    pages = with_registrable_domain(url_parts(d, "url"))
+    verdicts = domain_quality_rollup(pages).select("reg_domain", "keep")
+    gated = pages.join(F.broadcast(verdicts), "reg_domain")
+    return gated.groupBy("source").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+URL_DOMAIN_GATE_SQL = f"""
+WITH u AS ({_url_sql()}),
+{_URL_PARTS_SQL},
+verdicts AS (
+    SELECT reg_domain,
+           (count(*) >= 3 AND
+            round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  / count(*), 6) >= 0.3) AS keep
+    FROM dom GROUP BY reg_domain
+)
+SELECT d.source,
+       CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT v.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(sum(CASE WHEN v.keep THEN d.n_chars ELSE 0 END) AS BIGINT)
+           AS kept_chars
+FROM dom d JOIN verdicts v ON v.reg_domain = d.reg_domain
+GROUP BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical — canonical-URL dedup (pre-fetch dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: canonicalize (lowercase host, strip
+    ``utm_*`` params), group pages by canonical URL, keep the smallest
+    doc_id — the crawl-frontier dedup that runs BEFORE any content
+    dedup.  One groupBy on the canonical key; map-side combine absorbs
+    the duplicates."""
+    from atd_data_lake_spark.operators.urls import (
+        url_parts,
+        with_query_params,
+    )
+
+    d = _with_url(_t(spark, sf_dir, "documents").select("doc_id", "source"))
+    p = with_query_params(url_parts(d, "url"))
+    canon = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(
+            F.col("clean_query") != "", F.concat(F.lit("?"), F.col("clean_query"))
+        ).otherwise(F.lit("")),
+    )
+    return p.groupBy(canon.alias("canonical_url")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("kept_doc_id"),
+    )
+
+
+DEDUP_URL_CANONICAL_SQL = f"""
+WITH u AS ({_url_sql()}),
+{_URL_PARTS_SQL}
+SELECT 'https://' || host || path ||
+       CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS kept_doc_id
+FROM (
+    SELECT *,
+        coalesce(array_to_string(list_filter(string_split(query_string, '&'),
+            p -> p <> '' AND p NOT LIKE 'utm\\_%' ESCAPE '\\'), '&'), '') AS cq
+    FROM dom
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — corpus-level line dedup (RefinedWeb/CCNet pass)
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 10
+_LINE_MAX_DF = 2
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level dedup over 10-word chunk "lines":
+    lines appearing in ≥2 distinct docs are boilerplate and are dropped
+    from every doc; output is the per-doc kept/dropped split plus the
+    md5 of the cleaned text (portable across engines).  See
+    ``operators/text.line_level_dedup`` for the two-shuffle scale
+    argument."""
+    from atd_data_lake_spark.operators.text import line_level_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_level_dedup(
+        d, words_per_line=_LINE_WORDS, max_df=_LINE_MAX_DF
+    ).select("doc_id", "n_lines", "n_kept", "n_dropped", "clean_md5")
+
+
+TEXT_LINE_DEDUP_SQL = f"""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           generate_subscripts(chunks, 1) - 1 AS pos,
+           unnest(chunks) AS line
+    FROM (
+        SELECT doc_id,
+            list_transform(
+                generate_series(0,
+                    CAST(ceil(len(ws) / {float(_LINE_WORDS)!r}) AS INT) - 1),
+                i -> array_to_string(
+                    ws[(i*{_LINE_WORDS}+1):(i*{_LINE_WORDS}+{_LINE_WORDS})],
+                    ' ')) AS chunks
+        FROM words)
+),
+freq AS (
+    SELECT line FROM lines GROUP BY line
+    HAVING count(DISTINCT doc_id) >= {_LINE_MAX_DF}
+),
+flagged AS (
+    SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS is_freq
+    FROM lines l LEFT JOIN freq f ON f.line = l.line
+)
+SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN NOT is_freq THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    CAST(sum(CASE WHEN is_freq THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+    md5(coalesce(string_agg(CASE WHEN NOT is_freq THEN line END,
+                            ' ' ORDER BY pos), '')) AS clean_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_recall — recall@10 of the model-IVF vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_QUERIES = 20
+_RECALL_K = 10
+
+
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 4-probe model-IVF search against the exact
+    brute-force ground truth, per query — the eval that prices an IVF
+    deployment's probe budget (the ``emb_matryoshka_eval`` recipe with
+    the IVF candidate generator in the approximate seat)."""
+    from atd_data_lake_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_model,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model_rows = (
+        emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r[0]), list(r[1])) for r in model_rows]
+    queries = emb.filter(F.col("vec_id") < _RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, k=_RECALL_K)
+    approx = ivf_topk_model(emb, queries, centroids, k=_RECALL_K, n_probe=4)
+    hits = truth.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    base = queries.select("query_id")
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(float(_RECALL_K)), 6
+        ).alias("recall_at_10"),
+    )
+
+
+SIM_ANN_IVF_RECALL_SQL = f"""
+WITH c AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                       c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < {_RECALL_QUERIES}
+),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qvec, c.cvec), 6)
+                       DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= 4
+),
+ivf_rank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       cd.neighbor_id) AS rank
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
+        ) cd
+        JOIN q ON q.query_id = cd.query_id
+        JOIN embeddings e ON e.vec_id = cd.neighbor_id
+    ) WHERE rank <= {_RECALL_K}
+),
+full_rank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       e.vec_id ASC) AS rank
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= {_RECALL_K}
+),
+hits AS (
+    SELECT f.query_id, count(*) AS n_hits
+    FROM full_rank f
+    JOIN ivf_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(_RECALL_K)!r}, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
 ROUND29_QUERIES = {
     "url_domain_extract": url_domain_extract,
     "url_domain_rollup": url_domain_rollup,
+    "url_domain_gate": url_domain_gate,
+    "dedup_url_canonical": dedup_url_canonical,
+    "text_line_dedup": text_line_dedup,
     "sim_ivf_upsert": sim_ivf_upsert,
+    "sim_ann_ivf_recall": sim_ann_ivf_recall,
 }
 
 ROUND29_ORACLES = {
     "url_domain_extract": URL_DOMAIN_EXTRACT_SQL,
     "url_domain_rollup": URL_DOMAIN_ROLLUP_SQL,
+    "url_domain_gate": URL_DOMAIN_GATE_SQL,
+    "dedup_url_canonical": DEDUP_URL_CANONICAL_SQL,
+    "text_line_dedup": TEXT_LINE_DEDUP_SQL,
     "sim_ivf_upsert": SIM_IVF_UPSERT_SQL,
+    "sim_ann_ivf_recall": SIM_ANN_IVF_RECALL_SQL,
 }

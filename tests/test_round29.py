@@ -254,3 +254,91 @@ def test_ivf_upsert_plan_shape(spark, sf_dir):
 
     df = sim_ivf_upsert(spark, sf_dir)
     assert count_python_stages(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_level_dedup_planted(spark):
+    """Planted boilerplate: a 10-word banner shared by all three docs is
+    dropped everywhere; unique content lines survive byte-for-byte."""
+    import hashlib
+
+    from atd_data_lake_spark.operators.text import line_level_dedup
+
+    banner = "cookie notice please accept all our terms of service today"
+    uniq = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three four five six seven eight nine ten",
+        3: "red orange yellow green blue indigo violet black white gray",
+    }
+    df = spark.createDataFrame(
+        [(i, banner + " " + uniq[i]) for i in uniq],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_level_dedup(df, max_df=2).collect()}
+    for i in uniq:
+        assert out[i].n_lines == 2
+        assert out[i].n_dropped == 1  # the banner
+        assert out[i].n_kept == 1
+        assert out[i].clean_md5 == hashlib.md5(uniq[i].encode()).hexdigest()
+
+
+def test_line_level_dedup_doc_of_only_boilerplate(spark):
+    """A doc consisting ENTIRELY of boilerplate keeps zero lines and its
+    clean_md5 is the md5 of the empty string on both engines."""
+    import hashlib
+
+    from atd_data_lake_spark.operators.text import line_level_dedup
+
+    banner = "cookie notice please accept all our terms of service today"
+    df = spark.createDataFrame(
+        [(1, banner), (2, banner), (3, "unique words only here now there then when why how")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_level_dedup(df, max_df=2).collect()}
+    assert out[1].n_kept == 0
+    assert out[1].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert out[3].n_kept == 1
+
+
+def test_line_dedup_plan_two_big_exchanges(spark, sf_dir):
+    """Scale contract: one exchange for the line-df groupBy (reused by
+    the join back on the same key), one for the per-doc reassembly."""
+    from atd_data_lake_spark.plancheck import count_exchanges, count_python_stages
+    from atd_data_lake_spark.round29_queries import text_line_dedup
+
+    df = text_line_dedup(spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    assert count_python_stages(df) == 0
+
+
+def test_url_canonical_dedup_collapses_tracking_variants(spark):
+    """Two URLs differing only by utm_* params share a canonical form."""
+    from atd_data_lake_spark.operators.urls import url_parts, with_query_params
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a?utm_source=x&id=7"),
+            (2, "https://www.example.com/a?id=7&utm_medium=rss"),
+            (3, "https://www.example.com/a?id=8"),
+        ],
+        "doc_id long, url string",
+    )
+    p = with_query_params(url_parts(df, "url"))
+    canon = F.concat(
+        F.lit("https://"), F.col("host"), F.col("path"),
+        F.when(F.col("clean_query") != "",
+               F.concat(F.lit("?"), F.col("clean_query"))).otherwise(F.lit("")),
+    )
+    out = (
+        p.groupBy(canon.alias("c"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("kept"))
+        .collect()
+    )
+    by_c = {r.c: r for r in out}
+    assert by_c["https://www.example.com/a?id=7"].n == 2
+    assert by_c["https://www.example.com/a?id=7"].kept == 1
+    assert by_c["https://www.example.com/a?id=8"].n == 1
