@@ -1330,12 +1330,62 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming ≤ 6 over 8-bit pigeonhole blocks
-    (8 blocks > max_hamming ⇒ recall 1.0 within the radius; the r1
-    parameterization max_hamming=12/16-bit blocks silently guaranteed
-    only distance 3 — now a ValueError).  No SQL oracle."""
+    """SimHash near-dup pairs, Hamming ≤ 3 over 12-bit pigeonhole blocks
+    (4 blocks > max_hamming ⇒ recall 1.0 within the radius) — UPGRADED
+    r6 from rows-only to a fully oracle-checked query: the signature is
+    the PORTABLE 48-bit simhash (md5-prefix token hashes, every step
+    ANSI-SQL-reproducible), completing the oracle-backed dedup family.
+    12-bit blocks keep buckets ≈ n/4096 so the candidate join stays
+    near-linear (6-bit blocks measured 30× the pair volume — weak-
+    similarity noise — and 5× the wall).  The pandas-hash production
+    signature (``simhash_df``) stays exercised by the pigeonhole/
+    determinism pytest gates."""
+    from atd_data_lake_spark.operators.dedup import (
+        simhash_signature_portable,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=6, block_bits=8)
+    sig = simhash_signature_portable(d, n_bits=48)
+    out = simhash_near_dups(
+        d, max_hamming=3, block_bits=12, signature=sig, hash_bits=48
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _dedup_simhash_sql(n_bits: int = 48, max_hamming: int = 3) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sh = "\n         + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 13)) AS UBIGINT) AS th
+    FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+           CAST({sh} AS BIGINT) AS sh
+    FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
 
 
 def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,6 +2104,7 @@ ORACLES: dict[str, str] = {
     "sim_knn_bruteforce": SIM_KNN_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
+    "dedup_simhash": _dedup_simhash_sql(),
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
     "mm_media_features": _mm_media_sql(),
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,

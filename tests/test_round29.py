@@ -342,3 +342,63 @@ def test_url_canonical_dedup_collapses_tracking_variants(spark):
     assert by_c["https://www.example.com/a?id=7"].n == 2
     assert by_c["https://www.example.com/a?id=7"].kept == 1
     assert by_c["https://www.example.com/a?id=8"].n == 1
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_portable_signature_pinned(spark):
+    """The portable signature must equal a straight reference
+    implementation (md5-prefix 52-bit token hash, ±1 votes per bit,
+    strict >0 sign) — the contract the DuckDB oracle re-derives."""
+    import hashlib
+
+    from atd_data_lake_spark.operators.dedup import simhash_signature_portable
+
+    texts = {1: "a b c a", 2: "x y z", 3: ""}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r._id: r._sh
+        for r in simhash_signature_portable(df, n_bits=48).collect()
+    }
+
+    def ref(text):
+        votes = [0] * 48
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:13], 16)
+            for b in range(48):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(48) if votes[b] > 0)
+
+    for i, t in texts.items():
+        assert out[i] == ref(t), i
+
+
+def test_simhash_near_dups_injected_signature_pigeonhole(spark):
+    """Injected 48-bit signatures: pairs within Hamming 3 are all found
+    (pigeonhole over 4 x 12-bit blocks), farther pairs are not."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from atd_data_lake_spark.operators.dedup import simhash_near_dups
+
+    base = (1 << 47) | (1 << 20) | 0b1111
+    sig = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base ^ 0b0111),          # hamming 3 -> pair
+            (3, base ^ (1 << 13) ^ (1 << 25) ^ (1 << 37) ^ (1 << 45)),  # 4 -> no
+        ],
+        "_id long, _sh long",
+    )
+    docs = spark.createDataFrame([(1, "x"), (2, "x"), (3, "x")], "doc_id long, text string")
+    out = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(
+            docs, max_hamming=3, block_bits=12, signature=sig, hash_bits=48
+        ).collect()
+    )
+    assert out == [(1, 2, 3)]
