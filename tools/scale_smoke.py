@@ -380,6 +380,61 @@ def main() -> None:
     ops["triangle_census"] = triangle_10x
     ops["phash_near_dup"] = phash_10x
     ops["pca_project"] = pca_10x
+
+    # round-29 additions: line dedup where every replica makes EVERY
+    # line corpus-frequent (maximum frequent-set size AND maximum drop
+    # volume); URL rollup/gate as pure string-math map + one groupBy
+    # (wall must track the scan); portable simhash whose banded join
+    # faces 10× replicas that are all exact dups (every block collides);
+    # IVF upsert where the 10× incoming batch re-delivers the whole
+    # standing (base-replica) index and adds 9× new vectors — the
+    # anti-join must prune the replays before any assignment math
+    from atd_data_lake_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_signature_portable,
+    )
+    from atd_data_lake_spark.operators.similarity import ivf_upsert
+    from atd_data_lake_spark.operators.text import line_level_dedup
+    from atd_data_lake_spark.operators.urls import (
+        domain_quality_rollup,
+        registrable_domain,
+        url_parts,
+    )
+
+    ops["line_dedup"] = lambda: line_level_dedup(
+        docs.select("doc_id", "text"), max_df=2
+    )
+    docs_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    ops["url_domain_rollup"] = lambda: domain_quality_rollup(
+        url_parts(docs_url, "url").withColumn(
+            "reg_domain", registrable_domain(F.col("host"))
+        )
+    )
+    ops["simhash_portable"] = lambda: simhash_near_dups(
+        docs,
+        max_hamming=3,
+        block_bits=12,
+        signature=simhash_signature_portable(docs, n_bits=48),
+        hash_bits=48,
+    )
+    standing_1x = emb.filter(F.col("vec_id") < 10**9).select("vec_id")
+    ops["ivf_upsert"] = lambda: ivf_upsert(
+        centroid_assign(
+            emb.join(standing_1x, "vec_id", "left_semi"), cent
+        ).select("vec_id", "centroid_id"),
+        emb,
+        cent,
+    )
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
