@@ -168,3 +168,45 @@ def pagerank_masses(
             F.col("_base"),
         )
     return ranks.select("node", "mass")
+
+
+def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Deterministic min-label propagation (synchronous LPA) —
+    community detection's simplest convergent form: every node starts
+    labeled with its own id; each round it takes the minimum of its own
+    label and its in-neighbors' labels.  After ``n_rounds`` rounds two
+    nodes share a label iff they are within ``n_rounds`` hops of a
+    common minimum — the bounded-round community sketch used to seed
+    Louvain-style refinement at scale.  min() makes the update
+    order-free and engine-exact, so the query carries a full value-hash
+    oracle (the same determinism discipline as ``pagerank_masses``).
+
+    Scale shape (mirrors pagerank_masses): the graph materializes ONCE
+    as a receiver-keyed adjacency ``(dst, ins array<src>)`` — map-side
+    collect_set dedupes the raw pair stream before its single
+    edge-sized exchange; each round explodes the cached dst-partitioned
+    adjacency and broadcast-joins the node-sized label frame, so the
+    per-round groupBy(dst) aggregates with NO exchange.  ``n_rounds``
+    rounds over a 100 TB edge set shuffle the edge stream once.
+    """
+    in_adj = (
+        edges.groupBy("dst").agg(F.collect_set("src").alias("ins")).persist()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(n_rounds):
+        ex = in_adj.select("dst", F.explode("ins").alias("_s"))
+        nb = (
+            ex.join(F.broadcast(labels), F.col("_s") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nb"))
+            .select(F.col("dst").alias("node"), "_nb")
+        )
+        labels = labels.join(nb, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("_nb", F.col("label"))
+            ).alias("label"),
+        )
+    return labels

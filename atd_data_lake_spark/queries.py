@@ -2368,6 +2368,14 @@ from atd_data_lake_spark.round29_queries import (  # noqa: E402
 QUERIES.update(ROUND29_QUERIES)
 ORACLES.update(ROUND29_ORACLES)
 
+from atd_data_lake_spark.round30_queries import (  # noqa: E402
+    ROUND30_ORACLES,
+    ROUND30_QUERIES,
+)
+
+QUERIES.update(ROUND30_QUERIES)
+ORACLES.update(ROUND30_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is

@@ -55,6 +55,9 @@ BNLJ_ALLOWED = {
     # posting stream (round24_queries.py text_bm25_topk) — broadcast
     # pass-through, same class as pipe_gs_publish
     "text_bm25_topk",
+    # composes unigram_logprob_score, inheriting its 1-row corpus-total
+    # crossJoin (round30_queries.py cur_perplexity_buckets)
+    "cur_perplexity_buckets",
 }
 
 

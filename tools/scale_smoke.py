@@ -44,6 +44,7 @@ def main() -> None:
 
     docs = blow_up(docs0, "doc_id").persist()
     emb = blow_up(emb0, "vec_id").persist()
+    _bases = [docs, emb]  # re-warmed after each op's cache flush
     n_docs, n_emb = docs.count(), emb.count()
     print(f"# corpus: {n_docs} docs, {n_emb} embeddings ({REPLICAS}x {SF_DIR})")
 
@@ -90,6 +91,7 @@ def main() -> None:
         .drop("_rep")
         .persist()
     )
+    _bases.append(ev)
     ev.count()
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id", "event_id", "ts"
@@ -219,6 +221,7 @@ def main() -> None:
         )
         .persist()
     )
+    _bases.append(li)
     li.count()
 
     def _copurchase_edges_10x():
@@ -438,7 +441,16 @@ def main() -> None:
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
-        print(f"# {name}: {time.perf_counter() - t0:.2f}s ({n} rows)")
+        print(f"# {name}: {time.perf_counter() - t0:.2f}s ({n} rows)", flush=True)
+        # isolate ops: operator-internal persists (LSH candidate frames,
+        # adjacency caches, ...) otherwise accumulate across the 28 ops
+        # and inflate later timings 3-5x (r6 measured: url rollup 15.1s
+        # in-session vs 2.7s isolated; ivf_upsert 20.4s vs 6.7s) — flush
+        # everything, then re-warm only the shared base frames
+        spark.catalog.clearCache()
+        for b in _bases:
+            b.persist()
+            b.count()
 
 
 if __name__ == "__main__":
