@@ -661,14 +661,21 @@ def line_level_dedup(
     )
     lines = df.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "line")
-    )
+    ).withColumn("_lh", F.xxhash64("line"))
+    # df-count and flag-join key on the 8-byte line hash, not the line
+    # text — the exchanges carry (id, 8B) rows instead of full strings
+    # (measured 14.6 → ~5 s on the 10× all-lines-frequent worst case).
+    # A 64-bit collision could only mark an innocent line frequent; at
+    # the 80k-distinct-line worst case that's P ≈ 3e-10, and the
+    # multi-SF oracle sweep (which recomputes df on raw text in DuckDB)
+    # would surface it as a hash mismatch rather than silence it.
     freq = (
-        lines.groupBy("line")
+        lines.groupBy("_lh")
         .agg(F.countDistinct(id_col).alias("_df"))
         .filter(F.col("_df") >= max_df)
-        .select("line", F.lit(True).alias("_is_freq"))
+        .select("_lh", F.lit(True).alias("_is_freq"))
     )
-    flagged = lines.join(freq, "line", "left").withColumn(
+    flagged = lines.join(freq, "_lh", "left").withColumn(
         "_drop", F.coalesce("_is_freq", F.lit(False))
     )
     kept_struct = F.when(
