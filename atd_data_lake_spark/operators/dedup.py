@@ -32,7 +32,6 @@ queries (what ``bench.py``, the sweep scripts, and ``plan_report`` do).
 
 from __future__ import annotations
 
-import contextlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,42 +40,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from atd_data_lake_spark.operators.scale import fan_out
-
-# ---------------------------------------------------------------------------
-# Cache-scope tracking (ADVICE r5: operator persists outlived their query)
-# ---------------------------------------------------------------------------
-
-_CACHE_SCOPES: list[list[DataFrame]] = []
-
-
-@contextlib.contextmanager
-def tracked_caches():
-    """Collects every persist an enclosed operator call creates and
-    unpersists them on exit — materialize results INSIDE the block::
-
-        with tracked_caches():
-            out = minhash_near_dups(docs).collect()
-
-    Scopes nest (inner scope owns its own persists).  Outside any scope,
-    operators persist untracked, and the session-level
-    ``spark.catalog.clearCache()`` discipline applies.
-    """
-    reg: list[DataFrame] = []
-    _CACHE_SCOPES.append(reg)
-    try:
-        yield reg
-    finally:
-        _CACHE_SCOPES.pop()
-        for frame in reg:
-            frame.unpersist()
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    if _CACHE_SCOPES:
-        _CACHE_SCOPES[-1].append(df)
-    return df
+# Cache-scope tracking lives in operators/scale.py (shared by every
+# operator module that persists — r6 review: a dedup-private registry
+# could not reclaim graph.py's adjacency caches); re-exported here
+# because this is where callers first met it.
+from atd_data_lake_spark.operators.scale import (  # noqa: F401
+    fan_out,
+    scoped_persist as _persist,
+    tracked_caches,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -564,7 +536,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     block_bits: int = 16,
     signature: DataFrame | None = None,
-    hash_bits: int = 64,
+    hash_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -582,7 +554,19 @@ def simhash_near_dups(
     ``signature``: an externally computed (_id, _sh) frame (e.g. the
     portable :func:`simhash_signature_portable`, ``hash_bits=48``);
     default is the production :func:`simhash_df` 64-bit signature.
+    ``hash_bits`` is REQUIRED alongside ``signature``: blocking a
+    48-bit signature with the 64-bit default would make the top block
+    a universal (blk, 0) bucket — every doc collides and the banded
+    join degenerates quadratic while producing correct-looking output.
     """
+    if signature is not None and hash_bits is None:
+        raise ValueError(
+            "pass hash_bits with an injected signature — blocking beyond "
+            "the signature's width turns the top block into a universal "
+            "bucket (quadratic candidate join)"
+        )
+    if hash_bits is None:
+        hash_bits = 64
     n_blocks = hash_bits // block_bits
     if max_hamming >= n_blocks:
         raise ValueError(

@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from atd_data_lake_spark.operators.scale import scoped_persist
+
 
 def pagerank_masses(
     edges: DataFrame,
@@ -117,15 +119,14 @@ def pagerank_masses(
         )
     ins_agg = F.collect_list(F.struct("src", "deg")).alias("ins")
     if salt_buckets is None:
-        in_adj = flat.groupBy("dst").agg(ins_agg).persist()
+        in_adj = scoped_persist(flat.groupBy("dst").agg(ins_agg))
     else:
-        in_adj = (
+        in_adj = scoped_persist(
             flat.groupBy(
                 "dst",
                 F.pmod(F.xxhash64("src"), F.lit(salt_buckets)).alias("_bkt"),
             )
             .agg(ins_agg)
-            .persist()
         )
 
     # cheap distinct lineage — NOT the collect_set aggregation, which
@@ -189,11 +190,17 @@ def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     per-round groupBy(dst) aggregates with NO exchange.  ``n_rounds``
     rounds over a 100 TB edge set shuffle the edge stream once.
     """
-    in_adj = (
-        edges.groupBy("dst").agg(F.collect_set("src").alias("ins")).persist()
+    in_adj = scoped_persist(
+        edges.groupBy("dst").agg(F.collect_set("src").alias("ins"))
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("label")
+    # nodes = src ∪ dst: a sink (in-edges only) must still start with its
+    # own label — init from src alone silently dropped sinks on directed
+    # graphs (r6 review; symmetric-orientation callers were unaffected)
+    labels = (
+        edges.select("src")
+        .union(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))

@@ -28,3 +28,45 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if n_parts < target:
         return df.repartition(target)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Cache-scope tracking (shared across operator modules)
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+@contextlib.contextmanager
+def tracked_caches():
+    """Collects every persist an enclosed operator call creates (any
+    operator module that persists through :func:`scoped_persist`) and
+    unpersists them on exit — materialize results INSIDE the block::
+
+        with tracked_caches():
+            out = minhash_near_dups(docs).collect()
+
+    Scopes nest (inner scope owns its own persists).  Outside any scope,
+    operators persist untracked, and the session-level
+    ``spark.catalog.clearCache()`` discipline applies (what ``bench.py``,
+    the sweep scripts, and ``plan_report`` do)."""
+    reg: list[DataFrame] = []
+    _CACHE_SCOPES.append(reg)
+    try:
+        yield reg
+    finally:
+        _CACHE_SCOPES.pop()
+        for frame in reg:
+            frame.unpersist()
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` that registers with the innermost
+    :func:`tracked_caches` scope, so many-query sessions can reclaim
+    operator-internal caches without a global ``clearCache()``."""
+    df = df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df

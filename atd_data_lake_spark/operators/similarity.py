@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from atd_data_lake_spark.operators.scale import fan_out
+from atd_data_lake_spark.operators.scale import fan_out, scoped_persist
 
 
 
@@ -610,8 +610,16 @@ def ivf_upsert(
     standing index is never re-scored and the corpus never re-shuffles —
     cost scales with the incoming batch, not the index.
     """
-    new_vecs = incoming.select(id_col, vec_col).join(
-        standing.select(id_col), id_col, "left_anti"
+    # dedupe WITHIN the batch too: an id re-delivered twice in one
+    # incoming batch is one vector, not two (r6 review — the anti-join
+    # alone only prunes ids the standing index already has, so an
+    # intra-batch duplicate doubled every per-cell delta it touched);
+    # copies of one id are the same vector by contract, so which one
+    # dropDuplicates keeps is immaterial
+    new_vecs = (
+        incoming.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .join(standing.select(id_col), id_col, "left_anti")
     )
     added = centroid_assign(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
     std_roll = standing.groupBy("centroid_id").agg(
@@ -752,7 +760,9 @@ def _near_dups_lsh(
     # band keys computed once, consumed by both sides of the self-join
     # (multi-consumer mapInPandas output → persist, or the Python stage
     # runs twice)
-    sig = _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band).persist()
+    sig = scoped_persist(
+        _band_keys(corpus, id_col, vec_col, planes, bands, rows_per_band)
+    )
     left = sig.select(F.col("_id").alias("id_a"), "band", "bucket")
     right = sig.select(F.col("_id").alias("id_b"), "band", "bucket")
     pairs = (

@@ -2042,7 +2042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cur_pack_chunks": cur_pack_chunks_q,
     "cur_cap_per_source": cur_cap_per_source_q,
     "cur_quality_gate": cur_quality_gate_q,
-    # rows-only (no SQL oracle)
+    # all oracle-backed since r5/r6: verified-minhash pairs (r5),
+    # portable simhash + model-injected ANN (r6)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_incremental_minhash": dedup_incremental_minhash_q,
     "dedup_simhash": dedup_simhash_q,

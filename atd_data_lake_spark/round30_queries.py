@@ -215,7 +215,11 @@ edges AS (
     SELECT pa AS src, pb AS dst FROM pairs
     UNION ALL SELECT pb AS src, pa AS dst FROM pairs
 ),
-l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+l0 AS (
+    SELECT node, node AS label FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    )
+)"""
     its = []
     for k in range(1, _LP_ROUNDS + 1):
         its.append(f""",

@@ -402,3 +402,36 @@ def test_simhash_near_dups_injected_signature_pigeonhole(spark):
         ).collect()
     )
     assert out == [(1, 2, 3)]
+
+
+def test_ivf_upsert_intra_batch_duplicate_counts_once(spark):
+    """r6 review: an id re-delivered twice WITHIN one incoming batch is
+    one vector — n_added and the sim sum must not double."""
+    from atd_data_lake_spark.operators.similarity import ivf_upsert
+
+    centroids = [(0, _unit(0.0)), (1, _unit(90.0))]
+    standing = spark.createDataFrame([(10, 0)], "vec_id long, centroid_id long")
+    incoming = spark.createDataFrame(
+        [(20, _unit(10.0)), (20, _unit(10.0))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.centroid_id: r for r in ivf_upsert(standing, incoming, centroids).collect()}
+    assert out[0].n_added == 1
+    assert out[0].n_total == 2
+    import numpy as np  # noqa: F811
+
+    assert abs(out[0].added_sim_sum - float(np.cos(np.radians(10.0)))) < 2e-6
+
+
+def test_simhash_injected_signature_requires_hash_bits(spark):
+    """r6 review: blocking a 48-bit signature with the 64-bit default
+    would make the top block a universal bucket (quadratic join) —
+    hash_bits is required alongside signature."""
+    import pytest as _pytest
+
+    from atd_data_lake_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    sig = spark.createDataFrame([(1, 7)], "_id long, _sh long")
+    with _pytest.raises(ValueError, match="hash_bits"):
+        simhash_near_dups(docs, signature=sig)

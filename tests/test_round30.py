@@ -76,3 +76,30 @@ def test_perplexity_buckets_partition_by_lang(spark, sf_dir):
         sizes = [per_lang[(lang, b)] for b in ("head", "middle", "tail")]
         assert max(sizes) - min(sizes) <= 1
         assert all(s > 0 for s in sizes)
+
+
+def test_label_propagate_keeps_sink_nodes(spark):
+    """r6 review: a node appearing only as a destination must still be
+    labeled (directed graph; symmetric callers were unaffected)."""
+    from atd_data_lake_spark.operators.graph import label_propagate
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagate(edges, n_rounds=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_tracked_caches_reclaims_graph_adjacency(spark):
+    """r6 review: the cache scope is shared across operator modules —
+    graph.py's adjacency persist registers too."""
+    from atd_data_lake_spark.operators.graph import label_propagate
+    from atd_data_lake_spark.operators.scale import tracked_caches
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    with tracked_caches() as reg:
+        out = label_propagate(edges, n_rounds=2).collect()
+        assert out
+        assert len(reg) == 1  # the receiver-keyed adjacency
+        assert reg[0].is_cached
+    assert not reg[0].is_cached
