@@ -605,8 +605,8 @@ def ivf_upsert(
 
     100 TB shape: the anti-join is id-only (two slim columns shuffle, or
     broadcast when the batch is small); assignment of the surviving new
-    rows is zero-shuffle JVM math against the inlined model; both
-    rollups are cell-cardinality aggregates with map-side combine.  The
+    rows is one zero-shuffle Arrow map against the closure-borne model;
+    both rollups are cell-cardinality aggregates with map-side combine.  The
     standing index is never re-scored and the corpus never re-shuffles —
     cost scales with the incoming batch, not the index.
     """
@@ -830,32 +830,62 @@ def centroid_assign(
     Output: (id, centroid_id, cos_sim) with cos_sim rounded to 6 places;
     ties (after rounding) break to the smallest centroid_id, so the
     assignment is deterministic and SQL-reproducible.  Zero-norm vectors
-    get cos_sim 0 against every centroid and land on the smallest id.
+    (and zero-norm centroids) get cos_sim 0 and ties resolve to the
+    smallest centroid id.
 
-    For k beyond a few hundred the literal expression tree gets unwieldy
-    — switch to the Arrow-batched matmul in ``cosine_topk`` (k=1) at
-    that point; the semantics here are the oracle either way.
+    Execution is ONE zero-shuffle Arrow map stage: the centroid matrix
+    rides in the task closure and each batch scores with one numpy
+    matmul + 6-dp half-up rounding — the proven-green oracle contract
+    (``round(list_cosine_similarity(...), 6)`` in DuckDB; same recipe as
+    ``cosine_topk``/``semantic_decontaminate``).  Two JVM column
+    formulations were tried and rejected: ``zip_with``/``aggregate``
+    lambdas evaluate per element in the interpreter (~2.2 s for 16×64×5k
+    — the SURVEY §7 gotcha), and a fully unrolled ``element_at``
+    expression tree (~2k nodes) blew codegen memory in a 1 GB plain
+    session.  Vector math is the documented pandas-UDF exception.
     """
     corpus = drop_null_vectors(corpus, vec_col)
-    doc_norm = _norm(F.col(vec_col))
-    entries = []
-    for cid, vec in centroids:
-        lit_vec = F.array(*[F.lit(float(v)) for v in vec])
-        import math
+    order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
+    cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    cn = np.linalg.norm(cmat, axis=1)
+    czero = cn == 0
+    cn[czero] = 1.0
+    cunit = cmat / cn[:, None]
 
-        c_norm = math.sqrt(sum(float(v) * float(v) for v in vec))
-        sim = F.when(
-            (doc_norm == 0) | (F.lit(c_norm) == 0), F.lit(0.0)
-        ).otherwise(_dot(F.col(vec_col), lit_vec) / (doc_norm * F.lit(c_norm)))
-        entries.append(
-            F.struct(
-                F.round(sim, 6).alias("sim"),
-                F.lit(-int(cid)).cast("long").alias("nid"),
+    out_schema = T.StructType(
+        [
+            T.StructField("_ca_id", corpus.schema[id_col].dataType),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(mat, axis=1)
+            vzero = vn == 0
+            vn[vzero] = 1.0
+            sims = _round_half_up((mat / vn[:, None]) @ cunit.T)
+            sims[vzero, :] = 0.0
+            sims[:, czero] = 0.0
+            # argmax returns the FIRST max; centroids are id-ascending,
+            # so rounded ties resolve to the smallest centroid id
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_ca_id": pdf[id_col],
+                    "centroid_id": cids[best],
+                    "cos_sim": sims[np.arange(len(best)), best],
+                }
             )
-        )
-    best = F.array_max(F.array(*entries))
-    return corpus.select(
-        F.col(id_col),
-        (-best["nid"]).cast("long").alias("centroid_id"),
-        best["sim"].alias("cos_sim"),
+
+    return (
+        fan_out(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(op, schema=out_schema)
+        .withColumnRenamed("_ca_id", id_col)
     )

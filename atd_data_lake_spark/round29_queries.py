@@ -248,9 +248,17 @@ def sim_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centroids = [(int(r[0]), list(r[1])) for r in model_rows]
-    standing = centroid_assign(
-        emb.filter(F.col("vec_id") < _IVF_STANDING_MAX), centroids
-    ).select("vec_id", "centroid_id")
+    # in production the standing index is a stored table (a scan, free to
+    # read twice); here it derives from an Arrow assignment stage, which
+    # gets no AQE reuse — persist the slim (id, cell) frame so its two
+    # consumers (anti-join ids + the standing rollup) run it once
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
+    standing = scoped_persist(
+        centroid_assign(
+            emb.filter(F.col("vec_id") < _IVF_STANDING_MAX), centroids
+        ).select("vec_id", "centroid_id")
+    )
     return ivf_upsert(standing, emb, centroids).orderBy("centroid_id")
 
 
