@@ -210,7 +210,10 @@ def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
             .agg(F.min("label").alias("_nb"))
             .select(F.col("dst").alias("node"), "_nb")
         )
-        labels = labels.join(nb, "node", "left").select(
+        # nb is node-bounded (one row per receiving node) — broadcast it
+        # like pagerank's rank frame, so the label update is exchange-free
+        # (an unhinted plan ran 3 rounds of node-sized sort-merge joins)
+        labels = labels.join(F.broadcast(nb), "node", "left").select(
             "node",
             F.least(
                 F.col("label"), F.coalesce("_nb", F.col("label"))

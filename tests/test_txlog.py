@@ -1,0 +1,118 @@
+"""io/txlog.py — the native transactional MERGE backend: snapshot
+isolation, atomic commit, optimistic concurrency, idempotent retry,
+copy-on-write file pruning, time travel."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from atd_data_lake_spark.io import txlog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_then_read_roundtrip(spark, table):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    res = txlog.append(df, table)
+    assert res.version == 1 and not res.replayed
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a"), (2, "b")]
+
+
+def test_merge_updates_inserts_and_preserves_untouched_files(spark, table):
+    """MERGE semantics + copy-on-write: the file holding only unmatched
+    keys is neither rewritten nor removed (byte-identical on disk)."""
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(10, "x"), (11, "y")], "k long, v string")
+    txlog.append(a.coalesce(1), table)
+    txlog.append(b.coalesce(1), table)
+    untouched = [p for p in txlog.snapshot_files(table)
+                 if _rows(spark.read.parquet(p))[0][0] == 10]
+    assert len(untouched) == 1
+    before = (os.path.getmtime(untouched[0]), os.path.getsize(untouched[0]))
+
+    src = spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string")
+    res = txlog.merge(spark, table, src, on=["k"])
+    assert res.version == 3
+    assert _rows(txlog.read_table(spark, table)) == [
+        (1, "a"), (2, "B2"), (3, "c"), (10, "x"), (11, "y"),
+    ]
+    after = (os.path.getmtime(untouched[0]), os.path.getsize(untouched[0]))
+    assert before == after  # copy-on-write pruned it out of the rewrite
+    assert os.path.relpath(untouched[0], table) not in txlog._read_commit(
+        table, 3
+    )["removes"]
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(a, table)
+    v1 = txlog.current_version(table)
+    snap_v1 = txlog.read_table(spark, table, version=v1)
+    txlog.merge(
+        spark, table,
+        spark.createDataFrame([(1, "CHANGED")], "k long, v string"), on=["k"],
+    )
+    # the reader pinned to v1 still sees the old value AFTER the commit
+    assert _rows(snap_v1) == [(1, "a")]
+    assert _rows(txlog.read_table(spark, table, version=v1)) == [(1, "a")]
+    assert _rows(txlog.read_table(spark, table)) == [(1, "CHANGED")]
+
+
+def test_optimistic_conflict_detection(spark, table):
+    txlog.append(spark.createDataFrame([(1, "a")], "k long, v string"), table)
+    base = txlog.current_version(table)
+    # writer A lands first
+    txlog.commit(table, [], [], "noop", base)
+    # writer B computed against the same base -> must fail, not clobber
+    with pytest.raises(txlog.CommitConflict):
+        txlog.commit(table, [], [], "noop", base)
+
+
+def test_idempotent_retry_by_commit_id(spark, table):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(df, table)
+    base = txlog.current_version(table)
+    first = txlog.commit(table, [], [], "noop", base, commit_id="c-123")
+    again = txlog.commit(table, [], [], "noop", base, commit_id="c-123")
+    assert again.replayed and again.version == first.version
+    assert txlog.current_version(table) == first.version
+
+
+def test_merge_on_empty_table_bootstraps(spark, table):
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    res = txlog.merge(spark, table, src, on=["k"])
+    assert res.version == 1
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a")]
+
+
+def test_catalog_upsert_table_merges_on_pk(spark, table):
+    import datetime
+
+    from atd_data_lake_spark import catalog as cat
+
+    def row(base, pointer):
+        return (
+            "raw", "bt", base, "csv", pointer,
+            datetime.datetime(2020, 1, 1), None, None, None,
+        )
+
+    cols = ("repository data_source id_base id_ext pointer collection_date"
+            " collection_end processing_date metadata").split()
+    mk = lambda rows: spark.createDataFrame(rows, cat.CATALOG_SCHEMA)  # noqa: E731
+    cat.upsert_table(spark, table, mk([row("f1", "p1"), row("f2", "p2")]))
+    cat.upsert_table(spark, table, mk([row("f2", "p2-NEW"), row("f3", "p3")]))
+    out = {
+        r.id_base: r.pointer
+        for r in txlog.read_table(spark, table).select("id_base", "pointer").collect()
+    }
+    assert out == {"f1": "p1", "f2": "p2-NEW", "f3": "p3"}
+    assert cols  # schema sanity for the reader of this test
