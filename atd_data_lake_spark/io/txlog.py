@@ -282,3 +282,25 @@ def merge(
         rewritten = source
     adds = _write_data_files(rewritten, table)
     return commit(table, adds, removes, "merge", base, commit_id)
+
+
+def stream_sink(table: str):
+    """EXACTLY-ONCE streaming sink: a ``foreachBatch`` function whose
+    commit id is derived from the epoch/batch id, so a replayed
+    micro-batch (restart after the sink ran but before the streaming
+    checkpoint advanced — the classic duplicate window of plain
+    ``foreachBatch`` parquet appends) lands as an idempotent no-op
+    replay instead of duplicate rows::
+
+        q = (df.writeStream.foreachBatch(txlog.stream_sink(tbl))
+               .option("checkpointLocation", ckpt).start())
+
+    This is precisely why Delta + foreachBatch is the canonical
+    exactly-once recipe; the commit-log table provides the same
+    transactional boundary natively.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append(batch_df, table, commit_id=f"stream-batch-{batch_id}")
+
+    return _sink
