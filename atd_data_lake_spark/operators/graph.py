@@ -195,12 +195,16 @@ def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     )
     # nodes = src ∪ dst: a sink (in-edges only) must still start with its
     # own label — init from src alone silently dropped sinks on directed
-    # graphs (r6 review; symmetric-orientation callers were unaffected)
+    # graphs (r6 review; symmetric-orientation callers were unaffected).
+    # Derive the node set FROM THE CACHED ADJACENCY (dst ∪ exploded ins)
+    # rather than the edge frame: scan_amplification showed the naive
+    # init re-scanning the edge source a second time (2.0×); this keeps
+    # the whole algorithm at one edge scan.
     labels = (
-        edges.select("src")
-        .union(edges.select(F.col("dst").alias("src")))
+        in_adj.select(F.col("dst").alias("node"))
+        .union(in_adj.select(F.explode("ins").alias("node")))
         .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .select("node", F.col("node").alias("label"))
     )
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))
