@@ -883,9 +883,12 @@ def centroid_assign(
                 }
             )
 
+    # no fan_out here: the per-row cost is one k×d multiply-add (unlike
+    # shingling there is nothing to widen), and the repartition it adds
+    # would break the operator's zero-shuffle contract on small inputs
+    # while being a no-op on production scans
     return (
-        fan_out(corpus)
-        .select(id_col, vec_col)
+        corpus.select(id_col, vec_col)
         .mapInPandas(op, schema=out_schema)
         .withColumnRenamed("_ca_id", id_col)
     )
