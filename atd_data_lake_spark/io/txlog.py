@@ -304,3 +304,51 @@ def stream_sink(table: str):
         append(batch_df, table, commit_id=f"stream-batch-{batch_id}")
 
     return _sink
+
+
+def history(table: str) -> list[dict]:
+    """The commit log, oldest first — version, op, commit id, file
+    counts, timestamp (the audit surface a MERGE backend owes its
+    operators)."""
+    out = []
+    for v in _list_versions(table):
+        c = _read_commit(table, v)
+        out.append(
+            {
+                "version": v,
+                "op": c.get("op"),
+                "commit_id": c.get("commit_id"),
+                "n_adds": len(c.get("adds", [])),
+                "n_removes": len(c.get("removes", [])),
+                "ts": c.get("ts"),
+            }
+        )
+    return out
+
+
+def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the ``keep_versions`` most
+    recent snapshots and return their relative paths.  Time travel to
+    versions older than the retention window stops working (their
+    removed files are gone) — same contract as Delta's VACUUM.  The log
+    itself is kept (metadata-sized, and it preserves commit-id
+    idempotency across the vacuum)."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = _list_versions(table)
+    if not versions:
+        return []
+    retained: set[str] = set()
+    for v in versions[-keep_versions:]:
+        retained.update(
+            os.path.relpath(p, table) for p in snapshot_files(table, v)
+        )
+    data_dir = os.path.join(table, _DATA_DIR)
+    deleted = []
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            rel = os.path.join(_DATA_DIR, name)
+            if name.endswith(".parquet") and rel not in retained:
+                os.unlink(os.path.join(data_dir, name))
+                deleted.append(rel)
+    return deleted

@@ -146,3 +146,25 @@ def test_stream_sink_exactly_once_on_batch_replay(spark, table, tmp_path):
     sink(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
     assert txlog.current_version(table) == v
     assert _rows(txlog.read_table(spark, table)) == [(1, "a"), (2, "b")]
+
+
+def test_history_and_vacuum(spark, table):
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(a.coalesce(1), table)
+    txlog.merge(
+        spark, table,
+        spark.createDataFrame([(1, "a2")], "k long, v string"), on=["k"],
+    )
+    hist = txlog.history(table)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["op"] == "merge" and hist[1]["n_removes"] == 1
+
+    deleted = txlog.vacuum(table, keep_versions=1)
+    assert len(deleted) >= 1  # v1's replaced file is gone
+    # the retained snapshot still reads
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a2")]
+    # time travel past the retention window now fails at read time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        txlog.read_table(spark, table, version=1).collect()
