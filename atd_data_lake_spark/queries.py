@@ -2377,6 +2377,14 @@ from atd_data_lake_spark.round30_queries import (  # noqa: E402
 QUERIES.update(ROUND30_QUERIES)
 ORACLES.update(ROUND30_ORACLES)
 
+from atd_data_lake_spark.round31_queries import (  # noqa: E402
+    ROUND31_ORACLES,
+    ROUND31_QUERIES,
+)
+
+QUERIES.update(ROUND31_QUERIES)
+ORACLES.update(ROUND31_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is
