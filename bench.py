@@ -110,6 +110,10 @@ HEADLINE = [
     # round-29 flagships (URL/domain curation + incremental ANN index)
     "url_domain_rollup",
     "sim_ivf_upsert",
+    # round-30 flagships (line dedup worst case, LM terciles, communities)
+    "text_line_dedup",
+    "cur_perplexity_buckets",
+    "graph_label_prop",
 ]
 
 
