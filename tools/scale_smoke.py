@@ -430,6 +430,16 @@ def main() -> None:
         signature=simhash_signature_portable(docs, n_bits=48),
         hash_bits=48,
     )
+    # round-30: 3-round min-label propagation on the 10× basket graph —
+    # the receiver-keyed adjacency must keep rounds edge-shuffle-free
+    # (one build exchange) exactly like pagerank
+    def label_prop_10x():
+        from atd_data_lake_spark.operators.graph import label_propagate
+
+        return label_propagate(_copurchase_edges_10x(), n_rounds=3)
+
+    ops["label_prop_10x_graph"] = label_prop_10x
+
     standing_1x = emb.filter(F.col("vec_id") < 10**9).select("vec_id")
     ops["ivf_upsert"] = lambda: ivf_upsert(
         centroid_assign(
