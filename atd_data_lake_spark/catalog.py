@@ -114,9 +114,15 @@ def upsert_table(spark, table_path: str, updates: DataFrame, commit_id=None):
     delta-spark wheel exists here, so the commit-log backend is native).
 
     First call bootstraps the table from ``updates``.  Returns the
-    :class:`io.txlog.CommitResult`."""
+    :class:`io.txlog.CommitResult`.
+
+    ``updates`` is reduced to ONE row per PK first (dropDuplicates — a
+    re-delivered batch carrying the same PK twice must not store two
+    rows; matches :func:`upsert`'s one-winner-per-PK contract, where the
+    winner among same-batch duplicates is unspecified either way)."""
     from atd_data_lake_spark.io import txlog
 
+    updates = updates.dropDuplicates(PK)
     if txlog.current_version(table_path) == 0:
         return txlog.append(updates, table_path, commit_id=commit_id)
     return txlog.merge(spark, table_path, updates, on=PK, commit_id=commit_id)

@@ -52,6 +52,15 @@ _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 
 
+def _canon(table: str) -> str:
+    """Canonical absolute table path.  Hadoop canonicalizes the paths
+    ``input_file_name`` reports, so merge's copy-on-write file matching
+    MUST compare like with like: a caller passing ``/x/./tbl`` or a
+    symlinked path would otherwise match nothing and the merge would
+    silently insert without removing (r6 review, repro-confirmed)."""
+    return os.path.realpath(table)
+
+
 class CommitConflict(Exception):
     """Another writer committed since this writer's base snapshot."""
 
@@ -77,6 +86,7 @@ def _list_versions(table: str) -> list[int]:
 
 def current_version(table: str) -> int:
     """Latest committed version (0 = empty table / no commits)."""
+    table = _canon(table)
     vs = _list_versions(table)
     return vs[-1] if vs else 0
 
@@ -89,6 +99,7 @@ def _read_commit(table: str, version: int) -> dict:
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
     """Absolute paths of the data files active at ``version`` (default:
     latest) — the replay of adds minus removes, in commit order."""
+    table = _canon(table)
     if version is None:
         version = current_version(table)
     active: list[str] = []
@@ -136,7 +147,12 @@ def _reserve_version(table: str, version: int, payload: dict) -> None:
 
 
 def _commit_id_exists(table: str, commit_id: str) -> int | None:
-    for v in _list_versions(table):
+    # newest-first: a replayed commit is almost always the latest one,
+    # so the common case is O(1); the full walk only happens for ids
+    # that are genuinely absent (the price of unbounded idempotency —
+    # a bounded-lookback index is the optimization if a table ever
+    # accumulates enough versions for this to matter)
+    for v in reversed(_list_versions(table)):
         if _read_commit(table, v).get("commit_id") == commit_id:
             return v
     return None
@@ -167,6 +183,7 @@ def commit(
     previous attempt DID land (e.g. the driver died after link(2)
     succeeded); the replay is a no-op success.
     """
+    table = _canon(table)
     commit_id = commit_id or uuid.uuid4().hex
     seen = _commit_id_exists(table, commit_id)
     if seen is not None:
@@ -213,10 +230,26 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
 def append(
     df: DataFrame, table: str, commit_id: str | None = None
 ) -> CommitResult:
-    """Append-only commit: new files, no removes, no read of the table."""
-    base = current_version(table)
+    """Append-only commit: new files, no removes, no read of the table.
+
+    The commit-id replay check runs BEFORE any data is written (a
+    replayed micro-batch must be free, not a duplicate write that
+    orphans files), and a version conflict auto-retries: an append's
+    adds are independent of the base version, so a concurrent merge or
+    vacuum landing mid-append must not kill a streaming sink."""
+    table = _canon(table)
+    if commit_id is not None:
+        seen = _commit_id_exists(table, commit_id)
+        if seen is not None:
+            return CommitResult(seen, 0, 0, replayed=True)
     adds = _write_data_files(df, table)
-    return commit(table, adds, [], "append", base, commit_id)
+    for _ in range(20):
+        try:
+            return commit(table, adds, [], "append", current_version(table),
+                          commit_id)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"{table}: append could not land after 20 retries")
 
 
 def _norm_file(uri: str) -> str:
@@ -249,6 +282,11 @@ def merge(
     file-level min/max stats without scanning, and source keys broadcast
     while they fit.
     """
+    table = _canon(table)
+    if commit_id is not None:
+        seen = _commit_id_exists(table, commit_id)
+        if seen is not None:
+            return CommitResult(seen, 0, 0, replayed=True)
     base = current_version(table)
     files = snapshot_files(table, base)
     if not files:
@@ -271,6 +309,14 @@ def merge(
     removes = sorted(
         rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
     )
+    if touched and not removes:
+        # every touched path must map back to a snapshot file — a miss
+        # means path canonicalization broke and committing would
+        # duplicate matched keys instead of replacing them
+        raise RuntimeError(
+            f"{table}: matched files {sorted(touched)[:3]}... did not "
+            "resolve to snapshot paths — refusing a corrupting commit"
+        )
 
     if removes:
         carried = (
@@ -284,24 +330,26 @@ def merge(
     return commit(table, adds, removes, "merge", base, commit_id)
 
 
-def stream_sink(table: str):
+def stream_sink(table: str, app_id: str):
     """EXACTLY-ONCE streaming sink: a ``foreachBatch`` function whose
-    commit id is derived from the epoch/batch id, so a replayed
-    micro-batch (restart after the sink ran but before the streaming
-    checkpoint advanced — the classic duplicate window of plain
-    ``foreachBatch`` parquet appends) lands as an idempotent no-op
-    replay instead of duplicate rows::
+    commit id is ``(app_id, batch_id)``, so a replayed micro-batch
+    (restart after the sink ran but before the streaming checkpoint
+    advanced — the classic duplicate window of plain ``foreachBatch``
+    parquet appends) lands as an idempotent no-op replay instead of
+    duplicate rows::
 
-        q = (df.writeStream.foreachBatch(txlog.stream_sink(tbl))
+        q = (df.writeStream.foreachBatch(txlog.stream_sink(tbl, "my-app"))
                .option("checkpointLocation", ckpt).start())
 
-    This is precisely why Delta + foreachBatch is the canonical
-    exactly-once recipe; the commit-log table provides the same
-    transactional boundary natively.
+    ``app_id`` is REQUIRED and must be stable across restarts of the
+    same logical stream (pair it 1:1 with the checkpoint location) —
+    it is Delta's ``txnAppId``: without it, a SECOND stream writing the
+    same table would collide on bare batch ids and have its batches
+    silently dropped as replays.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        append(batch_df, table, commit_id=f"stream-batch-{batch_id}")
+        append(batch_df, table, commit_id=f"stream-{app_id}-batch-{batch_id}")
 
     return _sink
 
@@ -310,6 +358,7 @@ def history(table: str) -> list[dict]:
     """The commit log, oldest first — version, op, commit id, file
     counts, timestamp (the audit surface a MERGE backend owes its
     operators)."""
+    table = _canon(table)
     out = []
     for v in _list_versions(table):
         c = _read_commit(table, v)
@@ -326,15 +375,20 @@ def history(table: str) -> list[dict]:
     return out
 
 
-def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_versions: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` most
-    recent snapshots and return their relative paths.  Time travel to
-    versions older than the retention window stops working (their
-    removed files are gone) — same contract as Delta's VACUUM.  The log
-    itself is kept (metadata-sized, and it preserves commit-id
-    idempotency across the vacuum)."""
+    recent snapshots AND older than ``min_age_seconds``, returning their
+    relative paths.  The age guard protects in-flight writers whose
+    files are staged in ``data/`` but whose commit has not linked yet.
+    Time travel to versions older than the retention window stops
+    working (their removed files are gone) — same contract as Delta's
+    VACUUM.  The log itself is kept (metadata-sized, and it preserves
+    commit-id idempotency across the vacuum)."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    table = _canon(table)
     versions = _list_versions(table)
     if not versions:
         return []
@@ -348,7 +402,16 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     if os.path.isdir(data_dir):
         for name in sorted(os.listdir(data_dir)):
             rel = os.path.join(_DATA_DIR, name)
-            if name.endswith(".parquet") and rel not in retained:
-                os.unlink(os.path.join(data_dir, name))
+            full = os.path.join(data_dir, name)
+            if (
+                name.endswith(".parquet")
+                and rel not in retained
+                # age guard: a concurrent writer moves files into data/
+                # BEFORE its commit links — deleting young unreferenced
+                # files would corrupt that writer's commit (Delta's
+                # retention-window rationale)
+                and time.time() - os.path.getmtime(full) >= min_age_seconds
+            ):
+                os.unlink(full)
                 deleted.append(rel)
     return deleted

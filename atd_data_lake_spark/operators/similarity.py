@@ -848,11 +848,6 @@ def centroid_assign(
     order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
     cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
     cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
-    cn = np.linalg.norm(cmat, axis=1)
-    czero = cn == 0
-    cn[czero] = 1.0
-    cunit = cmat / cn[:, None]
-
     out_schema = T.StructType(
         [
             T.StructField("_ca_id", corpus.schema[id_col].dataType),
@@ -866,12 +861,10 @@ def centroid_assign(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(mat, axis=1)
-            vzero = vn == 0
-            vn[vzero] = 1.0
-            sims = _round_half_up((mat / vn[:, None]) @ cunit.T)
-            sims[vzero, :] = 0.0
-            sims[:, czero] = 0.0
+            # _cosine_matrix's zero-norm guard divides by 1, so a
+            # zero vector (or zero centroid) scores exactly 0.0 against
+            # everything — no extra masking needed
+            sims = _round_half_up(_cosine_matrix(mat, cmat))
             # argmax returns the FIRST max; centroids are id-ascending,
             # so rounded ties resolve to the smallest centroid id
             best = sims.argmax(axis=1)

@@ -36,6 +36,8 @@ def evt_stream_txlog_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reprocesses the full source."""
     from atd_data_lake_spark.io import txlog
 
+    import shutil
+
     work = tempfile.mkdtemp(prefix="txlog_stream_")
     table = f"{work}/tbl"
     batch = _t(spark, sf_dir, "events").select(
@@ -47,7 +49,7 @@ def evt_stream_txlog_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("event_id", "event_type", "value")
     )
-    sink = txlog.stream_sink(table)
+    sink = txlog.stream_sink(table, app_id="evt_stream_txlog")
     q = (
         src.writeStream.foreachBatch(sink)
         .option("checkpointLocation", f"{work}/ckpt")
@@ -60,7 +62,7 @@ def evt_stream_txlog_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (counts, sums) doubles and the driver flags it
     sink(batch, 0)
     out = txlog.read_table(spark, table)
-    return (
+    agg = (
         out.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -70,6 +72,13 @@ def evt_stream_txlog_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # the rollup is type-cardinality (a handful of rows): materialize it
+    # and delete the temp table + checkpoint NOW — the query runs on
+    # every bench/sweep and would otherwise grow /tmp by ~2x the events
+    # table per invocation (r6 review)
+    rows = agg.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 EVT_STREAM_TXLOG_SQL = """

@@ -58,7 +58,8 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for a fitted k-means model (the fit itself is
     ``similarity._kmeans_centroids``, exercised by ``sim_ann_ivf``);
     collecting them is model-loading, not a data collect.  Assignment is
-    zero-shuffle JVM column math — see operators/similarity.centroid_assign.
+    one zero-shuffle Arrow matmul pass (model in the task closure) —
+    see operators/similarity.centroid_assign.
     """
     from atd_data_lake_spark.operators.similarity import centroid_assign
 

@@ -131,7 +131,7 @@ def test_stream_sink_exactly_once_on_batch_replay(spark, table, tmp_path):
     stream = (
         spark.readStream.schema("k long, v string").parquet(src_dir)
     )
-    sink = txlog.stream_sink(table)
+    sink = txlog.stream_sink(table, app_id="test-app")
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -159,7 +159,7 @@ def test_history_and_vacuum(spark, table):
     assert [h["version"] for h in hist] == [1, 2]
     assert hist[1]["op"] == "merge" and hist[1]["n_removes"] == 1
 
-    deleted = txlog.vacuum(table, keep_versions=1)
+    deleted = txlog.vacuum(table, keep_versions=1, min_age_seconds=0)
     assert len(deleted) >= 1  # v1's replaced file is gone
     # the retained snapshot still reads
     assert _rows(txlog.read_table(spark, table)) == [(1, "a2")]
@@ -168,3 +168,97 @@ def test_history_and_vacuum(spark, table):
 
     with _pytest.raises(Exception):
         txlog.read_table(spark, table, version=1).collect()
+
+
+def test_merge_handles_non_canonical_table_path(spark, tmp_path):
+    """r6 review (repro-confirmed): a dot-segment table path must not
+    silently skip the copy-on-write removes and duplicate matched keys."""
+    canon = str(tmp_path / "tbl")
+    dotted = str(tmp_path) + "/./tbl"
+    txlog.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), canon
+    )
+    txlog.merge(
+        spark, dotted,
+        spark.createDataFrame([(2, "B2")], "k long, v string"), on=["k"],
+    )
+    assert _rows(txlog.read_table(spark, canon)) == [(1, "a"), (2, "B2")]
+
+
+def test_stream_sink_app_ids_namespace_batch_ids(spark, table):
+    """r6 review: two streams writing one table must not collide on bare
+    batch ids — app-scoped commit ids keep both streams' batch 0."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.stream_sink(table, app_id="A")(df, 0)
+    txlog.stream_sink(table, app_id="B")(df, 0)
+    assert len(_rows(txlog.read_table(spark, table))) == 2
+    # while a replay WITHIN one app is still a no-op
+    txlog.stream_sink(table, app_id="A")(df, 0)
+    assert len(_rows(txlog.read_table(spark, table))) == 2
+
+
+def test_replayed_append_writes_no_data(spark, table):
+    """r6 review: the replay check runs BEFORE data materialization —
+    a replayed batch must not orphan duplicate parquet files."""
+    import os as _os
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(df, table, commit_id="c1")
+    data_dir = _os.path.join(table, "data")
+    n_files = len(_os.listdir(data_dir))
+    res = txlog.append(df, table, commit_id="c1")
+    assert res.replayed
+    assert len(_os.listdir(data_dir)) == n_files
+
+
+def test_append_retries_through_concurrent_commit(spark, table, monkeypatch):
+    """r6 review: appends are version-independent — a commit landing
+    between an append's snapshot and its commit must be absorbed by
+    retry, not kill the (streaming) writer."""
+    txlog.append(spark.createDataFrame([(1, "a")], "k long, v string"), table)
+
+    real_commit = txlog.commit
+    fired = {"done": False}
+
+    def racing_commit(tbl, adds, removes, op, base, commit_id=None):
+        if not fired["done"]:
+            fired["done"] = True
+            # another writer lands v2 first
+            real_commit(tbl, [], [], "noop", txlog.current_version(tbl))
+            raise txlog.CommitConflict("simulated race")
+        return real_commit(tbl, adds, removes, op, base, commit_id)
+
+    monkeypatch.setattr(txlog, "commit", racing_commit)
+    res = txlog.append(
+        spark.createDataFrame([(2, "b")], "k long, v string"), table
+    )
+    monkeypatch.undo()
+    assert res.version == 3
+    assert len(_rows(txlog.read_table(spark, table))) == 2
+
+
+def test_vacuum_age_guard_spares_young_files(spark, table):
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(a.coalesce(1), table)
+    txlog.merge(
+        spark, table,
+        spark.createDataFrame([(1, "a2")], "k long, v string"), on=["k"],
+    )
+    # default retention: the just-replaced (young) file survives
+    assert txlog.vacuum(table, keep_versions=1) == []
+    assert txlog.vacuum(table, keep_versions=1, min_age_seconds=0)
+
+
+def test_upsert_table_dedupes_pk_within_batch(spark, table):
+    import datetime
+
+    from atd_data_lake_spark import catalog as cat
+
+    def row(base, pointer):
+        return ("raw", "bt", base, "csv", pointer,
+                datetime.datetime(2020, 1, 1), None, None, None)
+
+    mk = lambda rows: spark.createDataFrame(rows, cat.CATALOG_SCHEMA)  # noqa: E731
+    cat.upsert_table(spark, table, mk([row("f1", "p1"), row("f1", "p1-dup")]))
+    out = txlog.read_table(spark, table).collect()
+    assert len(out) == 1
