@@ -123,6 +123,8 @@ def upsert_table(spark, table_path: str, updates: DataFrame, commit_id=None):
     from atd_data_lake_spark.io import txlog
 
     updates = updates.dropDuplicates(PK)
-    if txlog.current_version(table_path) == 0:
-        return txlog.append(updates, table_path, commit_id=commit_id)
+    # merge unconditionally — it handles the empty-table bootstrap via
+    # commit(base=0), so a LOSING concurrent first writer gets
+    # CommitConflict instead of the append path's auto-retry silently
+    # double-inserting the same PKs
     return txlog.merge(spark, table_path, updates, on=PK, commit_id=commit_id)

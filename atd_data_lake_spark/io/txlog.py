@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -79,8 +80,9 @@ def _list_versions(table: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(d):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        m = re.match(r"^v(\d{8})\.json$", name)
+        if m:  # stray files (editor artifacts, backups) must not brick reads
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -309,12 +311,14 @@ def merge(
     removes = sorted(
         rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
     )
-    if touched and not removes:
-        # every touched path must map back to a snapshot file — a miss
-        # means path canonicalization broke and committing would
-        # duplicate matched keys instead of replacing them
+    unresolved = touched - set(abs_to_rel)
+    if unresolved:
+        # EVERY touched path must map back to a snapshot file — a partial
+        # miss (percent-encoded / scheme-variant URIs on non-local
+        # filesystems) would commit with incomplete removes, leaving
+        # matched keys duplicated instead of replaced
         raise RuntimeError(
-            f"{table}: matched files {sorted(touched)[:3]}... did not "
+            f"{table}: matched files {sorted(unresolved)[:3]}... did not "
             "resolve to snapshot paths — refusing a corrupting commit"
         )
 

@@ -48,6 +48,21 @@ from pyspark.sql import functions as F
 
 from atd_data_lake_spark.operators.scale import scoped_persist
 
+# Node-row ceiling for the per-round broadcast hints.  An explicit
+# ``F.broadcast`` BYPASSES Spark's size check, so an ungated hint on a
+# node-sized frame is a hard OOM at 10⁸⁺ nodes (realistic for a 100 TB
+# edge set) instead of a graceful shuffle join.  8M rows × ~40 B/row ≈
+# 320 MB broadcast build — near the practical executor/driver ceiling;
+# above it the joins run un-hinted and AQE picks the strategy from
+# runtime stats.  The adjacency row count gating this is already needed
+# to materialize the iteration cache, so the gate costs no extra scan.
+BROADCAST_NODE_ROW_LIMIT = 8_000_000
+
+
+def _hinted(df: DataFrame, node_rows: int, limit: int) -> DataFrame:
+    """``F.broadcast(df)`` only while the node frame provably fits."""
+    return F.broadcast(df) if node_rows <= limit else df
+
 
 def pagerank_masses(
     edges: DataFrame,
@@ -55,6 +70,7 @@ def pagerank_masses(
     total_mass: int = 1_000_000_000_000,
     salt_buckets: int | None = None,
     dedupe_edges: bool = False,
+    broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` integer-exact PageRank rounds.
 
@@ -72,9 +88,12 @@ def pagerank_masses(
     aggregation, so duplicate edges never reach a shuffle and callers
     skip their own ``.distinct()`` exchange over the full edge stream.
 
-    The per-round rank frame is node-sized and broadcast; when the node
-    set outgrows the broadcast ceiling, drop the hint — integer masses
-    stay exact under a shuffle join too.
+    The per-round rank frame is node-sized and broadcast WHILE the
+    adjacency row count (counted once to materialize the iteration
+    cache) stays under ``broadcast_node_limit``; above it every join
+    runs un-hinted (AQE picks the strategy) — integer masses stay exact
+    under a shuffle join too, bit-identical by construction and asserted
+    in tests/test_graph_salted.py.
 
     NOTE: nodes with out-degree but no in-edges still appear in round
     0 (every node of a symmetric-orientation graph has both); sink
@@ -104,7 +123,7 @@ def pagerank_masses(
         # split.  Bucket the out-adjacency by hash(dst), re-aggregate
         # TOTAL degree from the ≤k bucket sizes per node (node×k rows),
         # and broadcast it back onto the bucketed rows.
-        out_bkt = (
+        out_bkt = scoped_persist(
             edges.groupBy(
                 "src",
                 F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_ob"),
@@ -112,9 +131,14 @@ def pagerank_masses(
             .agg(neigh.alias("dsts"))
             .select("src", F.size("dsts").cast("long").alias("_deg_b"), "dsts")
         )
+        # node×≤k rows: the cache count both materializes the build's one
+        # edge scan and gates the node-sized deg broadcast below
+        n_out_rows = out_bkt.count()
         deg = out_bkt.groupBy("src").agg(F.sum("_deg_b").alias("deg"))
         flat = (
-            out_bkt.join(F.broadcast(deg), "src")
+            out_bkt.join(
+                _hinted(deg, n_out_rows, broadcast_node_limit), "src"
+            )
             .select("src", "deg", F.explode("dsts").alias("dst"))
         )
     ins_agg = F.collect_list(F.struct("src", "deg")).alias("ins")
@@ -128,6 +152,11 @@ def pagerank_masses(
             )
             .agg(ins_agg)
         )
+    # ≥ distinct-node count (dst×≤k rows when salted — conservative is
+    # correct for an OOM gate); counting also materializes the cache the
+    # rounds read, so the gate adds no scan
+    n_adj_rows = in_adj.count()
+    hint_ok = n_adj_rows <= broadcast_node_limit
 
     # cheap distinct lineage — NOT the collect_set aggregation, which
     # would otherwise re-evaluate for the rank-init consumers
@@ -154,7 +183,10 @@ def pagerank_masses(
             F.col("_e.deg").alias("_d"),
         )
         contrib = (
-            ex.join(F.broadcast(ranks), F.col("_s") == F.col("node"))
+            ex.join(
+                F.broadcast(ranks) if hint_ok else ranks,
+                F.col("_s") == F.col("node"),
+            )
             .select(
                 "dst",
                 F.expr("(85 * mass) div (100 * _d)").alias("_c"),
@@ -171,7 +203,11 @@ def pagerank_masses(
     return ranks.select("node", "mass")
 
 
-def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+def label_propagate(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
+) -> DataFrame:
     """Deterministic min-label propagation (synchronous LPA) —
     community detection's simplest convergent form: every node starts
     labeled with its own id; each round it takes the minimum of its own
@@ -193,6 +229,11 @@ def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     in_adj = scoped_persist(
         edges.groupBy("dst").agg(F.collect_set("src").alias("ins"))
     )
+    # one row per receiving node: materializes the cache the rounds read
+    # AND gates the node-sized label/nb broadcast hints (an ungated hint
+    # bypasses Spark's size check — hard OOM at 10⁸⁺ nodes; above the
+    # gate the joins run un-hinted and AQE decides, labels identical)
+    hint_ok = in_adj.count() <= broadcast_node_limit
     # nodes = src ∪ dst: a sink (in-edges only) must still start with its
     # own label — init from src alone silently dropped sinks on directed
     # graphs (r6 review; symmetric-orientation callers were unaffected).
@@ -209,15 +250,21 @@ def label_propagate(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))
         nb = (
-            ex.join(F.broadcast(labels), F.col("_s") == F.col("node"))
+            ex.join(
+                F.broadcast(labels) if hint_ok else labels,
+                F.col("_s") == F.col("node"),
+            )
             .groupBy("dst")
             .agg(F.min("label").alias("_nb"))
             .select(F.col("dst").alias("node"), "_nb")
         )
         # nb is node-bounded (one row per receiving node) — broadcast it
         # like pagerank's rank frame, so the label update is exchange-free
-        # (an unhinted plan ran 3 rounds of node-sized sort-merge joins)
-        labels = labels.join(F.broadcast(nb), "node", "left").select(
+        # (an unhinted plan ran 3 rounds of node-sized sort-merge joins);
+        # same OOM gate as above
+        labels = labels.join(
+            F.broadcast(nb) if hint_ok else nb, "node", "left"
+        ).select(
             "node",
             F.least(
                 F.col("label"), F.coalesce("_nb", F.col("label"))

@@ -35,8 +35,19 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 import contextlib
+import threading
 
-_CACHE_SCOPES: list[list[DataFrame]] = []
+# Per-THREAD scope stack: two threads running queries concurrently must
+# not register persists into each other's innermost scope (which would
+# unpersist frames the other thread is still computing on).
+_SCOPE_TLS = threading.local()
+
+
+def _cache_scopes() -> list[list[DataFrame]]:
+    scopes = getattr(_SCOPE_TLS, "scopes", None)
+    if scopes is None:
+        scopes = _SCOPE_TLS.scopes = []
+    return scopes
 
 
 @contextlib.contextmanager
@@ -52,12 +63,13 @@ def tracked_caches():
     operators persist untracked, and the session-level
     ``spark.catalog.clearCache()`` discipline applies (what ``bench.py``,
     the sweep scripts, and ``plan_report`` do)."""
+    scopes = _cache_scopes()
     reg: list[DataFrame] = []
-    _CACHE_SCOPES.append(reg)
+    scopes.append(reg)
     try:
         yield reg
     finally:
-        _CACHE_SCOPES.pop()
+        scopes.pop()
         for frame in reg:
             frame.unpersist()
 
@@ -67,6 +79,7 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     :func:`tracked_caches` scope, so many-query sessions can reclaim
     operator-internal caches without a global ``clearCache()``."""
     df = df.persist()
-    if _CACHE_SCOPES:
-        _CACHE_SCOPES[-1].append(df)
+    scopes = _cache_scopes()
+    if scopes:
+        scopes[-1].append(df)
     return df

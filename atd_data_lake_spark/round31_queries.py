@@ -39,46 +39,51 @@ def evt_stream_txlog_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     work = tempfile.mkdtemp(prefix="txlog_stream_")
-    table = f"{work}/tbl"
-    batch = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
-    )
-    src = (
-        spark.readStream.schema(_t(spark, sf_dir, "events").schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id", "event_type", "value")
-    )
-    sink = txlog.stream_sink(table, app_id="evt_stream_txlog")
-    q = (
-        src.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # the restart-window replay: batch 0 is re-delivered in full — the
-    # commit-id idempotency must make this a no-op or the oracle hash
-    # (counts, sums) doubles and the driver flags it
-    sink(batch, 0)
-    out = txlog.read_table(spark, table)
-    agg = (
-        out.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
-            ).alias("total_value"),
+    try:
+        table = f"{work}/tbl"
+        batch = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
         )
-        .orderBy("event_type")
-    )
-    # the rollup is type-cardinality (a handful of rows): materialize it
-    # and delete the temp table + checkpoint NOW — the query runs on
-    # every bench/sweep and would otherwise grow /tmp by ~2x the events
-    # table per invocation (r6 review)
-    rows = agg.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, agg.schema)
+        src = (
+            spark.readStream.schema(_t(spark, sf_dir, "events").schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "event_type", "value")
+        )
+        sink = txlog.stream_sink(table, app_id="evt_stream_txlog")
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the restart-window replay: batch 0 is re-delivered in full —
+        # the commit-id idempotency must make this a no-op or the oracle
+        # hash (counts, sums) doubles and the driver flags it
+        sink(batch, 0)
+        out = txlog.read_table(spark, table)
+        agg = (
+            out.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(12,2)"))
+                    .cast("double"),
+                    2,
+                ).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        # the rollup is type-cardinality (a handful of rows): materialize
+        # it so the temp table + checkpoint can be deleted — the query
+        # runs on every bench/sweep and would otherwise grow /tmp by ~2x
+        # the events table per invocation (r6 review); the finally also
+        # covers stream/read failures mid-body (r6 advice)
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 EVT_STREAM_TXLOG_SQL = """

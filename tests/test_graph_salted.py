@@ -80,3 +80,77 @@ def test_registry_pagerank_unchanged(spark, sf_dir):
     masses = [r["mass"] for r in rows]
     assert masses == sorted(masses, reverse=True)
     assert all(m > 0 for m in masses)
+
+
+def _no_auto_broadcast(spark):
+    """Context simulating 'node frame exceeds the broadcast ceiling':
+    with autoBroadcastJoinThreshold=-1 Spark's own size check never
+    picks broadcast, so any BroadcastHashJoin left in the plan can only
+    come from a FORCED hint — the OOM class the gate removes."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    return ctx()
+
+
+def test_broadcast_gate_fallback_bit_identical(spark):
+    """broadcast_node_limit=0 forces every node-frame join un-hinted
+    (the 10⁸⁺-node OOM-avoidance path): masses must be bit-identical,
+    and under a disabled auto-broadcast threshold the gated plan must
+    contain NO broadcast join — proving the forced hint (which bypasses
+    the size check) is gone (r6 verdict item #1)."""
+    edges = _skewed_edges(spark)
+    hinted = {
+        r["node"]: r["mass"]
+        for r in pagerank_masses(edges, n_iter=3).collect()
+    }
+    with _no_auto_broadcast(spark):
+        # the hinted path still broadcasts with the threshold off — the
+        # exact bypass behavior that makes an ungated hint dangerous
+        forced_df = pagerank_masses(edges, n_iter=3)
+        forced = {r["node"]: r["mass"] for r in forced_df.collect()}
+        forced_plan = (
+            forced_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in forced_plan
+
+        fallback_df = pagerank_masses(
+            edges, n_iter=3, broadcast_node_limit=0
+        )
+        fallback = {r["node"]: r["mass"] for r in fallback_df.collect()}
+        fb_plan = (
+            fallback_df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in fb_plan
+
+        salted_fb = {
+            r["node"]: r["mass"]
+            for r in pagerank_masses(
+                edges, n_iter=3, salt_buckets=8, broadcast_node_limit=0
+            ).collect()
+        }
+    assert hinted == forced == fallback == salted_fb
+
+
+def test_label_prop_broadcast_gate_fallback(spark):
+    from atd_data_lake_spark.operators.graph import label_propagate
+
+    edges = _skewed_edges(spark)
+    hinted = {
+        r["node"]: r["label"]
+        for r in label_propagate(edges, n_rounds=3).collect()
+    }
+    with _no_auto_broadcast(spark):
+        fb_df = label_propagate(edges, n_rounds=3, broadcast_node_limit=0)
+        fallback = {r["node"]: r["label"] for r in fb_df.collect()}
+        plan = fb_df._jdf.queryExecution().executedPlan().toString()
+    assert hinted == fallback
+    assert "BroadcastHashJoin" not in plan

@@ -262,3 +262,78 @@ def test_upsert_table_dedupes_pk_within_batch(spark, table):
     cat.upsert_table(spark, table, mk([row("f1", "p1"), row("f1", "p1-dup")]))
     out = txlog.read_table(spark, table).collect()
     assert len(out) == 1
+
+
+def test_stray_files_in_log_dir_are_ignored(spark, table):
+    """A non-version file in _txlog/ (editor artifact, backup) must not
+    brick reads or commits (r6 advice: int(name[1:-5]) raised)."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    txlog.append(df, table)
+    log_dir = os.path.join(table, "_txlog")
+    for stray in ("v-backup.json", "v1.json.orig", "vXXXXXXXX.json"):
+        with open(os.path.join(log_dir, stray), "w") as f:
+            f.write("{}")
+    assert txlog.current_version(table) == 1
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a")]
+    res = txlog.append(df, table)
+    assert res.version == 2
+
+
+def test_concurrent_bootstrap_conflicts_instead_of_doubling(
+    spark, table, monkeypatch
+):
+    """Two racing FIRST writers on an empty table: the loser must get
+    CommitConflict, not a silent double-insert (r6 advice: the old
+    version==0 append shortcut auto-retried and landed both batches)."""
+    from atd_data_lake_spark import catalog as cat
+
+    import datetime
+
+    def row(base):
+        return ("raw", "bt", base, "csv", "ptr",
+                datetime.datetime(2020, 1, 1), None, None, None)
+
+    batch = spark.createDataFrame([row("f1")], cat.CATALOG_SCHEMA)
+    real_write = txlog._write_data_files
+    fired = {}
+
+    def racing_write(df, tbl):
+        adds = real_write(df, tbl)
+        if "done" not in fired:
+            fired["done"] = True
+            # the rival bootstrapper lands v1 between our snapshot
+            # read (base=0) and our commit
+            rival = real_write(df, tbl)
+            txlog.commit(tbl, rival, [], "merge", 0)
+        return adds
+
+    monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+    with pytest.raises(txlog.CommitConflict):
+        cat.upsert_table(spark, table, batch)
+    monkeypatch.undo()
+    # exactly the rival's row landed — one row per PK holds
+    assert len(txlog.read_table(spark, table).collect()) == 1
+
+
+def test_tracked_caches_scopes_are_thread_local(spark):
+    """A persist registered on thread B must not land in thread A's
+    scope (r6 advice: process-global _CACHE_SCOPES cross-registered)."""
+    import threading
+
+    from atd_data_lake_spark.operators import scale
+
+    df_b = spark.range(3)
+    done = threading.Event()
+
+    def other_thread():
+        scale.scoped_persist(df_b)  # no scope on THIS thread: untracked
+        done.set()
+
+    with scale.tracked_caches() as reg:
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert done.is_set()
+        assert reg == []  # thread B's persist did not leak into A's scope
+    assert df_b.storageLevel.useMemory  # and was not unpersisted by A
+    df_b.unpersist()

@@ -440,6 +440,21 @@ def main() -> None:
 
     ops["label_prop_10x_graph"] = label_prop_10x
 
+    # round-7: the broadcast-gate FALLBACK path (node count above the
+    # gate → every node-frame join un-hinted, AQE decides) must execute
+    # the same 10× graph end-to-end; bit-identical masses are asserted
+    # in tests/test_graph_salted.py — this row measures the degraded
+    # plan's wall so SCALE.md's "falls back above the gate" claim has a
+    # number behind it
+    def pagerank_10x_gate_fallback():
+        from atd_data_lake_spark.operators.graph import pagerank_masses
+
+        return pagerank_masses(
+            _copurchase_edges_10x(), n_iter=5, broadcast_node_limit=0
+        ).orderBy(F.desc("mass"), "node").limit(100)
+
+    ops["pagerank_10x_gate_fallback"] = pagerank_10x_gate_fallback
+
     standing_1x = emb.filter(F.col("vec_id") < 10**9).select("vec_id")
     ops["ivf_upsert"] = lambda: ivf_upsert(
         centroid_assign(
