@@ -999,3 +999,99 @@ def ngram_containment_pairs(
     return out.filter(
         F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold)
     )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_span: int = 12,
+    max_df: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): find maximal
+    repeated token spans of ≥ ``min_span`` tokens shared between
+    otherwise-distinct documents — the memorization-risk class that
+    whole-document dedup (exact/MinHash/SimHash) cannot see.
+
+    Suffix-array-free bucketed formulation: slide a ``window``-token
+    window over every document, hash each window portably (52-bit md5
+    prefix — identical value and identical collisions on any engine),
+    invert on the window hash, pair co-occurrences, then merge
+    consecutive matches per document pair into maximal runs with the
+    gaps-and-islands recipe — two matched windows at positions
+    ``(pa, pb)`` and ``(pa+1, pb+1)`` lie on the same diagonal
+    ``pa − pb`` and fuse into one span.
+
+    Output per maximal span: ``(doc_a, doc_b, start_a, start_b,
+    span_tokens)`` with ``doc_a < doc_b`` and 1-based token starts.
+
+    100 TB shape: exchanges carry ``(id, pos, 8-byte hash)`` rows, never
+    window strings (the ``line_level_dedup`` discipline).  The inverted
+    index is df-pruned to ``2 ≤ df ≤ max_df`` BEFORE the self-join, so
+    candidate pairs are bounded at ``max_df²`` per surviving hash —
+    boilerplate windows shared by thousands of documents (the quadratic
+    trap) drop out, the same hot-key cutoff ``text_containment``
+    documents.  The islands pass shuffles once on the (doc_a, doc_b)
+    pair key: volume ∝ matched windows, i.e. ∝ true duplication, never
+    corpus size.  A dropped-hot-window INSIDE a long span splits it in
+    two deterministically on both engines, so the df cutoff changes
+    granularity, not parity.
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    n_wins = F.size(words) - F.lit(window - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] array
+    wins = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                wins,
+                lambda i: F.concat_ws(" ", F.slice(words, i, window)),
+            )
+        ).alias("_p0", "_w"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).alias("_pos"),
+        F.conv(F.substring(F.md5("_w"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("_wh"),
+    )
+    keep = (
+        occ.groupBy("_wh")
+        .agg(F.count("*").alias("_c"))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= max_df))
+        .select("_wh")
+    )
+    kept = occ.join(keep, "_wh")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._wh") == F.col("b._wh"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a._pos").alias("_pa"),
+        F.col("b._pos").alias("_pb"),
+    )
+    diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
+    w = W.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    isl = pairs.select("doc_a", "doc_b", "_pa", "_pb", diag).withColumn(
+        "_grp", F.col("_pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("_pa").alias("start_a"),
+            F.min("_pb").alias("start_b"),
+            (F.max("_pa") - F.min("_pa") + window).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

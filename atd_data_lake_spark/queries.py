@@ -2385,6 +2385,14 @@ from atd_data_lake_spark.round31_queries import (  # noqa: E402
 QUERIES.update(ROUND31_QUERIES)
 ORACLES.update(ROUND31_ORACLES)
 
+from atd_data_lake_spark.round32_queries import (  # noqa: E402
+    ROUND32_ORACLES,
+    ROUND32_QUERIES,
+)
+
+QUERIES.update(ROUND32_QUERIES)
+ORACLES.update(ROUND32_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is

@@ -114,6 +114,9 @@ HEADLINE = [
     "text_line_dedup",
     "cur_perplexity_buckets",
     "graph_label_prop",
+    # round-32 flagships (substring dedup, DSIR selection)
+    "dedup_repeated_spans",
+    "cur_dsir_resample",
 ]
 
 

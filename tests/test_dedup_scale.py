@@ -449,3 +449,57 @@ def test_replayed_id_prefers_incoming_copy_deterministically(spark):
         standing2, incoming2, num_hashes=16, bands=16, threshold=0.5
     ).collect()
     assert [(r.id_a, r.id_b) for r in out2] == [(1, 3)]
+
+
+def test_repeated_spans_finds_planted_span(spark):
+    """A 30-token span planted inside two otherwise-distinct documents
+    must surface as ONE maximal run with exact 1-based starts; unrelated
+    docs must produce nothing (Lee et al. substring-dedup semantics)."""
+    from atd_data_lake_spark.operators.dedup import repeated_span_pairs
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(5000)]  # big vocab: no chance windows
+
+    def words(n):
+        return [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+
+    span = words(30)
+    a = words(10) + span + words(15)   # span at 1-based pos 11
+    b = words(4) + span + words(25)    # span at 1-based pos 5
+    c = words(60)
+    d = words(60)
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c)),
+         (4, " ".join(d))],
+        "doc_id long, text string",
+    )
+    out = repeated_span_pairs(docs, window=8, min_span=12).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"]) == (11, 5)
+    assert r["span_tokens"] == 30
+
+
+def test_repeated_spans_df_cutoff_drops_boilerplate(spark):
+    """A window shared by MORE than max_df documents (boilerplate) must
+    not generate pairs — the quadratic-trap guard."""
+    from atd_data_lake_spark.operators.dedup import repeated_span_pairs
+
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(5000)]
+    boiler = [vocab[rng.randrange(len(vocab))] for _ in range(20)]
+    rows = []
+    for i in range(30):  # 30 docs all carry the same 20-token banner
+        filler = [vocab[rng.randrange(len(vocab))] for _ in range(40)]
+        rows.append((i, " ".join(boiler + filler)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_span_pairs(docs, window=8, min_span=12, max_df=20)
+    assert out.count() == 0
+    # raising the cutoff above the boilerplate df brings the pairs back
+    out2 = repeated_span_pairs(docs, window=8, min_span=12, max_df=40)
+    assert out2.count() == 30 * 29 // 2

@@ -50,6 +50,9 @@ CASES = [
     # round-9 risks
     "dq_psi_drift",              # exact-decile bins + decimal PSI sum
     "dq_watermark_lateness",     # running-max lateness + exact percentiles
+    # round-32 risks
+    "cur_dsir_resample",         # decimal-summed log ratios + hash accept
+    "dedup_repeated_spans",      # df cutoff + diagonal islands
 ]
 
 

@@ -48,6 +48,9 @@ BNLJ_ALLOWED = {
     # 1-row anonymity floor / digit total crossJoin class-bounded frames
     "dq_k_anonymity",
     "dq_benford",
+    # the 1-ROW corpus-total (tot_r, tot_t) frame crossJoins the ≤256-row
+    # bucket stats to form the log-ratio model — broadcast pass-through
+    "cur_dsir_resample",
     # 1-row reference-date aggregate crossJoins the per-customer profile
     # (broadcast pass-through) before the RFM ntile windows
     "rfm_segments",

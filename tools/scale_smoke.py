@@ -455,6 +455,17 @@ def main() -> None:
 
     ops["pagerank_10x_gate_fallback"] = pagerank_10x_gate_fallback
 
+    # round-32: substring dedup worst case — every replica shares EVERY
+    # window with its 9 siblings (df=10 ≤ max_df), so candidate volume
+    # maxes out at C(10,2)=45 pairs per source window, and every doc
+    # pair merges into one full-document span
+    def repeated_spans_10x():
+        from atd_data_lake_spark.operators.dedup import repeated_span_pairs
+
+        return repeated_span_pairs(docs, window=8, min_span=12, max_df=20)
+
+    ops["repeated_spans_10x"] = repeated_spans_10x
+
     standing_1x = emb.filter(F.col("vec_id") < 10**9).select("vec_id")
     ops["ivf_upsert"] = lambda: ivf_upsert(
         centroid_assign(
