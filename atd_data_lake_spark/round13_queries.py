@@ -940,9 +940,12 @@ def _pq_codebooks(sample: np.ndarray, dim: int) -> np.ndarray:
     return books
 
 
-def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ codes (8 subspaces x 16 centroids) + round-6
-    reconstruction MSE.
+    reconstruction MSE — the PRODUCTION trained path (Lloyd-iterated
+    codebooks; exercised by the determinism/beats-baseline pytest gates;
+    the registered ``emb_pq_codes`` query is the model-injected
+    oracle-checked twin below).
 
     Codebooks train on a BOUNDED deterministic sample (first 2048
     vec_ids — one limit-collect, independent of corpus size) and ship to
@@ -988,6 +991,118 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(op, schema=out_schema)
 
 
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-injected PQ encoding — UPGRADED r7 from rows-only to a full
+    driver value-hash oracle (the ``ivf_topk_model`` recipe): the
+    codebook for subspace ``s`` is the ``s``-th 8-dim slice of the 16
+    lowest-vec_id embeddings (code = id-order rank 0..15), and every
+    nearest-code decision uses the 6-dp-half-up-rounded Euclidean
+    distance with smallest-code tie-break — per-subspace assignment is
+    the ``emb_kmeans_assign`` shape, fully SQL-reproducible.
+
+    Output per vector: ``c0..c7`` (codes) and ``d0..d7`` (rounded
+    distances) — per-subspace SCALARS, no cross-subspace float sum, so
+    no summation-order hazard.  The trained production path
+    (:func:`emb_pq_codes_trained`) keeps the recon-MSE output and its
+    pytest gates.
+
+    100 TB shape: the model is 16×64 doubles in the closure; encoding is
+    one Arrow map pass, zero shuffle.
+    """
+    from atd_data_lake_spark.operators.similarity import (
+        _round_half_up,
+        drop_null_vectors,
+    )
+
+    e = drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
+    model_rows = (
+        e.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = np.array([r[0] for r in model_rows], dtype=np.float64)  # 16×64
+    dim = books.shape[1]
+    sub_d = dim // _PQ_SUBSPACES
+
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [
+            T.StructField(f"c{s}", T.LongType())
+            for s in range(_PQ_SUBSPACES)
+        ]
+        + [
+            T.StructField(f"d{s}", T.DoubleType())
+            for s in range(_PQ_SUBSPACES)
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            for s in range(_PQ_SUBSPACES):
+                Xs = X[:, s * sub_d : (s + 1) * sub_d]
+                Cs = books[:, s * sub_d : (s + 1) * sub_d]
+                d = _round_half_up(
+                    np.sqrt(
+                        ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(axis=2)
+                    )
+                )
+                code = d.argmin(axis=1)  # first min == smallest code
+                out[f"c{s}"] = code.astype(np.int64)
+                out[f"d{s}"] = d[np.arange(len(X)), code]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(op, schema=out_schema)
+
+
+def _emb_pq_codes_sql() -> str:
+    sub_cols = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}"
+        for s in range(_PQ_SUBSPACES)
+    )
+    dist_cols = ",\n       ".join(
+        f"max(CASE WHEN s = {s} THEN dist END) AS d{s}"
+        for s in range(_PQ_SUBSPACES)
+    )
+    return f"""
+WITH ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+subs AS (SELECT unnest(range({_PQ_SUBSPACES})) AS s),
+slices AS (
+    SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv FROM ev, subs
+),
+cb AS (
+    SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+               AS code,
+           sv AS cv
+    FROM slices WHERE vec_id < 16
+),
+scored AS (
+    SELECT sl.vec_id, sl.s, cb.code,
+           round(list_distance(sl.sv, cb.cv), 6) AS dist,
+           row_number() OVER (PARTITION BY sl.vec_id, sl.s
+               ORDER BY round(list_distance(sl.sv, cb.cv), 6), cb.code)
+               AS rn
+    FROM slices sl JOIN cb ON cb.s = sl.s
+)
+SELECT vec_id,
+       {sub_cols},
+       {dist_cols}
+FROM scored WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+EMB_PQ_CODES_SQL = _emb_pq_codes_sql()
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -1017,4 +1132,7 @@ ROUND13_ORACLES = {
     "dq_uniqueness": DQ_UNIQUENESS_SQL,
     "text_hashing_tf": TEXT_HASHING_TF_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
+    # emb_pq_codes: UPGRADED r7 to a full oracle via the injected
+    # 16-slice codebooks + rounded-distance assignment (was rows-only)
+    "emb_pq_codes": EMB_PQ_CODES_SQL,
 }

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from atd_data_lake_spark.round13_queries import (
     _ahash64,
     emb_pq_codes,
+    emb_pq_codes_trained,
     media_phash,
     mm_image_phash,
     phash_near_dups,
@@ -108,7 +109,7 @@ def test_mm_image_phash_query_finds_twin_cohort(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def pq_out(spark, sf_dir):
-    return emb_pq_codes(spark, sf_dir).collect()
+    return emb_pq_codes_trained(spark, sf_dir).collect()
 
 
 def test_pq_codes_shape_and_range(pq_out):
@@ -120,7 +121,7 @@ def test_pq_codes_shape_and_range(pq_out):
 
 
 def test_pq_codes_deterministic(spark, sf_dir, pq_out):
-    again = emb_pq_codes(spark, sf_dir).collect()
+    again = emb_pq_codes_trained(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, pq_out))
 
 
@@ -136,3 +137,32 @@ def test_pq_quantization_beats_global_mean(spark, sf_dir, pq_out):
     baseline = ((X - X.mean(axis=0)) ** 2).sum(axis=1).mean() / X.shape[1]
     pq_mse = sum(r.recon_mse for r in pq_out) / len(pq_out)
     assert pq_mse < baseline
+
+
+def test_pq_model_codes_match_bruteforce(spark, sf_dir):
+    """The oracle-checked model-injected PQ variant: codes must equal a
+    numpy brute-force nearest-slice assignment with rounded-distance
+    decisions and smallest-code tie-breaks."""
+    import numpy as np
+
+    from atd_data_lake_spark.io.reader import read_table
+    from atd_data_lake_spark.operators.similarity import _round_half_up
+
+    rows = emb_pq_codes(spark, sf_dir).collect()
+    emb = sorted(
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r[0] for r in emb])
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+    books = X[ids < 16]
+    got = {r["vec_id"]: r for r in rows}
+    assert len(got) == len(ids)
+    for i in range(0, len(ids), 97):  # sample every 97th vector
+        for s in range(8):
+            Xs = X[i, s * 8 : (s + 1) * 8]
+            Cs = books[:, s * 8 : (s + 1) * 8]
+            d = _round_half_up(np.sqrt(((Cs - Xs) ** 2).sum(axis=1)))
+            assert got[ids[i]][f"c{s}"] == int(d.argmin())
+            assert got[ids[i]][f"d{s}"] == d[d.argmin()]
