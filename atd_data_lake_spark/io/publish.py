@@ -106,6 +106,38 @@ def merge_public_layer(
     )
 
 
+def merge_public_txlog(
+    spark,
+    table_path: str,
+    updates: DataFrame,
+    key: str = "record_id",
+    commit_id: str | None = None,
+):
+    """Exactly-once publish MERGE — the public layer committed through
+    the native transaction log (r7: the same guarantees the catalog's
+    ``upsert_table`` gained in r6 — snapshot isolation, optimistic
+    concurrency, idempotent ``commit_id`` replay, copy-on-write file
+    pruning, time travel).
+
+    ``updates`` dedupes to one row per ``key`` first (latest-wins is
+    arbitrary among equal in-batch keys — ``merge_public``'s documented
+    update-side semantics).  A re-delivered publish batch with the same
+    ``commit_id`` is a no-op replay; two concurrent publishers racing
+    the same base version: one wins, the other gets ``CommitConflict``
+    and must re-derive.  Read with ``txlog.read_table``.
+
+    The dynamic-partition-overwrite path (``merge_public_layer``) stays
+    as the directory-layout alternative where readers need plain
+    partition-pruned parquet; this path is the one with transactional
+    semantics.  Returns the ``txlog.CommitResult``."""
+    from atd_data_lake_spark.io import txlog
+
+    updates = updates.dropDuplicates([key])
+    return txlog.merge(
+        spark, table_path, updates, on=[key], commit_id=commit_id
+    )
+
+
 def push_rest(
     df: DataFrame,
     send: Callable[[list[dict]], None],

@@ -337,3 +337,89 @@ def test_tracked_caches_scopes_are_thread_local(spark):
         assert reg == []  # thread B's persist did not leak into A's scope
     assert df_b.storageLevel.useMemory  # and was not unpersisted by A
     df_b.unpersist()
+
+
+def _race_writer(tbl, barrier, results, idx):
+    """Module-level so multiprocessing 'spawn' can pickle it."""
+    from atd_data_lake_spark.io import txlog as tx
+
+    wins = 0
+    conflicts = 0
+    for _ in range(5):
+        base = tx.current_version(tbl)
+        barrier.wait()  # both read the same base, then race
+        try:
+            tx.commit(tbl, [f"data/w{idx}.parquet"], [], "merge", base)
+            wins += 1
+        except tx.CommitConflict:
+            conflicts += 1
+        barrier.wait()  # loser re-reads AFTER the winner landed
+    results[idx] = (wins, conflicts)
+
+
+def test_two_process_version_race_one_winner(tmp_path):
+    """REAL concurrency on _reserve_version: two OS processes (spawned,
+    no shared interpreter state) race link(2) for the SAME version on
+    the same table dir, synchronized by a barrier, over 5 rounds.  Every
+    round exactly one wins and one gets CommitConflict (r6 verdict item
+    5 — the in-process conflict test can't prove the link(2) atomicity
+    claim)."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "race_tbl")
+    writer = _race_writer
+
+    ctx = mp.get_context("spawn")  # never fork the test JVM
+    with ctx.Manager() as mgr:
+        barrier = mgr.Barrier(2)
+        results = mgr.dict()
+        ps = [
+            ctx.Process(target=writer, args=(table, barrier, results, i))
+            for i in range(2)
+        ]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join(timeout=120)
+            assert p.exitcode == 0
+        (w0, c0), (w1, c1) = results[0], results[1]
+    # every round produced exactly one winner and one conflict
+    assert w0 + w1 == 5 and c0 + c1 == 5
+    assert w0 + c0 == 5 and w1 + c1 == 5
+    # and both processes won at least once would be flaky to assert;
+    # the invariant is the log: versions 1..5 exist, each from one writer
+    from atd_data_lake_spark.io import txlog as tx
+
+    assert tx.current_version(table) == 5
+    for v in range(1, 6):
+        c = tx._read_commit(table, v)
+        assert c["adds"] in (["data/w0.parquet"], ["data/w1.parquet"])
+
+
+def test_merge_public_txlog_exactly_once_and_cow(spark, table):
+    """The publish path through the log: idempotent commit_id replay,
+    MERGE-on-record_id semantics, conflict on stale base."""
+    from atd_data_lake_spark.io.publish import merge_public_txlog
+
+    b1 = spark.createDataFrame(
+        [("r1", "a", 1), ("r2", "b", 1), ("r2", "b-dup", 1)],
+        "record_id string, payload string, batch int",
+    )
+    res = merge_public_txlog(spark, table, b1, commit_id="pub-1")
+    assert res.version == 1 and not res.replayed
+    rows = {r["record_id"]: r for r in txlog.read_table(spark, table).collect()}
+    assert set(rows) == {"r1", "r2"}  # in-batch dup collapsed
+
+    # re-delivered batch: no-op replay
+    res2 = merge_public_txlog(spark, table, b1, commit_id="pub-1")
+    assert res2.replayed and txlog.current_version(table) == 1
+
+    # second publish updates r2, inserts r3, leaves r1 untouched
+    b2 = spark.createDataFrame(
+        [("r2", "B2", 2), ("r3", "c", 2)],
+        "record_id string, payload string, batch int",
+    )
+    merge_public_txlog(spark, table, b2, commit_id="pub-2")
+    out = {r["record_id"]: r["payload"]
+           for r in txlog.read_table(spark, table).collect()}
+    assert out == {"r1": "a", "r2": "B2", "r3": "c"}
