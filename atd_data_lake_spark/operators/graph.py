@@ -271,3 +271,52 @@ def label_propagate(
             ).alias("label"),
         )
     return labels
+
+
+def k_hop_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+) -> DataFrame:
+    """Cumulative distinct reachable-node counts per seed (seed
+    excluded), delta-BFS: the frontier carries only NEWLY-discovered
+    (seed, node) pairs (anti-join against the reached set), so hop h+1
+    never re-expands nodes hop h already visited — in a dense graph the
+    naive frontier is nearly the whole reachable set by hop 3 and
+    re-expanding it dominated the runtime (11 s → ~4 s at sf0.1).
+    Extracted r7 from the ``graph_k_hop`` registry query so the 10×
+    scale smoke exercises the same code path.
+
+    ``edges``: directed ``(s, d)``; orient undirected graphs both ways.
+    ``seeds``: ``(seed,)``.  Output: ``(seed, n_1hop .. n_{hops}hop)``.
+
+    100 TB shape: per hop, one join keyed on the frontier node and one
+    (seed, node) anti-join — both frontier-sized, shrinking as discovery
+    saturates; the cumulative counts fall out of ONE conditional-sum
+    groupBy instead of a distinct + join per hop.
+    """
+    reached = seeds.select("seed", F.col("seed").alias("node"))
+    frontier = reached
+    layers = []
+    for hop in range(1, hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.s)
+            .select("seed", F.col("d").alias("node"))
+            .distinct()
+        )
+        new = scoped_persist(
+            nxt.join(reached, ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        # disjoint by construction — no distinct needed on the union
+        reached = reached.unionByName(new.select("seed", "node"))
+        frontier = new.select("seed", "node")
+        layers.append(new)
+    disc = layers[0]
+    for lyr in layers[1:]:
+        disc = disc.unionByName(lyr)
+    aggs = [
+        F.sum(F.when(F.col("hop") <= h, 1).otherwise(0)).alias(f"n_{h}hop")
+        for h in range(1, hops)
+    ] + [F.sum(F.lit(1)).alias(f"n_{hops}hop")]
+    return disc.groupBy("seed").agg(*aggs).orderBy("seed")

@@ -42,46 +42,13 @@ def graph_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("seed") % _SEED_MOD == 0)
         .distinct()
     )
-    # Delta BFS: the frontier carries only NEWLY-discovered (seed, node)
-    # pairs (anti-join against the reached set), so hop h+1 never
-    # re-expands nodes hop h already visited — in a dense co-purchase
-    # graph the naive frontier (everything reachable at hop h) is nearly
-    # the whole reachable set by hop 3, and re-expanding it dominated
-    # the runtime (11 s → ~4 s at sf0.1).  Discovery hop is tagged on
-    # each pair; the cumulative 1/2/3-hop counts fall out of ONE
-    # conditional-sum groupBy instead of a distinct + join per hop.
-    reached = seeds.select("seed", F.col("seed").alias("node"))
-    frontier = reached
-    layers = []
-    for hop in range(1, _HOPS + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.s)
-            .select("seed", F.col("d").alias("node"))
-            .distinct()
-        )
-        new = (
-            nxt.join(reached, ["seed", "node"], "left_anti")
-            .withColumn("hop", F.lit(hop))
-            .persist()
-        )
-        # disjoint by construction — no distinct needed on the union
-        reached = reached.unionByName(new.select("seed", "node"))
-        frontier = new.select("seed", "node")
-        layers.append(new)
-    disc = layers[0]
-    for lyr in layers[1:]:
-        disc = disc.unionByName(lyr)
-    # every seed comes from the edge list, so it has ≥1 hop-1 neighbor
-    # and survives the groupBy; seed self-rows sit at hop 0 only
-    return (
-        disc.groupBy("seed")
-        .agg(
-            F.sum(F.when(F.col("hop") <= 1, 1).otherwise(0)).alias("n_1hop"),
-            F.sum(F.when(F.col("hop") <= 2, 1).otherwise(0)).alias("n_2hop"),
-            F.sum(F.lit(1)).alias("n_3hop"),
-        )
-        .orderBy("seed")
-    )
+    # delta-BFS extracted to operators/graph.k_hop_counts (r7) so the
+    # 10× scale smoke runs the identical code path; semantics and output
+    # unchanged (every seed comes from the edge list, so it has ≥1 hop-1
+    # neighbor and survives the groupBy; seed self-rows sit at hop 0)
+    from atd_data_lake_spark.operators.graph import k_hop_counts
+
+    return k_hop_counts(edges, seeds, hops=_HOPS)
 
 
 GRAPH_K_HOP_SQL = f"""

@@ -466,6 +466,26 @@ def main() -> None:
 
     ops["repeated_spans_10x"] = repeated_spans_10x
 
+    # round-7 verdict item: the heaviest registry graph op at 10× — the
+    # delta-BFS must stay frontier-bounded when the basket graph's edge
+    # volume grows 10× (sf1-equivalent); seeds thinned 10× to keep the
+    # (seed × reachable-set) output comparable to the sf0.1 query shape
+    def k_hop_10x():
+        from atd_data_lake_spark.operators.graph import k_hop_counts
+
+        edges = _copurchase_edges_10x()
+        seeds = (
+            edges.select(F.col("src").alias("seed"))
+            .filter(F.col("seed") % 500 == 0)
+            .distinct()
+        )
+        return k_hop_counts(
+            edges.select(F.col("src").alias("s"), F.col("dst").alias("d")),
+            seeds,
+        )
+
+    ops["k_hop_10x"] = k_hop_10x
+
     standing_1x = emb.filter(F.col("vec_id") < 10**9).select("vec_id")
     ops["ivf_upsert"] = lambda: ivf_upsert(
         centroid_assign(
@@ -474,6 +494,13 @@ def main() -> None:
         emb,
         cent,
     )
+    only = os.environ.get("SCALE_SMOKE_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        missing = wanted - set(ops)
+        if missing:
+            raise SystemExit(f"unknown ops: {sorted(missing)}")
+        ops = {k: v for k, v in ops.items() if k in wanted}
     for name, fn in ops.items():
         t0 = time.perf_counter()
         n = fn().count()
