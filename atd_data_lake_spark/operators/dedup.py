@@ -1095,3 +1095,103 @@ def repeated_span_pairs(
         .filter(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def incremental_repeated_spans(
+    standing: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_span: int = 12,
+    max_df: int = 20,
+) -> DataFrame:
+    """Incremental twin of :func:`repeated_span_pairs`: maximal repeated
+    token spans between an incoming batch and the corpus (and within the
+    batch) — the STANDING side never self-joins, so per-batch cost
+    tracks the batch, not the corpus (the
+    ``incremental_minhash_candidates`` discipline).
+
+    Semantics: exactly the full-corpus span set restricted to pairs with
+    at least one NEW member.  The document-frequency cutoff stays GLOBAL
+    (standing + new occurrences), so a batch arriving in one shot or in
+    pieces sees the same boilerplate gate — window matches between a
+    given pair are independent of every other document, which is what
+    makes the restriction exact rather than approximate.
+
+    100 TB shape: the standing side contributes only postings whose
+    window hash the BATCH touches (a hash semi-join on the 8-byte key —
+    at scale the standing postings table ``(id, pos, whash)`` is a
+    maintained index bucketed by ``whash``, so the semi-join prunes to
+    touched buckets without a scan); candidate pairs are bounded at
+    ``max_df²`` per touched hash; the islands shuffle keys on pairs that
+    all involve the batch.
+    """
+    from pyspark.sql import Window as W
+
+    def occ(df: DataFrame, is_new: bool) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        n_wins = F.size(words) - F.lit(window - 1)
+        wins = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.transform(
+                    wins,
+                    lambda i: F.concat_ws(" ", F.slice(words, i, window)),
+                )
+            ).alias("_p0", "_w"),
+        ).select(
+            "_id",
+            (F.col("_p0") + 1).alias("_pos"),
+            F.conv(F.substring(F.md5("_w"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("_wh"),
+            F.lit(is_new).alias("_new"),
+        )
+
+    occ_new = _persist(occ(new, True))
+    # standing postings pruned to hashes the batch touches BEFORE the df
+    # count — the global df for an untouched hash is irrelevant (it can
+    # produce no new pair), so the batch never pays for it
+    occ_std = _persist(
+        occ(standing, False).join(
+            occ_new.select("_wh").distinct(), "_wh", "left_semi"
+        )
+    )
+    both = occ_new.unionByName(occ_std)
+    keep = (
+        both.groupBy("_wh")
+        .agg(F.count("*").alias("_c"))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= max_df))
+        .select("_wh")
+    )
+    kept = both.join(keep, "_wh")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._wh") == F.col("b._wh"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).filter(F.col("a._new") | F.col("b._new")).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a._pos").alias("_pa"),
+        F.col("b._pos").alias("_pb"),
+    )
+    diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
+    w = W.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    isl = pairs.select("doc_a", "doc_b", "_pa", "_pb", diag).withColumn(
+        "_grp", F.col("_pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("_pa").alias("start_a"),
+            F.min("_pb").alias("start_b"),
+            (F.max("_pa") - F.min("_pa") + window).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

@@ -221,12 +221,50 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_incremental_spans
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: the batch (doc_id % 10 = 7) pairs
+    against the standing corpus and itself — the standing side never
+    self-joins, and standing postings prune to batch-touched window
+    hashes before the df count, so per-batch cost tracks the batch
+    (``operators/dedup.incremental_repeated_spans``).  Output = the
+    full-corpus span set restricted to pairs with a new member, which is
+    what the oracle checks."""
+    from atd_data_lake_spark.operators.dedup import incremental_repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    return incremental_repeated_spans(
+        standing,
+        new,
+        window=_SPAN_WINDOW,
+        min_span=_SPAN_MIN,
+        max_df=_SPAN_MAX_DF,
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+DEDUP_INCREMENTAL_SPANS_SQL = (
+    DEDUP_REPEATED_SPANS_SQL.replace(
+        "WHERE span_tokens >= " + str(_SPAN_MIN),
+        f"WHERE span_tokens >= {_SPAN_MIN}\n"
+        "  AND (doc_a % 10 = 7 OR doc_b % 10 = 7)",
+    )
+)
+
+
 ROUND32_QUERIES = {
     "dedup_repeated_spans": dedup_repeated_spans,
     "cur_dsir_resample": cur_dsir_resample,
+    "dedup_incremental_spans": dedup_incremental_spans,
 }
 
 ROUND32_ORACLES = {
     "dedup_repeated_spans": DEDUP_REPEATED_SPANS_SQL,
     "cur_dsir_resample": CUR_DSIR_RESAMPLE_SQL,
+    "dedup_incremental_spans": DEDUP_INCREMENTAL_SPANS_SQL,
 }

@@ -503,3 +503,30 @@ def test_repeated_spans_df_cutoff_drops_boilerplate(spark):
     # raising the cutoff above the boilerplate df brings the pairs back
     out2 = repeated_span_pairs(docs, window=8, min_span=12, max_df=40)
     assert out2.count() == 30 * 29 // 2
+
+
+def test_incremental_spans_equal_full_restriction(spark, sf_dir):
+    """incremental_repeated_spans == repeated_span_pairs restricted to
+    pairs with a new member (exactness of the incremental split), and
+    it must emit NO standing-only pairs."""
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_repeated_spans,
+        repeated_span_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    inc = sorted(
+        tuple(r)
+        for r in incremental_repeated_spans(standing, new).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in repeated_span_pairs(d)
+        .filter((F.col("doc_a") % 10 == 7) | (F.col("doc_b") % 10 == 7))
+        .collect()
+    )
+    assert inc == full
+    assert all(r[0] % 10 == 7 or r[1] % 10 == 7 for r in inc)
