@@ -379,6 +379,45 @@ def history(table: str) -> list[dict]:
     return out
 
 
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    commit_id: str | None = None,
+) -> CommitResult:
+    """OPTIMIZE: rewrite the current snapshot's data files into
+    ``target_files`` coalesced files and commit the swap (adds = the new
+    files, removes = every current file) — the small-files compaction a
+    streaming sink's per-batch appends eventually need (r7; the last
+    table-format verb txlog lacked after MERGE/time-travel/VACUUM).
+
+    Fully transactional: the rewrite computes against a snapshot, the
+    commit is optimistic — a concurrent writer landing first raises
+    :class:`CommitConflict` and NOTHING is lost (the new files sit
+    unreferenced until :func:`vacuum` ages them out, the same guarantee
+    a failed merge has).  Row content is byte-for-byte the snapshot's
+    rows; time travel to pre-compaction versions keeps working until
+    vacuum drops their files.
+
+    100 TB shape: one coalesce-shaped job over the table's files — at
+    scale run it per partition-bucket (pass a pruned ``table`` layout)
+    rather than globally; the commit itself is metadata-sized.
+    """
+    table = _canon(table)
+    if commit_id is not None:
+        seen = _commit_id_exists(table, commit_id)
+        if seen is not None:
+            return CommitResult(seen, 0, 0, replayed=True)
+    base = current_version(table)
+    files = snapshot_files(table, base)
+    if not files:
+        raise ValueError(f"{table}: nothing to compact (empty snapshot)")
+    removes = sorted(os.path.relpath(p, table) for p in files)
+    snap = spark.read.parquet(*files).coalesce(target_files)
+    adds = _write_data_files(snap, table)
+    return commit(table, adds, removes, "compact", base, commit_id)
+
+
 def vacuum(
     table: str, keep_versions: int = 1, min_age_seconds: float = 3600.0
 ) -> list[str]:

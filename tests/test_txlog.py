@@ -423,3 +423,61 @@ def test_merge_public_txlog_exactly_once_and_cow(spark, table):
     out = {r["record_id"]: r["payload"]
            for r in txlog.read_table(spark, table).collect()}
     assert out == {"r1": "a", "r2": "B2", "r3": "c"}
+
+
+def test_compact_coalesces_files_preserves_rows_and_history(spark, table):
+    """OPTIMIZE: N append files -> 1 data file, rows identical, old
+    versions still time-travelable until vacuum, concurrent commit
+    conflicts instead of losing data."""
+    for i in range(4):
+        txlog.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            .coalesce(1),
+            table,
+        )
+    before = _rows(txlog.read_table(spark, table))
+    assert len(txlog.snapshot_files(table)) == 4
+
+    res = txlog.compact(spark, table, target_files=1)
+    assert res.version == 5 and res.removes == 4
+    assert len(txlog.snapshot_files(table)) == 1
+    assert _rows(txlog.read_table(spark, table)) == before
+    # pre-compaction snapshot still readable (files not yet vacuumed)
+    assert _rows(txlog.read_table(spark, table, version=4)) == before
+    # idempotent replay
+    again = txlog.compact(spark, table, target_files=1, commit_id="c-1")
+    assert again.version == 6
+    replay = txlog.compact(spark, table, target_files=1, commit_id="c-1")
+    assert replay.replayed and txlog.current_version(table) == 6
+    # vacuum now reclaims the superseded files
+    reclaimed = txlog.vacuum(table, keep_versions=1, min_age_seconds=0)
+    assert len(reclaimed) >= 4
+    assert _rows(txlog.read_table(spark, table)) == before
+
+
+def test_compact_conflicts_with_concurrent_writer(spark, table, monkeypatch):
+    txlog.append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    real_write = txlog._write_data_files
+    fired = {}
+
+    def racing_write(df, tbl):
+        adds = real_write(df, tbl)
+        if "done" not in fired:
+            fired["done"] = True
+            rival = real_write(
+                spark.createDataFrame([(2, "b")], "k long, v string"), tbl
+            )
+            txlog.commit(tbl, rival, [], "append",
+                         txlog.current_version(tbl))
+        return adds
+
+    monkeypatch.setattr(txlog, "_write_data_files", racing_write)
+    with pytest.raises(txlog.CommitConflict):
+        txlog.compact(spark, table)
+    monkeypatch.undo()
+    # the rival's row is intact; compacting the new base succeeds
+    assert len(_rows(txlog.read_table(spark, table))) == 2
+    txlog.compact(spark, table)
+    assert len(_rows(txlog.read_table(spark, table))) == 2
