@@ -254,16 +254,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # one exchange on (band, bucket) groups each bucket's member list;
+    # pairs expand IN-PARTITION from the sorted array (the
+    # repeated_span_pairs recipe, r7) — identical pair multiset to the
+    # a._id < b._id self-join it replaces, without re-exchanging or
+    # sort-merging the banded postings a second time
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.array_sort("_ids").alias("_ids2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter("
+                    "  flatten(transform(_ids2, (x, i) ->"
+                    "    transform(slice(_ids2, i + 2, size(_ids2)), y ->"
+                    "      struct(x AS ia, y AS ib)))),"
+                    "  p -> p.ia < p.ib)"
+                )
+            ).alias("_p")
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .groupBy(
+            F.col("_p.ia").alias("id_a"), F.col("_p.ib").alias("id_b")
+        )
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
