@@ -116,15 +116,27 @@ def snapshot_files(table: str, version: int | None = None) -> list[str]:
 
 
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read (time travel via ``version``).  The file list is
     resolved once, driver-side, so a concurrent commit cannot tear the
-    read; an empty snapshot raises (no schema to serve)."""
+    read; an empty snapshot raises (no schema to serve).
+
+    ``merge_schema=True`` unions the column sets across the snapshot's
+    files (additive schema evolution, r7): a later append carrying new
+    columns reads back with older files' missing columns as NULL —
+    parquet mergeSchema semantics, column-type widening not included
+    (a type CHANGE is a rewrite job, not a read option)."""
     files = snapshot_files(table, version)
     if not files:
         raise ValueError(f"{table}: empty snapshot at version {version}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def _reserve_version(table: str, version: int, payload: dict) -> None:
@@ -377,6 +389,70 @@ def history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def delete_keys(
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    on: list[str],
+    commit_id: str | None = None,
+) -> CommitResult:
+    """DELETE FROM table WHERE (on-cols) IN keys — the right-to-be-
+    forgotten verb (r7; completes the format's CRUD beside append /
+    MERGE / compact / vacuum).  Copy-on-write like :func:`merge`: only
+    files containing a matched key are rewritten (minus the matched
+    rows); untouched files stay byte-identical.  Snapshot-isolated,
+    optimistic, idempotent by ``commit_id``.
+
+    NOTE: deleted rows remain readable via time travel until
+    :func:`vacuum` ages the removed files out — a real forget-me
+    pipeline runs ``delete_keys`` then ``vacuum`` past its retention
+    window, same as Delta.
+
+    100 TB shape: identical to merge's — one broadcast-or-semi join
+    prunes to touched files (file-level min/max stats at scale), rewrite
+    cost ∝ touched data, commit is metadata-sized.
+    """
+    table = _canon(table)
+    if commit_id is not None:
+        seen = _commit_id_exists(table, commit_id)
+        if seen is not None:
+            return CommitResult(seen, 0, 0, replayed=True)
+    base = current_version(table)
+    files = snapshot_files(table, base)
+    if not files:
+        return commit(table, [], [], "delete", base, commit_id)
+    snap = spark.read.parquet(*files).withColumn(
+        "_file", F.input_file_name()
+    )
+    keyset = keys.select(*on).distinct()
+    touched_rows = (
+        snap.join(F.broadcast(keyset), on, "leftsemi")
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    touched = {_norm_file(r[0]) for r in touched_rows}
+    abs_to_rel = {os.path.join(table, f): f for f in
+                  (os.path.relpath(p, table) for p in files)}
+    unresolved = touched - set(abs_to_rel)
+    if unresolved:
+        raise RuntimeError(
+            f"{table}: matched files {sorted(unresolved)[:3]}... did not "
+            "resolve to snapshot paths — refusing a corrupting commit"
+        )
+    removes = sorted(
+        rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
+    )
+    if not removes:  # nothing matched: a no-op commit records the intent
+        return commit(table, [], [], "delete", base, commit_id)
+    carried = (
+        spark.read.parquet(*[os.path.join(table, r) for r in removes])
+        .join(F.broadcast(keyset), on, "left_anti")
+    )
+    adds = _write_data_files(carried, table)
+    return commit(table, adds, removes, "delete", base, commit_id)
 
 
 def compact(

@@ -481,3 +481,52 @@ def test_compact_conflicts_with_concurrent_writer(spark, table, monkeypatch):
     assert len(_rows(txlog.read_table(spark, table))) == 2
     txlog.compact(spark, table)
     assert len(_rows(txlog.read_table(spark, table))) == 2
+
+
+def test_delete_keys_cow_time_travel_and_idempotency(spark, table):
+    """DELETE: matched rows gone, untouched file byte-identical,
+    deleted rows still time-travelable until vacuum, replay no-op,
+    no-match delete records a no-op commit."""
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(10, "x")], "k long, v string")
+    txlog.append(a.coalesce(1), table)
+    txlog.append(b.coalesce(1), table)
+    untouched = [p for p in txlog.snapshot_files(table)
+                 if _rows(spark.read.parquet(p))[0][0] == 10][0]
+    before = (os.path.getmtime(untouched), os.path.getsize(untouched))
+
+    keys = spark.createDataFrame([(2,)], "k long")
+    res = txlog.delete_keys(spark, table, keys, on=["k"], commit_id="d1")
+    assert res.version == 3 and res.removes == 1
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a"), (10, "x")]
+    assert (os.path.getmtime(untouched), os.path.getsize(untouched)) == before
+    # time travel still shows the deleted row pre-delete
+    assert (2, "b") in _rows(txlog.read_table(spark, table, version=2))
+    # idempotent replay
+    again = txlog.delete_keys(spark, table, keys, on=["k"], commit_id="d1")
+    assert again.replayed and txlog.current_version(table) == 3
+    # no-match delete: no-op commit, nothing rewritten
+    res2 = txlog.delete_keys(
+        spark, table, spark.createDataFrame([(99,)], "k long"), on=["k"]
+    )
+    assert res2.version == 4 and res2.adds == 0 and res2.removes == 0
+    assert _rows(txlog.read_table(spark, table)) == [(1, "a"), (10, "x")]
+
+
+def test_read_table_merge_schema_additive_evolution(spark, table):
+    """A later append carrying a NEW column reads back (merge_schema)
+    with older files' missing column as NULL; the default strict read
+    keeps serving the first file's schema."""
+    txlog.append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    txlog.append(
+        spark.createDataFrame(
+            [(2, "b", "extra")], "k long, v string, note string"
+        ),
+        table,
+    )
+    evolved = txlog.read_table(spark, table, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "note"}
+    got = {r["k"]: r["note"] for r in evolved.collect()}
+    assert got == {1: None, 2: "extra"}
