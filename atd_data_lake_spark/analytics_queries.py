@@ -677,10 +677,15 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (``operators/semdedup.semantic_dedup``) keeps its
     determinism/planted-dup pytest gates."""
     from atd_data_lake_spark.operators.semdedup import semantic_dedup_model
+    from atd_data_lake_spark.operators.similarity import drop_null_vectors
 
     e = _t(spark, sf_dir, "embeddings")
+    # null guard BEFORE the model collect: a null/empty vector among the
+    # 16 model rows must degrade (drop), not crash the driver (r7
+    # review; matches emb_pq_codes and the SQL c CTE below)
     model_rows = (
-        e.filter(F.col("vec_id") < 16)
+        drop_null_vectors(e, "embedding")
+        .filter(F.col("vec_id") < 16)
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
@@ -693,7 +698,8 @@ SIM_SEMANTIC_DEDUP_SQL = """
 WITH RECURSIVE
 c AS (
     SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-    FROM embeddings WHERE vec_id < 16
+    FROM embeddings
+    WHERE vec_id < 16 AND embedding IS NOT NULL AND len(embedding) > 0
 ),
 e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

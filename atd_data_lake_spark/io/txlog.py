@@ -80,8 +80,11 @@ def _list_versions(table: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(d):
-        m = re.match(r"^v(\d{8})\.json$", name)
-        if m:  # stray files (editor artifacts, backups) must not brick reads
+        # 8+ digits: _version_file pads to 8 but GROWS past v99999999 —
+        # a fixed-width match would make version 10^8 invisible and
+        # brick the table (r7 review); stray files still skipped
+        m = re.match(r"^v(\d{8,})\.json$", name)
+        if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -275,6 +278,38 @@ def _norm_file(uri: str) -> str:
     return uri
 
 
+def _touched_removes(spark, table, files, keyset, on):
+    """TABLE-RELATIVE paths of snapshot files holding any row matching
+    ``keyset`` on ``on`` — the copy-on-write pruning shared by merge and
+    delete_keys (one semi-join; file-level min/max stats at scale).
+    Raises rather than returning incomplete removes when a touched URI
+    fails to resolve back to a snapshot path (percent-encoded /
+    scheme-variant paths on non-local filesystems) — committing with
+    partial removes would duplicate matched keys instead of replacing
+    them."""
+    snap = spark.read.parquet(*files).withColumn(
+        "_file", F.input_file_name()
+    )
+    touched_rows = (
+        snap.join(F.broadcast(keyset), on, "leftsemi")
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    touched = {_norm_file(r[0]) for r in touched_rows}
+    abs_to_rel = {os.path.join(table, f): f for f in
+                  (os.path.relpath(p, table) for p in files)}
+    unresolved = touched - set(abs_to_rel)
+    if unresolved:
+        raise RuntimeError(
+            f"{table}: matched files {sorted(unresolved)[:3]}... did not "
+            "resolve to snapshot paths — refusing a corrupting commit"
+        )
+    return sorted(
+        rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
+    )
+
+
 def merge(
     spark: SparkSession,
     table: str,
@@ -307,32 +342,8 @@ def merge(
         adds = _write_data_files(source, table)
         return commit(table, adds, [], "merge", base, commit_id)
 
-    snap = spark.read.parquet(*files).withColumn(
-        "_file", F.input_file_name()
-    )
     keys = source.select(*on).distinct()
-    touched_rows = (
-        snap.join(F.broadcast(keys), on, "leftsemi")
-        .select("_file")
-        .distinct()
-        .collect()
-    )
-    touched = {_norm_file(r[0]) for r in touched_rows}
-    abs_to_rel = {os.path.join(table, f): f for f in
-                  (os.path.relpath(p, table) for p in files)}
-    removes = sorted(
-        rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
-    )
-    unresolved = touched - set(abs_to_rel)
-    if unresolved:
-        # EVERY touched path must map back to a snapshot file — a partial
-        # miss (percent-encoded / scheme-variant URIs on non-local
-        # filesystems) would commit with incomplete removes, leaving
-        # matched keys duplicated instead of replaced
-        raise RuntimeError(
-            f"{table}: matched files {sorted(unresolved)[:3]}... did not "
-            "resolve to snapshot paths — refusing a corrupting commit"
-        )
+    removes = _touched_removes(spark, table, files, keys, on)
 
     if removes:
         carried = (
@@ -423,28 +434,8 @@ def delete_keys(
     files = snapshot_files(table, base)
     if not files:
         return commit(table, [], [], "delete", base, commit_id)
-    snap = spark.read.parquet(*files).withColumn(
-        "_file", F.input_file_name()
-    )
     keyset = keys.select(*on).distinct()
-    touched_rows = (
-        snap.join(F.broadcast(keyset), on, "leftsemi")
-        .select("_file")
-        .distinct()
-        .collect()
-    )
-    touched = {_norm_file(r[0]) for r in touched_rows}
-    abs_to_rel = {os.path.join(table, f): f for f in
-                  (os.path.relpath(p, table) for p in files)}
-    unresolved = touched - set(abs_to_rel)
-    if unresolved:
-        raise RuntimeError(
-            f"{table}: matched files {sorted(unresolved)[:3]}... did not "
-            "resolve to snapshot paths — refusing a corrupting commit"
-        )
-    removes = sorted(
-        rel for abs_p, rel in abs_to_rel.items() if abs_p in touched
-    )
+    removes = _touched_removes(spark, table, files, keyset, on)
     if not removes:  # nothing matched: a no-op commit records the intent
         return commit(table, [], [], "delete", base, commit_id)
     carried = (

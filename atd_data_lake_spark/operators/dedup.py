@@ -257,12 +257,21 @@ def minhash_lsh_candidates(
     # one exchange on (band, bucket) groups each bucket's member list;
     # pairs expand IN-PARTITION from the sorted array (the
     # repeated_span_pairs recipe, r7) — identical pair multiset to the
-    # a._id < b._id self-join it replaces, without re-exchanging or
-    # sort-merging the banded postings a second time
-    return (
+    # a._id < b._id self-join it replaced, without re-exchanging or
+    # sort-merging the banded postings a second time.  The expansion is
+    # SIZE-GATED (r7 review): a degenerate bucket (tens of thousands of
+    # identical-signature docs) would build a C(n,2) struct array in one
+    # row — oversized buckets fall back to a streamed, spillable
+    # self-join over just those members, so semantics stay exact while
+    # per-row memory stays bounded at C(cap, 2) structs
+    cap = 512
+    buckets = _persist(
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("_id").alias("_ids"))
         .filter(F.size("_ids") >= 2)
+    )
+    small_pairs = (
+        buckets.filter(F.size("_ids") <= cap)
         .select(F.array_sort("_ids").alias("_ids2"))
         .select(
             F.explode(
@@ -275,9 +284,21 @@ def minhash_lsh_candidates(
                 )
             ).alias("_p")
         )
-        .groupBy(
-            F.col("_p.ia").alias("id_a"), F.col("_p.ib").alias("id_b")
-        )
+        .select(F.col("_p.ia").alias("ia"), F.col("_p.ib").alias("ib"))
+    )
+    big = buckets.filter(F.size("_ids") > cap).select(
+        "band", "bucket", F.explode("_ids").alias("_id")
+    )
+    ba, bb = big.alias("a"), big.alias("b")
+    big_pairs = ba.join(
+        bb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+    return (
+        small_pairs.unionByName(big_pairs)
+        .groupBy(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
@@ -1184,11 +1205,12 @@ def incremental_repeated_spans(
     occ_new = _persist(occ(new, True))
     # standing postings pruned to hashes the batch touches BEFORE the df
     # count — the global df for an untouched hash is irrelevant (it can
-    # produce no new pair), so the batch never pays for it
-    occ_std = _persist(
-        occ(standing, False).join(
-            occ_new.select("_wh").distinct(), "_wh", "left_semi"
-        )
+    # produce no new pair), so the batch never pays for it.  No persist:
+    # exactly one downstream consumer (the union), so a cache write
+    # would be pure overhead (r7 review); occ_new's persist IS justified
+    # (semi-join + union both read it)
+    occ_std = occ(standing, False).join(
+        occ_new.select("_wh").distinct(), "_wh", "left_semi"
     )
     both = occ_new.unionByName(occ_std)
     # one exchange on the hash; pairs expand in-partition from the

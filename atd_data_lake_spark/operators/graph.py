@@ -152,26 +152,25 @@ def pagerank_masses(
             )
             .agg(ins_agg)
         )
-    # ≥ distinct-node count (dst×≤k rows when salted — conservative is
-    # correct for an OOM gate); counting also materializes the cache the
-    # rounds read, so the gate adds no scan
+    # materializes the cache the rounds read, so this job is the build
     n_adj_rows = in_adj.count()
-    hint_ok = n_adj_rows <= broadcast_node_limit
 
     # cheap distinct lineage — NOT the collect_set aggregation, which
     # would otherwise re-evaluate for the rank-init consumers
     nodes = edges.select("src").distinct()
-    n_nodes = nodes.agg(F.count("*").alias("n")).select(
-        "n", F.lit(15 * total_mass).alias("_tele_num")
-    )
-    base = n_nodes.select(
-        F.expr(f"{total_mass} div n").alias("_m0"),
-        F.expr("_tele_num div (100 * n)").alias("_base"),
-    )
-    ranks = nodes.crossJoin(F.broadcast(base)).select(
+    # the teleport denominator N, needed as a scalar anyway — and it is
+    # the EXACT size of the round-1 ranks frame, which on a directed
+    # graph can dwarf the dst-keyed adjacency (r7 review: a dst-only
+    # gate undercounts when many sources fan into few receivers), so
+    # the OOM gate takes the max of both
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_masses: empty edge list")
+    hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
+    ranks = nodes.select(
         F.col("src").alias("node"),
-        F.col("_m0").alias("mass"),
-        F.col("_base"),
+        F.lit(total_mass // n).cast("long").alias("mass"),
+        F.lit(15 * total_mass // (100 * n)).cast("long").alias("_base"),
     )
     for _ in range(n_iter):
         # explode + broadcast-join preserve the cached adjacency's
@@ -229,11 +228,6 @@ def label_propagate(
     in_adj = scoped_persist(
         edges.groupBy("dst").agg(F.collect_set("src").alias("ins"))
     )
-    # one row per receiving node: materializes the cache the rounds read
-    # AND gates the node-sized label/nb broadcast hints (an ungated hint
-    # bypasses Spark's size check — hard OOM at 10⁸⁺ nodes; above the
-    # gate the joins run un-hinted and AQE decides, labels identical)
-    hint_ok = in_adj.count() <= broadcast_node_limit
     # nodes = src ∪ dst: a sink (in-edges only) must still start with its
     # own label — init from src alone silently dropped sinks on directed
     # graphs (r6 review; symmetric-orientation callers were unaffected).
@@ -247,6 +241,13 @@ def label_propagate(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # the OOM gate counts the LABELS frame itself — |src ∪ dst|, which
+    # on a directed graph can dwarf the dst-keyed adjacency row count
+    # (r7 review: a dst-only gate undercounts when many sources fan
+    # into few receivers).  The count reads through the in_adj cache,
+    # materializing it for the rounds; above the gate every join runs
+    # un-hinted (AQE decides), labels identical.
+    hint_ok = labels.count() <= broadcast_node_limit
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))
         nb = (
@@ -295,6 +296,8 @@ def k_hop_counts(
     saturates; the cumulative counts fall out of ONE conditional-sum
     groupBy instead of a distinct + join per hop.
     """
+    if hops < 1:
+        raise ValueError("k_hop_counts: hops must be >= 1")
     reached = seeds.select("seed", F.col("seed").alias("node"))
     frontier = reached
     layers = []
@@ -319,4 +322,19 @@ def k_hop_counts(
         F.sum(F.when(F.col("hop") <= h, 1).otherwise(0)).alias(f"n_{h}hop")
         for h in range(1, hops)
     ] + [F.sum(F.lit(1)).alias(f"n_{hops}hop")]
-    return disc.groupBy("seed").agg(*aggs).orderBy("seed")
+    counts = disc.groupBy("seed").agg(*aggs)
+    # a seed with zero discoveries (no out-edges / isolated) must still
+    # report a (seed, 0, ..., 0) row — the groupBy alone would silently
+    # drop it (r7 review; edge-derived seeds dodge this by construction)
+    zeros = [
+        F.coalesce(F.col(f"n_{h}hop"), F.lit(0).cast("long"))
+        .alias(f"n_{h}hop")
+        for h in range(1, hops + 1)
+    ]
+    return (
+        seeds.select("seed")
+        .distinct()
+        .join(counts, "seed", "left")
+        .select("seed", *zeros)
+        .orderBy("seed")
+    )

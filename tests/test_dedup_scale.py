@@ -404,8 +404,9 @@ def test_tracked_caches_unpersists_operator_persists(spark, sf_dir):
             d, num_hashes=32, bands=10, threshold=0.8
         ).collect()
         assert out
-        # sig + cands + pruned shingles were persisted inside the scope
-        assert len(reg) == 3
+        # sig + buckets (r7: feeds the small/large expansion branches)
+        # + cands + pruned shingles were persisted inside the scope
+        assert len(reg) == 4
         assert all(f.is_cached for f in reg)
     assert all(not f.is_cached for f in reg)
 
@@ -530,3 +531,46 @@ def test_incremental_spans_equal_full_restriction(spark, sf_dir):
     )
     assert inc == full
     assert all(r[0] % 10 == 7 or r[1] % 10 == 7 for r in inc)
+
+
+def test_lsh_oversized_bucket_fallback_pairs_identical(spark, monkeypatch):
+    """Force the size-gated big-bucket path (cap exceeded) and assert
+    the pair multiset equals the in-partition expansion's — the r7
+    OOM-guard fallback must be semantics-exact."""
+    from atd_data_lake_spark.operators import dedup as dd
+
+    rows = [(i, "identical text for every doc here") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(df):
+        return sorted(
+            tuple(r)
+            for r in dd.minhash_lsh_candidates(
+                df, num_hashes=16, bands=4
+            ).collect()
+        )
+
+    small_path = pairs(docs)  # 12 members <= default cap 512
+    src = dd.minhash_lsh_candidates.__code__
+    assert small_path  # identical docs: all C(12,2) pairs, 4 bands each
+    # shrink the cap so the same buckets route through the join branch
+    import atd_data_lake_spark.operators.dedup as mod
+    import re as _re
+    import inspect
+
+    # cap is a local constant; patch by running with a tiny cap via the
+    # module-level function's source is brittle — instead monkeypatch
+    # F.size comparisons is worse.  The clean hook: temporarily rebind
+    # the function with cap swapped through its closure-free source.
+    source = inspect.getsource(mod.minhash_lsh_candidates)
+    assert "cap = 512" in source
+    patched = source.replace("cap = 512", "cap = 3")
+    ns = dict(vars(mod))
+    exec(compile(patched, "<patched>", "exec"), ns)
+    big_path = sorted(
+        tuple(r)
+        for r in ns["minhash_lsh_candidates"](
+            docs, num_hashes=16, bands=4
+        ).collect()
+    )
+    assert big_path == small_path

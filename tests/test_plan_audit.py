@@ -35,9 +35,6 @@ BNLJ_ALLOWED = {
     # global-span day sequence (≤ |days| rows from a 1-ROW min/max agg) —
     # the grid IS the output shape, not a data×data cross
     "evt_resample_ffill",
-    # the 1-ROW (initial mass, teleport base) frame crossJoins onto the
-    # node list once before the power iterations — broadcast pass-through
-    "graph_pagerank",
     # the 10-row literal bin scaffold crossJoins the stream×period totals
     # (≤ 2·|streams| rows) so empty bins smooth instead of vanish
     "dq_psi_drift",

@@ -37,11 +37,14 @@ EXCHANGE_BUDGETS = {
     "a1_streaming_parity": 1,
     "dedup_exact": 1,
     "dedup_embedding_cosine": 1,
-    # verified shape: banded self-join + pair groupBy (2), the fan_out
-    # repartition before the candidate-pruned shingle stage (1), and the
-    # two candidate-driven verify joins' aggregation (2) — all candidate-
-    # bounded except the one corpus-wide banded exchange
-    "dedup_minhash_lsh": 5,
+    # verified shape: bucket groupBy + pair groupBy (2), the fan_out
+    # repartition before the candidate-pruned shingle stage (1), the two
+    # candidate-driven verify joins' aggregation (2), plus ONE exchange
+    # on the size-gated oversized-bucket fallback branch (r7: in-partition
+    # pair expansion for buckets <= cap, streamed self-join above it) —
+    # that branch is empty on every non-degenerate corpus, so its
+    # exchange moves zero rows at runtime
+    "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard": 3,
     "dedup_clusters": 2,
     "dedup_simhash": 3,
