@@ -789,16 +789,19 @@ def _ahash64(payload: bytes) -> int:
 
     The decode is the documented codec boundary (operators/multimodal.py
     fake_decode): 64 deterministic 'pixels' derive from the sha256
-    stream of the payload; bit i = pixel_i > mean.  Swapping in a real
-    decoder (PIL -> grayscale -> 8x8 resize) changes nothing downstream.
+    stream of the payload (h1 = sha256(payload); h2 = sha256 of h1's
+    hex rendering — the hex-chain form both engines can compute, since
+    DuckDB's sha256 is VARCHAR-only); bit i = pixel_i > mean.  Swapping
+    in a real decoder (PIL -> grayscale -> 8x8 resize) changes nothing
+    downstream.
     """
     import hashlib
 
     if payload is None:
         return 0
-    h1 = hashlib.sha256(payload).digest()
-    h2 = hashlib.sha256(h1).digest()
-    px = np.frombuffer(h1 + h2, dtype=np.uint8).astype(np.float64)
+    h1 = hashlib.sha256(payload).hexdigest()
+    h2 = hashlib.sha256(h1.encode("ascii")).hexdigest()
+    px = np.frombuffer(bytes.fromhex(h1 + h2), dtype=np.uint8).astype(np.float64)
     bits = px > px.mean()
     out = 0
     for b in bits:
@@ -882,10 +885,17 @@ def phash_near_dups(
 
 
 def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered rows-only query: documents as media payloads (doubled
-    with a deterministic duplicate cohort: every doc_id % 50 == 0 gets a
+    """Registered query: documents as media payloads (doubled with a
+    deterministic duplicate cohort: every doc_id % 50 == 0 gets a
     byte-identical twin at id+10_000_000, so real near-dup pairs exist),
     hash, banded near-dup join.  Output: (id_a, id_b, hamming).
+
+    UPGRADED r7 from rows-only to a full driver value-hash oracle: the
+    stub decode is a sha256 hex chain (``_ahash64``) both engines
+    compute bit-identically — DuckDB re-derives every 64-bit hash from
+    ``sha256(text) || sha256(sha256(text))`` and checks the pair set by
+    exact all-pairs popcount (fine at oracle scale; the Spark side keeps
+    the banded pigeonhole join that scales).
     """
     d = _t(spark, sf_dir, "documents")
     media = d.select(
@@ -898,6 +908,45 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = media.unionByName(twins)
     return phash_near_dups(media_phash(hashes))
+
+
+MM_IMAGE_PHASH_SQL = f"""
+WITH media AS (
+    SELECT doc_id AS media_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS media_id, text FROM documents
+    WHERE doc_id % 50 = 0
+),
+hx AS (
+    SELECT media_id, sha256(text) || sha256(sha256(text)) AS hex128
+    FROM media
+),
+px AS (
+    SELECT media_id, i, ('0x' || substr(hex128, 2*i + 1, 2))::BIGINT AS p
+    FROM hx, (SELECT unnest(range(64)) AS i)
+),
+tot AS (SELECT media_id, sum(p) AS s FROM px GROUP BY media_id),
+bits AS (
+    SELECT px.media_id, i,
+           CASE WHEN p * 64 > s THEN 1::HUGEINT ELSE 0::HUGEINT END AS b
+    FROM px JOIN tot USING (media_id)
+),
+packed AS (
+    SELECT media_id, sum(b * (1::HUGEINT << (63 - i))) AS u
+    FROM bits GROUP BY media_id
+),
+ph AS (
+    SELECT media_id,
+           (CASE WHEN u >= 1::HUGEINT << 63
+                 THEN u - (1::HUGEINT << 64) ELSE u END)::BIGINT AS phash
+    FROM packed
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1117,7 +1166,6 @@ ROUND13_QUERIES = {
     "dq_uniqueness": dq_uniqueness,
     "text_hashing_tf": text_hashing_tf,
     "stats_moments": stats_moments,
-    # rows-only
     "mm_image_phash": mm_image_phash,
     "emb_pq_codes": emb_pq_codes,
 }
@@ -1135,4 +1183,7 @@ ROUND13_ORACLES = {
     # emb_pq_codes: UPGRADED r7 to a full oracle via the injected
     # 16-slice codebooks + rounded-distance assignment (was rows-only)
     "emb_pq_codes": EMB_PQ_CODES_SQL,
+    # mm_image_phash: UPGRADED r7 to a full oracle — the sha256 hex-chain
+    # stub decode is engine-portable, so DuckDB re-derives every hash
+    "mm_image_phash": MM_IMAGE_PHASH_SQL,
 }

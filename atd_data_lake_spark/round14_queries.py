@@ -20,14 +20,17 @@ revenue concentration, and sample-trained PCA projection.
   Ties in revenue cannot affect the value (swapping equal x under the
   rank weights is invariant), so the result is hash-stable.
   Oracle-backed.
-- ``emb_pca_project`` — top-8 PCA projection of the embedding corpus,
-  with the covariance trained on a DETERMINISTIC bounded sample (first
-  4096 vec_ids) exactly like the PQ codebooks: train small, project
-  wide via one Arrow-batched zero-shuffle pass.  Eigenvector sign is
-  pinned (largest-|component| entry made positive) so the projection is
-  reproducible across runs and partitionings.  Rows-only (eigensolve
-  has no SQL form); determinism + variance-ordering tests in
-  tests/test_round14.py.
+- ``emb_pca_project`` — top-8 linear projection of the embedding
+  corpus.  UPGRADED r7 from rows-only to a full driver value-hash
+  oracle via the model-injection recipe (``ivf_topk_model`` /
+  ``emb_pq_codes``): the registered query projects onto a FIXED
+  loading matrix (the 8 lowest-vec_id embeddings, centered against the
+  16-row train slice) — exactly how PCA inference runs at 100 TB
+  (components are trained offline once and shipped; the projection job
+  never re-solves the eigenproblem), and fully SQL-reproducible via
+  ``list_dot_product``.  The eigensolve-trained path lives on as
+  :func:`emb_pca_project_trained` with its orthonormality / variance /
+  partition-invariance pytest gates.
 """
 
 from __future__ import annotations
@@ -330,11 +333,17 @@ def _pca_components(sample: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndar
     return mean, comps, vals[order]
 
 
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_pca_project_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 PCA projection of every embedding; components trained on
     the first 4096 vec_ids (deterministic bounded sample, the PQ/IVF
     train-small-project-wide split).  One Arrow-batched matmul pass,
-    zero shuffle; output is all-scalar (vec_id, p0..p7)."""
+    zero shuffle; output is all-scalar (vec_id, p0..p7).
+
+    Production path with the real eigensolve — pytest-gated
+    (orthonormality, sign pinning, variance ordering, partition
+    invariance); the registered ``emb_pca_project`` query is the
+    model-injected twin below, which value-hash-checks the same
+    projection machinery under the driver oracle."""
     e = _t(spark, sf_dir, "embeddings")
     sample_rows = (
         e.orderBy("vec_id").select("embedding").limit(_PCA_TRAIN_SAMPLE).collect()
@@ -364,6 +373,98 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(op, schema=out_schema)
 
 
+_PCA_BASIS_ROWS = 8
+_PCA_TRAIN_ROWS = 16
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-injected linear projection — UPGRADED r7 from rows-only to
+    a full driver value-hash oracle.  The loading matrix is the 8
+    lowest-vec_id embeddings; centering is the scalar trick (dot is
+    linear, so ``dot(v - m, b_i) = dot(v, b_i) - dot(m, b_i)`` with
+    ``dot(m, b_i)`` the 9-dp-rounded mean of the 16 train-row dots) —
+    no componentwise mean vector ever crosses an engine boundary.
+    Output per vector: ``p0..p7`` (6-dp half-up), all scalars.
+
+    100 TB shape: the model is 8x64 doubles + 8 scalars in the closure;
+    projection is one Arrow matmul map pass, zero shuffle (identical to
+    the trained path — this twin exists so the driver hash-checks the
+    machinery end to end).
+    """
+    from atd_data_lake_spark.operators.similarity import (
+        _round_half_up,
+        drop_null_vectors,
+    )
+
+    e = drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
+    rows = (
+        e.filter(F.col("vec_id") < _PCA_TRAIN_ROWS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    train = np.array([r[0] for r in rows], dtype=np.float64)  # 16 x dim
+    basis = train[:_PCA_BASIS_ROWS]  # 8 x dim
+    # c_i = round(mean_j dot(train_j, basis_i), 9) — mirrors DuckDB's
+    # avg(list_dot_product(...)); 9-dp rounding absorbs sum-order drift.
+    centers = _round_half_up((train @ basis.T).mean(axis=0), 9)  # (8,)
+
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [
+            T.StructField(f"p{i}", T.DoubleType())
+            for i in range(_PCA_BASIS_ROWS)
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = _round_half_up(X @ basis.T - centers, 6)
+            out = {"vec_id": pdf["vec_id"]}
+            for i in range(_PCA_BASIS_ROWS):
+                out[f"p{i}"] = P[:, i]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(op, schema=out_schema)
+
+
+def _emb_pca_project_sql() -> str:
+    proj_cols = ",\n       ".join(
+        f"max(CASE WHEN comp = {i} THEN p END) AS p{i}"
+        for i in range(_PCA_BASIS_ROWS)
+    )
+    return f"""
+WITH ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+basis AS (
+    SELECT vec_id AS comp, v AS b FROM ev WHERE vec_id < {_PCA_BASIS_ROWS}
+),
+ctr AS (
+    SELECT comp, round(avg(list_dot_product(t.v, basis.b)), 9) AS c
+    FROM (SELECT v FROM ev WHERE vec_id < {_PCA_TRAIN_ROWS}) t, basis
+    GROUP BY comp
+),
+proj AS (
+    SELECT e.vec_id, b.comp,
+           round(list_dot_product(e.v, b.b) - ctr.c, 6) AS p
+    FROM ev e, basis b JOIN ctr USING (comp)
+)
+SELECT vec_id,
+       {proj_cols}
+FROM proj
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+EMB_PCA_PROJECT_SQL = _emb_pca_project_sql()
+
+
 # ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
@@ -372,7 +473,6 @@ ROUND14_QUERIES = {
     "cur_weighted_sample": cur_weighted_sample,
     "evt_change_points": evt_change_points,
     "olap_revenue_gini": olap_revenue_gini,
-    # rows-only
     "emb_pca_project": emb_pca_project,
 }
 
@@ -380,4 +480,7 @@ ROUND14_ORACLES = {
     "cur_weighted_sample": CUR_WEIGHTED_SAMPLE_SQL,
     "evt_change_points": EVT_CHANGE_POINTS_SQL,
     "olap_revenue_gini": OLAP_REVENUE_GINI_SQL,
+    # emb_pca_project: UPGRADED r7 to a full oracle via the injected
+    # loading matrix + scalar centering (was rows-only)
+    "emb_pca_project": EMB_PCA_PROJECT_SQL,
 }

