@@ -2393,6 +2393,14 @@ from atd_data_lake_spark.round32_queries import (  # noqa: E402
 QUERIES.update(ROUND32_QUERIES)
 ORACLES.update(ROUND32_ORACLES)
 
+from atd_data_lake_spark.round33_queries import (  # noqa: E402
+    ROUND33_ORACLES,
+    ROUND33_QUERIES,
+)
+
+QUERIES.update(ROUND33_QUERIES)
+ORACLES.update(ROUND33_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is
