@@ -410,13 +410,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 2
     )
+    # zip_with over two slices: split() evaluates per ROW (Catalyst
+    # inlines it ~4x/doc), never per element — the transform/element_at
+    # form re-splits the text per bigram and is ~10x slower at 10x
+    # (the round-3 higher-order-function gotcha)
     bg = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1)))"
+                "zip_with("
+                "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+                "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
             )
         ).alias("bigram"),
     )

@@ -117,6 +117,10 @@ HEADLINE = [
     # round-32 flagships (substring dedup, DSIR selection)
     "dedup_repeated_spans",
     "cur_dsir_resample",
+    # round-33 flagships (edit-distance dedup, PQ-ADC search, bigram LM)
+    "dedup_edit_distance",
+    "sim_ann_pq_adc",
+    "text_bigram_logprob",
 ]
 
 
