@@ -2401,6 +2401,14 @@ from atd_data_lake_spark.round33_queries import (  # noqa: E402
 QUERIES.update(ROUND33_QUERIES)
 ORACLES.update(ROUND33_ORACLES)
 
+from atd_data_lake_spark.round34_queries import (  # noqa: E402
+    ROUND34_ORACLES,
+    ROUND34_QUERIES,
+)
+
+QUERIES.update(ROUND34_QUERIES)
+ORACLES.update(ROUND34_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is
