@@ -402,6 +402,47 @@ def history(table: str) -> list[dict]:
     return out
 
 
+def changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change data feed between two snapshots (Delta CDF /
+    ``table_changes`` semantics for a COW log): every row of
+    ``snapshot(to)`` not in ``snapshot(from)`` comes back with
+    ``_change_type = 'insert'``, the reverse with ``'delete'``; an
+    UPDATE therefore appears as the delete of the old row version plus
+    the insert of the new one (update_pre/postimage in Delta terms).
+    Multiset semantics via ``exceptAll`` — duplicate rows are counted,
+    not collapsed.
+
+    File pruning: rows living in files that belong to BOTH snapshots
+    cancel exactly (COW never edits a file in place), so only the
+    symmetric difference of the two file lists is ever read — change
+    volume, not table volume, prices the feed.  At 100 TB the exceptAll
+    is one hash exchange over the touched files' rows.
+    """
+    table = _canon(table)
+    if to_version is None:
+        to_version = current_version(table)
+    files_from = set(snapshot_files(table, from_version))
+    files_to = set(snapshot_files(table, to_version))
+    only_from = sorted(files_from - files_to)
+    only_to = sorted(files_to - files_from)
+
+    schema_files = only_to or only_from or sorted(files_to)
+    if not schema_files:
+        raise ValueError(f"{table}: both snapshots empty")
+    empty = spark.read.parquet(*schema_files).limit(0)
+    old = spark.read.parquet(*only_from) if only_from else empty
+    new = spark.read.parquet(*only_to) if only_to else empty
+
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def delete_keys(
     spark: SparkSession,
     table: str,

@@ -2409,6 +2409,14 @@ from atd_data_lake_spark.round34_queries import (  # noqa: E402
 QUERIES.update(ROUND34_QUERIES)
 ORACLES.update(ROUND34_ORACLES)
 
+from atd_data_lake_spark.round35_queries import (  # noqa: E402
+    ROUND35_ORACLES,
+    ROUND35_QUERIES,
+)
+
+QUERIES.update(ROUND35_QUERIES)
+ORACLES.update(ROUND35_ORACLES)
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is

@@ -1,0 +1,140 @@
+"""Round-35 targeted tests: txlog change-data-feed semantics, the BPE
+trainer (the live-data path the injected model ships from), and
+l-diversity invariants.  Oracle value parity for the three registered
+queries is covered by the driver sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.io import txlog
+from atd_data_lake_spark.round35_queries import (
+    _bpe_apply_expr,
+    dq_l_diversity,
+    train_bpe_merges,
+)
+
+
+# ---------------------------------------------------------------------------
+# txlog.changes (CDF)
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_update_is_delete_plus_insert(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, g string, v double",
+    )
+    txlog.append(base, table, commit_id="v1")
+    src = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)], "k long, g string, v double"
+    )
+    txlog.merge(spark, table, src, on=["k"], commit_id="v2")
+    feed = txlog.changes(spark, table, 1, 2).collect()
+    got = sorted((r["_change_type"], r["k"], r["v"]) for r in feed)
+    assert got == [
+        ("delete", 2, 20.0),   # pre-update image
+        ("insert", 2, 99.0),   # post-update image
+        ("insert", 4, 40.0),   # genuine insert
+    ]
+    # carried-over rows (1, 3) cancelled exactly — not in the feed
+    assert all(r["k"] not in (1, 3) for r in feed)
+
+
+def test_cdf_default_to_latest_and_delete_keys(spark, tmp_path):
+    table = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    txlog.append(base, table, commit_id="v1")
+    txlog.delete_keys(
+        spark, table, base.filter("k < 3").select("k"), on=["k"],
+        commit_id="v2",
+    )
+    feed = txlog.changes(spark, table, 1).collect()
+    got = sorted((r["_change_type"], r["k"]) for r in feed)
+    assert got == [("delete", 0), ("delete", 1), ("delete", 2)]
+
+
+def test_cdf_multiset_semantics(spark, tmp_path):
+    """Duplicate rows count: inserting the same row twice must show two
+    inserts, not one (exceptAll, not except)."""
+    table = str(tmp_path / "t3")
+    one = spark.createDataFrame([(1, "x")], "k long, g string")
+    txlog.append(one, table, commit_id="v1")
+    txlog.append(one.unionAll(one), table, commit_id="v2")
+    feed = txlog.changes(spark, table, 1, 2).collect()
+    assert sorted(r["_change_type"] for r in feed) == ["insert", "insert"]
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer + apply chain
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_trainer_canonical_on_known_corpus():
+    # 'ab' appears 5x in "abab" words + ... classic: most frequent pair
+    # merges first; ties break to the lexicographically smallest pair
+    merges = train_bpe_merges(["abab", "abab", "abc"], 2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+
+
+def test_bpe_trainer_deterministic_and_live_data(spark, sf_dir):
+    from atd_data_lake_spark.io.reader import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(32)
+        .select("text")
+        .collect()
+    )
+    words = [w for r in rows for w in r[0].split(" ") if w]
+    m1 = train_bpe_merges(words, 10)
+    m2 = train_bpe_merges(words, 10)
+    assert m1 == m2 and len(m1) == 10
+    # every merge's parts are symbols producible by earlier merges
+    known = {c for w in words for c in w}
+    for a, b in m1:
+        assert a in known and b in known
+        known.add(a + b)
+
+
+def test_bpe_apply_compresses(spark, sf_dir):
+    """Applying the merges must never produce MORE tokens than chars,
+    and must strictly compress words containing a merged pair."""
+    from atd_data_lake_spark.round35_queries import text_bpe_apply
+
+    rows = text_bpe_apply(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_bpe_tokens"] <= r["n_chars"]
+        assert r["fertility"] >= 1.0  # tokens per word >= 1
+
+
+def test_bpe_apply_expr_matches_python_replace():
+    merges = [("a", "b"), ("ab", "c")]
+    expr = _bpe_apply_expr("w", merges)
+    # simulate the chain in python on a word
+    s = " " + " ".join("xabc") + " "
+    for a, b in merges:
+        s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    assert s.strip().split(" ") == ["x", "abc"]
+    assert "replace(replace(" in expr
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_floor_and_flags(spark, sf_dir):
+    rows = dq_l_diversity(spark, sf_dir).collect()
+    assert len(rows) > 0
+    floor = min(r["n_sensitive"] for r in rows)
+    for r in rows:
+        assert r["diversity_level"] == floor
+        assert r["below_l"] == (r["n_sensitive"] < 3)
+        assert r["n_sensitive"] <= r["class_size"]
