@@ -2417,6 +2417,22 @@ from atd_data_lake_spark.round35_queries import (  # noqa: E402
 QUERIES.update(ROUND35_QUERIES)
 ORACLES.update(ROUND35_ORACLES)
 
+from atd_data_lake_spark.round33_queries import (  # noqa: E402
+    DEDUP_EDIT_DISTANCE_SQL as _ED_PAIR_SQL,
+)
+from atd_data_lake_spark.round36_queries import (  # noqa: E402
+    ROUND36_ORACLES,
+    ROUND36_QUERIES,
+    _er_entities_sql,
+    _minhash_eval_sql,
+)
+
+QUERIES.update(ROUND36_QUERIES)
+ORACLES.update(ROUND36_ORACLES)
+# assembled here, where the shared pair/jaccard SQL builders live
+ORACLES["er_canonical_entities"] = _er_entities_sql(_ED_PAIR_SQL)
+ORACLES["dedup_minhash_eval"] = _minhash_eval_sql(_jaccard_pairs_sql(0.5))
+
 # ---------------------------------------------------------------------------
 # Driver sweep ordering: the external correctness driver checks the registry
 # in dict order and caps its sweep at ~50 rows per round.  The ordering is

@@ -1,0 +1,400 @@
+"""Round-36 query additions — hard-negative mining, entity resolution,
+MinHash banding eval.
+
+- ``sim_hard_negatives`` — contrastive-training data prep: for each
+  anchor vector, the top-5 most-cosine-similar vectors with a DIFFERENT
+  label (the "hard negatives" a triplet/contrastive loss wants).  One
+  Arrow map pass scores the corpus against the anchor panel and reduces
+  each batch to its local top-k — the ``sim_ann_pq_adc`` shape with a
+  label-inequality gate.
+- ``er_canonical_entities`` — entity resolution as an operator
+  composition: PassJoin edit-distance pairs over titles (+ the planted
+  one-edit twin cohort) → distributed connected components → one
+  canonical entity id (min member) + member count per entity.  The
+  blocking/verify/cluster pipeline every dedup-to-golden-record system
+  runs, end to end under one oracle.
+- ``dedup_minhash_eval`` — the tuning loop for the MinHash family: an
+  ENGINE-PORTABLE 8-permutation MinHash (min over md5-52(shingle # j))
+  banded 4x2 — a deliberately loose geometry — scored against the
+  exact trigram-Jaccard >= 0.5 truth: candidate count, recall,
+  precision.  On the driver tables every true pair is an exact
+  duplicate (J = 1, always caught — recall 1.0) and PRECISION is the
+  live signal (~0.40 at sf0.1: 633 candidates for 256 true pairs); the
+  recall-loss regime is pinned by a synthetic mid-Jaccard pytest.
+  (The production ``dedup_minhash_lsh`` geometry has recall ~1-3e-7,
+  which is why its oracle IS the exact pair set; this query measures
+  what a cheaper geometry costs.)
+
+All three carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from atd_data_lake_spark.io.reader import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 10
+_HN_K = 5
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hardest negatives (highest cosine, different label) per
+    anchor (vec_id < 10).
+
+    100 TB shape: the anchor panel (10x64 + labels) rides in the
+    closure; ONE Arrow map pass scores every corpus vector against all
+    anchors, applies the label gate, and emits only per-batch local
+    top-k rows (≤ k·|anchors| per batch); the global rank is a window
+    over those bounded candidates.  Raw vectors never shuffle.
+    """
+    from atd_data_lake_spark.operators.similarity import (
+        _round_half_up,
+        drop_null_vectors,
+    )
+
+    e = drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
+    anchor_rows = (
+        e.filter(F.col("vec_id") < _HN_ANCHORS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    a_ids = np.array([int(r[0]) for r in anchor_rows])
+    a_mat = np.array([r[1] for r in anchor_rows], dtype=np.float64)
+    a_lab = np.array([int(r[2]) for r in anchor_rows])
+    a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy()
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = _round_half_up(
+                (X @ a_mat.T) / np.outer(xn, a_norm), 6
+            )  # (n, anchors)
+            outs = []
+            for qi, (aid, alab) in enumerate(zip(a_ids, a_lab)):
+                mask = (labs != alab) & (ids != aid)
+                cand_ids = ids[mask]
+                cand_cos = cos[mask, qi]
+                order = np.lexsort((cand_ids, -cand_cos))[: _HN_K]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "anchor_id": aid,
+                            "neighbor_id": cand_ids[order],
+                            "cos_sim": cand_cos[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    local = e.select("vec_id", "embedding", "label").mapInPandas(
+        op, schema=out_schema
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+SIM_HARD_NEGATIVES_SQL = f"""
+WITH ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+a AS (SELECT vec_id AS anchor_id, v AS av, label AS alab FROM ev
+      WHERE vec_id < {_HN_ANCHORS}),
+scored AS (
+    SELECT a.anchor_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.av, e.v), 6) AS cos_sim,
+           row_number() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY round(list_cosine_similarity(a.av, e.v), 6) DESC,
+                   e.vec_id ASC) AS rank
+    FROM a JOIN ev e
+      ON e.label <> a.alab AND e.vec_id <> a.anchor_id
+)
+SELECT anchor_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {_HN_K}
+ORDER BY anchor_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# er_canonical_entities
+# ---------------------------------------------------------------------------
+
+_ER_TITLE_TOKENS = 8
+
+
+def er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking → verify → cluster → canonicalize: PassJoin ed<=1 pairs
+    over titles (documents + the one-edit twin cohort), connected
+    components, one golden-record id per entity (the min member id) with
+    the member count.  Singleton titles (no pair) are their own entity
+    and are excluded, as in every ER report.
+
+    100 TB shape: pairs from the segment equi-join (never all-pairs),
+    components via hook+shortcut pointer jumping (O(log n) rounds), the
+    final rollup keyed on the component id.
+    """
+    from atd_data_lake_spark.operators.components import connected_components
+    from atd_data_lake_spark.operators.fuzzy import passjoin_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    title = F.array_join(
+        F.slice(F.split("text", " "), 1, _ER_TITLE_TOKENS), " "
+    )
+    base = d.select(F.col("doc_id").alias("id"), title.alias("title"))
+    twins = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + 20_000_000).alias("id"), title.alias("t0"))
+        .select(
+            "id",
+            F.concat(
+                F.lit("z"), F.expr("substring(t0, 2, length(t0) - 1)")
+            ).alias("title"),
+        )
+    )
+    corpus = base.unionByName(twins)
+    pairs = passjoin_pairs(corpus, id_col="id", str_col="title", max_dist=1)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy(F.col("component").alias("entity_id"))
+        .agg(F.count("*").alias("n_members"))
+        .select("entity_id", F.col("n_members").cast("long").alias("n_members"))
+        .orderBy("entity_id")
+    )
+
+
+def _er_entities_sql(pair_sql: str) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+sym AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+    SELECT u, v FROM sym
+    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS node, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+)
+SELECT component AS entity_id, CAST(count(*) AS BIGINT) AS n_members
+FROM comp
+GROUP BY component
+ORDER BY entity_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_eval
+# ---------------------------------------------------------------------------
+
+_MH_PERMS = 8
+_MH_BANDS = 4  # 4 bands x 2 rows — deliberately loose (recall < 1)
+_MH_TRUTH_T = 0.5
+
+
+def _md5_52(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of a LOOSE portable-MinHash banding (8 perms,
+    4x2 bands) against the exact trigram-Jaccard >= 0.5 truth — the
+    number that tells you whether a cheaper signature geometry is safe.
+
+    Engine-portable signature: permutation j's hash of a shingle is the
+    52-bit md5 prefix of ``shingle || '#j'`` — both engines compute the
+    identical minimum per document, so the candidate set itself is
+    SQL-reproducible (not just the verified output, as in
+    ``dedup_minhash_lsh``).
+
+    100 TB shape: one shingle explode feeds ONE agg producing all 8
+    mins (map-side combined); band keys explode 4 rows/doc; the band
+    self-join is candidate-bounded; truth reuses the inverted-index
+    exact-Jaccard join.  Output is a single summary row.
+    """
+    from atd_data_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ws = "split(trim(text), '\\\\s+')"
+    tri = (
+        f"zip_with(zip_with(slice({ws}, 1, size({ws}) - 2), "
+        f"slice({ws}, 2, size({ws}) - 2), (a, b) -> concat(a, ' ', b)), "
+        f"slice({ws}, 3, size({ws}) - 2), (ab, c) -> concat(ab, ' ', c))"
+    )
+    g = (
+        d.filter(F.expr(f"size({ws})") >= 3)
+        .select("doc_id", F.explode(F.expr(tri)).alias("shingle"))
+    )
+    sig = g.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_52(F.concat("shingle", F.lit(f"#{j}")))).alias(f"h{j}")
+            for j in range(_MH_PERMS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.col(f"h{2 * b + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    l = bands.select("band", "key", F.col("doc_id").alias("id_a"))
+    r = bands.select("band", "key", F.col("doc_id").alias("id_b"))
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    truth = (
+        ngram_jaccard_pairs(d, n=3, threshold=_MH_TRUTH_T)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+    cand.unpersist()
+    truth.unpersist()
+    row = [
+        (
+            n_truth,
+            n_cand,
+            n_hits,
+            round(n_hits / n_truth, 6) if n_truth else 0.0,
+            round(n_hits / n_cand, 6) if n_cand else 0.0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_truth long, n_candidates long, n_hits long, "
+        "recall double, precision double",
+    )
+
+
+def _minhash_eval_sql(jaccard_sql: str) -> str:
+    mins = ",\n           ".join(
+        f"min(CAST(('0x' || substr(md5(shingle || '#{j}'), 1, 13)) AS UBIGINT)"
+        f"::BIGINT) AS h{j}"
+        for j in range(_MH_PERMS)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        f"CAST(h{2 * b} AS VARCHAR) || ':' || CAST(h{2 * b + 1} AS VARCHAR) "
+        f"AS key FROM sig"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM g GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+truth AS (SELECT id_a, id_b FROM ({jaccard_sql})),
+hits AS (
+    SELECT count(*) AS h FROM truth JOIN cand USING (id_a, id_b)
+),
+counts AS (
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT h FROM hits) AS n_hits
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_truth > 0 THEN round(n_hits / (n_truth * 1.0), 6)
+            ELSE 0.0 END AS recall,
+       CASE WHEN n_candidates > 0 THEN round(n_hits / (n_candidates * 1.0), 6)
+            ELSE 0.0 END AS precision
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# registration (oracle SQL for er/minhash is assembled in queries.py,
+# where the shared pair/jaccard SQL builders live)
+# ---------------------------------------------------------------------------
+
+ROUND36_QUERIES = {
+    "sim_hard_negatives": sim_hard_negatives,
+    "er_canonical_entities": er_canonical_entities,
+    "dedup_minhash_eval": dedup_minhash_eval,
+}
+
+ROUND36_ORACLES = {
+    "sim_hard_negatives": SIM_HARD_NEGATIVES_SQL,
+}
