@@ -426,6 +426,13 @@ def changes(
     table = _canon(table)
     if to_version is None:
         to_version = current_version(table)
+    if from_version > to_version:
+        raise ValueError(
+            f"{table}: changes() window is inverted "
+            f"({from_version} > {to_version}) — Delta's table_changes "
+            f"rejects start > end and so do we (a silent reverse feed "
+            f"would swap insert/delete semantics)"
+        )
     files_from = set(snapshot_files(table, from_version))
     files_to = set(snapshot_files(table, to_version))
     only_from = sorted(files_from - files_to)
@@ -434,10 +441,39 @@ def changes(
     schema_files = only_to or only_from or sorted(files_to)
     if not schema_files:
         raise ValueError(f"{table}: both snapshots empty")
-    empty = spark.read.parquet(*schema_files).limit(0)
-    old = spark.read.parquet(*only_from) if only_from else empty
-    new = spark.read.parquet(*only_to) if only_to else empty
+    # mergeSchema: the window may span an additive schema-evolution
+    # boundary (read_table supports it, so the feed must too) — align
+    # both sides on the union of columns, missing columns as NULL
+    empty = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*schema_files)
+        .limit(0)
+    )
+    old = (
+        spark.read.option("mergeSchema", "true").parquet(*only_from)
+        if only_from
+        else empty
+    )
+    new = (
+        spark.read.option("mergeSchema", "true").parquet(*only_to)
+        if only_to
+        else empty
+    )
+    all_fields = {}
+    for df in (old, new):
+        for f in df.schema.fields:
+            all_fields.setdefault(f.name, f.dataType)
 
+    def _align(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+                for c, t in sorted(all_fields.items())
+            ]
+        )
+
+    old, new = _align(old), _align(new)
     inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     return inserts.unionByName(deletes)

@@ -228,8 +228,12 @@ def passjoin_pairs(
     side at most ``(2d+1)·k·(2d+1)`` bounded substring keys; exchanges
     carry (id, short segment) rows.  Candidate volume is governed by
     segment selectivity (segments are ~L/k chars — long enough to be
-    rare); there is no quadratic stage.  Output: (id_a, id_b,
-    edit_dist), id_a < id_b, exact and partitioning-invariant.
+    rare).  Strings SHORTER than k cannot be indexed (a k-way
+    pigeonhole needs k non-empty segments) but still probe; the
+    short-short class (both lengths <= d) joins directly — every such
+    pair is within distance d by definition, so that join is
+    output-bound, not a scan blowup.  Output: (id_a, id_b, edit_dist),
+    id_a < id_b, exact and partitioning-invariant.
 
     The reference's fuzzy device-match cascade (fuzzy_device_match
     above; knack_access.py:108 in cityofaustin/atd-data-lake) solves
@@ -237,14 +241,21 @@ def passjoin_pairs(
     member of the same family.
     """
     d, k = max_dist, max_dist + 1
-    s = (
+    s_all = (
         df.select(
             F.col(id_col).alias("pj_id"),
             F.col(str_col).alias("pj_s"),
             F.length(str_col).alias("pj_len"),
         )
-        .filter(F.col("pj_len") >= k)
+        .filter(F.col("pj_s").isNotNull())
     )
+    # Pigeonholing needs k NON-EMPTY segments, so only strings of
+    # length >= k can be INDEXED.  Shorter strings still PROBE (their
+    # valid substrings reach indexed strings within ±d), and the
+    # short-short class (both lengths <= d) is handled below — every
+    # such pair is within distance d by definition (ed <= max length),
+    # so its quadratic join is output-bound, not a scan blowup.
+    s = s_all.filter(F.col("pj_len") >= k)
 
     akeys = (
         s.select(
@@ -279,7 +290,7 @@ def passjoin_pairs(
           g -> g.La >= {k} AND g.p >= 1 AND g.p + g.l - 1 <= pj_len)
     """
     bkeys = (
-        s.select(
+        s_all.select(
             "pj_id",
             "pj_s",
             F.explode(F.expr(probe_grid)).alias("g"),
@@ -302,6 +313,23 @@ def passjoin_pairs(
             F.greatest("a_id", "b_id").alias("id_b"),
             F.levenshtein("a_s", "b_s").alias("edit_dist"),
         )
-        .distinct()
     )
-    return cand
+
+    # short-short completion: both lengths <= d => ed <= d always
+    shorts = s_all.filter(F.col("pj_len") < k)
+    sl = shorts.select(
+        F.col("pj_id").alias("a_id"), F.col("pj_s").alias("a_s")
+    )
+    sr = shorts.select(
+        F.col("pj_id").alias("b_id"), F.col("pj_s").alias("b_s")
+    )
+    short_pairs = (
+        sl.crossJoin(sr)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.levenshtein("a_s", "b_s").alias("edit_dist"),
+        )
+    )
+    return cand.unionByName(short_pairs).distinct()

@@ -56,19 +56,12 @@ _ED_TITLE_TOKENS = 8
 _ED_MAX_DIST = 1
 
 
-def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Title pairs within Levenshtein distance 1 over documents plus a
-    planted one-edit twin cohort (every doc_id % 100 == 0 gets a twin at
-    id+20_000_000 whose title has its first character flipped to 'z').
-
-    100 TB shape: see ``operators/fuzzy.passjoin_pairs`` — candidates
-    come from an equi-join on (length, segment index, ~L/2-char
-    segment), only candidates pay the verify; exchanges carry short
-    title segments, never document text.
-    """
-    from atd_data_lake_spark.operators.fuzzy import passjoin_pairs
-
-    d = _t(spark, sf_dir, "documents")
+def edit_distance_corpus(d: DataFrame) -> DataFrame:
+    """(id, title) corpus shared by ``dedup_edit_distance`` AND
+    round36's ``er_canonical_entities`` — BOTH oracles embed the same
+    pair SQL (``DEDUP_EDIT_DISTANCE_SQL``), so this construction must
+    stay single-sourced: titles = first 8 tokens; every doc_id % 100
+    == 0 gets a one-edit twin at id+20_000_000 (first char → 'z')."""
     title = F.array_join(
         F.slice(F.split("text", " "), 1, _ED_TITLE_TOKENS), " "
     )
@@ -83,7 +76,22 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("title"),
         )
     )
-    corpus = base.unionByName(twins)
+    return base.unionByName(twins)
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title pairs within Levenshtein distance 1 over documents plus a
+    planted one-edit twin cohort (every doc_id % 100 == 0 gets a twin at
+    id+20_000_000 whose title has its first character flipped to 'z').
+
+    100 TB shape: see ``operators/fuzzy.passjoin_pairs`` — candidates
+    come from an equi-join on (length, segment index, ~L/2-char
+    segment), only candidates pay the verify; exchanges carry short
+    title segments, never document text.
+    """
+    from atd_data_lake_spark.operators.fuzzy import passjoin_pairs
+
+    corpus = edit_distance_corpus(_t(spark, sf_dir, "documents"))
     return passjoin_pairs(
         corpus, id_col="id", str_col="title", max_dist=_ED_MAX_DIST
     ).orderBy("id_a", "id_b")

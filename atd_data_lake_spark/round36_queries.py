@@ -164,9 +164,6 @@ ORDER BY anchor_id, rank
 # er_canonical_entities
 # ---------------------------------------------------------------------------
 
-_ER_TITLE_TOKENS = 8
-
-
 def er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking → verify → cluster → canonicalize: PassJoin ed<=1 pairs
     over titles (documents + the one-edit twin cohort), connected
@@ -180,23 +177,11 @@ def er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from atd_data_lake_spark.operators.components import connected_components
     from atd_data_lake_spark.operators.fuzzy import passjoin_pairs
+    from atd_data_lake_spark.round33_queries import edit_distance_corpus
 
-    d = _t(spark, sf_dir, "documents")
-    title = F.array_join(
-        F.slice(F.split("text", " "), 1, _ER_TITLE_TOKENS), " "
-    )
-    base = d.select(F.col("doc_id").alias("id"), title.alias("title"))
-    twins = (
-        d.filter(F.col("doc_id") % 100 == 0)
-        .select((F.col("doc_id") + 20_000_000).alias("id"), title.alias("t0"))
-        .select(
-            "id",
-            F.concat(
-                F.lit("z"), F.expr("substring(t0, 2, length(t0) - 1)")
-            ).alias("title"),
-        )
-    )
-    corpus = base.unionByName(twins)
+    # single-sourced with dedup_edit_distance: both oracles embed the
+    # SAME pair SQL, so both queries must build the SAME corpus
+    corpus = edit_distance_corpus(_t(spark, sf_dir, "documents"))
     pairs = passjoin_pairs(corpus, id_col="id", str_col="title", max_dist=1)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     return (

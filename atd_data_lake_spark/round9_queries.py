@@ -260,11 +260,12 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from atd_data_lake_spark.operators.similarity import (
         cosine_topk,
+        drop_null_vectors,
         ivf_topk_model,
         lsh_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
     plane_rows = (
         emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
         .orderBy("vec_id")
@@ -311,9 +312,12 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_RECALL_EVAL_SQL = """
-WITH q AS (
-    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-    FROM embeddings WHERE vec_id < 5
+WITH ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qvec FROM ev WHERE vec_id < 5
 ),
 full_rank AS (
     SELECT query_id, neighbor_id FROM (
@@ -321,22 +325,20 @@ full_rank AS (
                row_number() OVER (
                    PARTITION BY q.query_id
                    ORDER BY round(list_cosine_similarity(
-                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       q.qvec, e.v), 6) DESC,
                        e.vec_id ASC) AS rank
-        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        FROM q, ev e WHERE e.vec_id <> q.query_id
     ) WHERE rank <= 10
 ),
 planes AS (
-    SELECT CAST(vec_id - 100 AS INTEGER) AS pidx,
-           CAST(embedding AS DOUBLE[]) AS pvec
-    FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+    SELECT CAST(vec_id - 100 AS INTEGER) AS pidx, v AS pvec
+    FROM ev WHERE vec_id >= 100 AND vec_id < 116
 ),
 bits AS (
     SELECT e.vec_id, p.pidx,
-           CASE WHEN round(list_cosine_similarity(
-                    CAST(e.embedding AS DOUBLE[]), p.pvec), 6) >= 0
+           CASE WHEN round(list_cosine_similarity(e.v, p.pvec), 6) >= 0
                 THEN 1 ELSE 0 END AS bit
-    FROM embeddings e CROSS JOIN planes p
+    FROM ev e CROSS JOIN planes p
 ),
 keys AS (
     SELECT vec_id, pidx // 4 AS band,
@@ -355,16 +357,15 @@ lsh_rank AS (
                row_number() OVER (
                    PARTITION BY c.query_id
                    ORDER BY round(list_cosine_similarity(
-                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       q.qvec, e.v), 6) DESC,
                        c.neighbor_id) AS rank
         FROM lsh_cands c
         JOIN q ON q.query_id = c.query_id
-        JOIN embeddings e ON e.vec_id = c.neighbor_id
+        JOIN ev e ON e.vec_id = c.neighbor_id
     ) WHERE rank <= 10
 ),
 cent AS (
-    SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-    FROM embeddings WHERE vec_id < 16
+    SELECT vec_id AS centroid_id, v AS cvec FROM ev WHERE vec_id < 16
 ),
 assign AS (
     SELECT vec_id, centroid_id FROM (
@@ -372,9 +373,9 @@ assign AS (
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY round(list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]), cent.cvec), 6) DESC,
+                       e.v, cent.cvec), 6) DESC,
                        cent.centroid_id) AS rn
-        FROM embeddings e CROSS JOIN cent
+        FROM ev e CROSS JOIN cent
     ) WHERE rn = 1
 ),
 probes AS (
@@ -393,7 +394,7 @@ ivf_rank AS (
                row_number() OVER (
                    PARTITION BY cd.query_id
                    ORDER BY round(list_cosine_similarity(
-                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                       q.qvec, e.v), 6) DESC,
                        cd.neighbor_id) AS rank
         FROM (
             SELECT p.query_id, a.vec_id AS neighbor_id
@@ -401,7 +402,7 @@ ivf_rank AS (
             WHERE a.vec_id <> p.query_id
         ) cd
         JOIN q ON q.query_id = cd.query_id
-        JOIN embeddings e ON e.vec_id = cd.neighbor_id
+        JOIN ev e ON e.vec_id = cd.neighbor_id
     ) WHERE rank <= 10
 ),
 truth AS (SELECT count(*) AS n FROM full_rank),

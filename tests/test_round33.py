@@ -71,6 +71,29 @@ def test_passjoin_complete_vs_bruteforce_d2(spark):
     assert got == want
 
 
+def test_passjoin_short_strings_complete(spark):
+    """r7 review fix: strings shorter than k = d+1 cannot be INDEXED
+    (no k-way pigeonhole) but must still pair — short strings probe the
+    index, and the short-short class joins directly (every such pair is
+    within d by definition)."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "b"), (3, "ba"), (4, ""), (5, "x")],
+        "id long, s string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in passjoin_pairs(df, "id", "s", max_dist=1).collect()
+    )
+    strings = {1: "ab", 2: "b", 3: "ba", 4: "", 5: "x"}
+    want = sorted(
+        (i, j, _levenshtein(strings[i], strings[j]))
+        for i in strings
+        for j in strings
+        if i < j and _levenshtein(strings[i], strings[j]) <= 1
+    )
+    assert got == want and len(got) == 5
+
+
 def test_passjoin_partition_invariance(spark):
     rows = [(i, f"prefix{i % 7}suffix{i % 3}") for i in range(60)]
     df = spark.createDataFrame(rows, "id long, s string")

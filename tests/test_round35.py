@@ -57,6 +57,39 @@ def test_cdf_default_to_latest_and_delete_keys(spark, tmp_path):
     assert got == [("delete", 0), ("delete", 1), ("delete", 2)]
 
 
+def test_cdf_across_schema_evolution_boundary(spark, tmp_path):
+    """r7 review fix: a CDF window spanning an additive schema change
+    must align columns (old rows' new column = NULL) instead of
+    crashing exceptAll with NUM_COLUMNS_MISMATCH."""
+    table = str(tmp_path / "t_evo")
+    txlog.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string"),
+        table, commit_id="v1",
+    )
+    txlog.append(
+        spark.createDataFrame([(3, "c", 7.0)], "k long, g string, extra double"),
+        table, commit_id="v2",
+    )
+    txlog.delete_keys(
+        spark, table,
+        spark.createDataFrame([(1,)], "k long"), on=["k"], commit_id="v3",
+    )
+    feed = txlog.changes(spark, table, 1, 3).collect()
+    got = sorted((r["_change_type"], r["k"], r["extra"]) for r in feed)
+    assert got == [("delete", 1, None), ("insert", 3, 7.0)]
+
+
+def test_cdf_rejects_inverted_window(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t_inv")
+    one = spark.createDataFrame([(1,)], "k long")
+    txlog.append(one, table, commit_id="v1")
+    txlog.append(one, table, commit_id="v2")
+    with pytest.raises(ValueError, match="inverted"):
+        txlog.changes(spark, table, 2, 1)
+
+
 def test_cdf_multiset_semantics(spark, tmp_path):
     """Duplicate rows count: inserting the same row twice must show two
     inserts, not one (exceptAll, not except)."""

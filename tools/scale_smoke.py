@@ -512,123 +512,24 @@ def main() -> None:
 
     ops["passjoin_edit_dedup"] = passjoin_10x
 
-    def adc_10x():
-        from atd_data_lake_spark.round33_queries import sim_ann_pq_adc
+    def _registered_10x(qname, frame):
+        """Run the REGISTERED round-33 query over the replicated frame
+        (monkeypatch its _t, the tests/test_round36.py pattern) — the
+        smoke measures the exact shipped code path, so operator fixes
+        propagate to the benchmark automatically."""
+        import atd_data_lake_spark.round33_queries as r33
 
-        # registered query reads from sf_dir; emulate its 10× form by
-        # scoring the replicated corpus against the same injected model
-        import numpy as np
+        orig = r33._t
+        try:
+            r33._t = lambda s_, sf_, name_: frame
+            if qname == "pq_adc":
+                return r33.sim_ann_pq_adc(spark, "10x")
+            return r33.text_bigram_logprob(spark, "10x")
+        finally:
+            r33._t = orig
 
-        from atd_data_lake_spark.operators.similarity import _round_half_up
-
-        books = np.array(
-            [r[1] for r in emb0.orderBy("vec_id").limit(16).collect()],
-            dtype=np.float64,
-        )
-        q_rows = emb0.orderBy("vec_id").limit(5).collect()
-        q_ids = np.array([int(r[0]) for r in q_rows])
-        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-        dim = books.shape[1]
-        sub_d = dim // 8
-        lut = np.zeros((len(q_ids), 8, 16))
-        for s in range(8):
-            qs = q_mat[:, s * sub_d : (s + 1) * sub_d]
-            cs = books[:, s * sub_d : (s + 1) * sub_d]
-            lut[:, s, :] = _round_half_up(
-                np.sqrt(((qs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2))
-            )
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("neighbor_id", T.LongType()),
-                T.StructField("adc_dist", T.DoubleType()),
-            ]
-        )
-
-        def op(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                ids = pdf["vec_id"].to_numpy()
-                codes = np.zeros((len(X), 8), dtype=np.int64)
-                for s in range(8):
-                    Xs = X[:, s * sub_d : (s + 1) * sub_d]
-                    Cs = books[:, s * sub_d : (s + 1) * sub_d]
-                    dmat = _round_half_up(
-                        np.sqrt(
-                            ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(
-                                axis=2
-                            )
-                        )
-                    )
-                    codes[:, s] = dmat.argmin(axis=1)
-                adc = np.zeros((len(q_ids), len(X)))
-                for s in range(8):
-                    adc += lut[:, s, codes[:, s]]
-                outs = []
-                for qi, qid in enumerate(q_ids):
-                    order = np.lexsort((ids, adc[qi]))[:10]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qid,
-                                "neighbor_id": ids[order],
-                                "adc_dist": adc[qi][order],
-                            }
-                        )
-                    )
-                yield pd.concat(outs, ignore_index=True)
-
-        from pyspark.sql import Window as W
-
-        local = emb.select("vec_id", "embedding").mapInPandas(op, schema)
-        w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-        return local.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= 10
-        )
-
-    ops["pq_adc_scan"] = adc_10x
-
-    def bigram_lm_10x():
-        bg = docs.filter(F.size(F.split("text", " ")) >= 2).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "zip_with("
-                    "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-                    "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
-                    "(a, b) -> concat(a, ' ', b))"
-                )
-            ).alias("bigram"),
-        )
-        bucket = (
-            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
-            % 4096
-        )
-        bk = bg.select("doc_id", bucket.alias("bucket"))
-        bc = bk.groupBy("bucket").agg(F.count("*").alias("c"))
-        tot = bc.agg(F.sum("c").alias("t"))
-        lp = bc.crossJoin(F.broadcast(tot)).select(
-            "bucket",
-            F.round(
-                F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.lit(4096.0))),
-                9,
-            ).alias("lp"),
-        )
-        return (
-            bk.join(F.broadcast(lp), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_bigrams"),
-                F.sum(F.col("lp").cast("decimal(20,9)")).alias("_s"),
-            )
-        )
-
-    ops["bigram_lm"] = bigram_lm_10x
+    ops["pq_adc_scan"] = lambda: _registered_10x("pq_adc", emb)
+    ops["bigram_lm"] = lambda: _registered_10x("bigram_lm", docs)
 
     only = os.environ.get("SCALE_SMOKE_ONLY")
     if only:
