@@ -121,6 +121,10 @@ HEADLINE = [
     "dedup_edit_distance",
     "sim_ann_pq_adc",
     "text_bigram_logprob",
+    # round-36/37 flagships (ER pipeline, MinHash eval, IVFADC)
+    "er_canonical_entities",
+    "dedup_minhash_eval",
+    "sim_ann_ivfpq",
 ]
 
 
