@@ -381,6 +381,32 @@ def stream_sink(table: str, app_id: str):
     return _sink
 
 
+def merge_stream_sink(table: str, app_id: str, on: list[str]):
+    """EXACTLY-ONCE streaming MERGE (CDC-apply) sink: like
+    :func:`stream_sink` but each micro-batch UPSERTS on ``on`` instead
+    of appending — the ``foreachBatch + MERGE INTO`` pattern every
+    Delta/Iceberg CDC pipeline runs, with the same
+    ``(app_id, batch_id)`` idempotency: a replayed micro-batch is a
+    no-op, a racing writer gets CommitConflict (merge auto-retries
+    snapshot conflicts only for non-overlapping commits via the
+    optimistic loop in :func:`merge`).
+
+    The batch's rows must be key-unique (one change per key per batch —
+    the CDC contract); duplicate keys within one batch would both land.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            on=on,
+            commit_id=f"stream-{app_id}-batch-{batch_id}",
+        )
+
+    return _sink
+
+
 def history(table: str) -> list[dict]:
     """The commit log, oldest first — version, op, commit id, file
     counts, timestamp (the audit surface a MERGE backend owes its

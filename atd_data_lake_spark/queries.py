@@ -2445,6 +2445,14 @@ from atd_data_lake_spark.round38_queries import (  # noqa: E402
 
 QUERIES.update(ROUND38_QUERIES)
 ORACLES.update(ROUND38_ORACLES)
+
+from atd_data_lake_spark.round39_queries import (  # noqa: E402
+    ROUND39_ORACLES,
+    ROUND39_QUERIES,
+)
+
+QUERIES.update(ROUND39_QUERIES)
+ORACLES.update(ROUND39_ORACLES)
 # assembled here, where the shared pair/jaccard SQL builders live
 ORACLES["er_canonical_entities"] = _er_entities_sql(_ED_PAIR_SQL)
 ORACLES["dedup_minhash_eval"] = _minhash_eval_sql(_jaccard_pairs_sql(0.5))

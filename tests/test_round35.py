@@ -171,3 +171,25 @@ def test_l_diversity_floor_and_flags(spark, sf_dir):
         assert r["diversity_level"] == floor
         assert r["below_l"] == (r["n_sensitive"] < 3)
         assert r["n_sensitive"] <= r["class_size"]
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC merge sink (round 39, lives with the txlog tests)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_stream_sink_exactly_once_and_upsert(spark, tmp_path):
+    """Two 'micro-batches' through merge_stream_sink: batch 1 updates a
+    key batch 0 inserted; replaying batch 0 afterwards must be a no-op
+    (NOT resurrect the old value)."""
+    table = str(tmp_path / "cdc")
+    sink = txlog.merge_stream_sink(table, "app", on=["k"])
+    b0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    b1 = spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # adversarial re-delivery
+    rows = sorted(
+        (r["k"], r["v"]) for r in txlog.read_table(spark, table).collect()
+    )
+    assert rows == [(1, 10.0), (2, 99.0), (3, 30.0)]
