@@ -628,3 +628,59 @@ def vacuum(
                 os.unlink(full)
                 deleted.append(rel)
     return deleted
+
+
+def restore(table: str, version: int, commit_id: str | None = None) -> CommitResult:
+    """RESTORE TABLE TO VERSION — Delta's rollback verb, expressed as a
+    new FORWARD commit (history is never rewritten): the new snapshot's
+    file set equals ``version``'s, so reads roll back while every
+    intermediate version stays time-travelable until :func:`vacuum`.
+
+    Metadata-only: no data file is read, copied, or rewritten — restore
+    of a 100 TB table costs one JSON commit.  Snapshot-isolated and
+    idempotent by ``commit_id`` like every other verb.
+    """
+    table = _canon(table)
+    if commit_id is not None:
+        seen = _commit_id_exists(table, commit_id)
+        if seen is not None:
+            return CommitResult(seen, 0, 0, replayed=True)
+    base = current_version(table)
+    if version > base or version < 1:
+        raise ValueError(
+            f"{table}: cannot restore to version {version} "
+            f"(current is {base})"
+        )
+    target = set(snapshot_files(table, version))
+    current = set(snapshot_files(table, base))
+    rel = lambda paths: sorted(os.path.relpath(p, table) for p in paths)  # noqa: E731
+    adds = rel(target - current)
+    removes = rel(current - target)
+    return commit(table, adds, removes, "restore", base, commit_id)
+
+
+def clone(spark: SparkSession, table: str, target: str,
+          version: int | None = None) -> int:
+    """Deep CLONE: materialize ``table``'s snapshot (latest or a
+    time-travel ``version``) as a NEW independent txlog table at
+    ``target`` — the dev/test-copy verb.  Files are copied (deep), so
+    vacuuming the source can never corrupt the clone; the clone starts
+    its own history at version 1.
+    """
+    import shutil as _shutil
+
+    table = _canon(table)
+    target = _canon(target)
+    if os.path.exists(_log_path(target)) and _list_versions(target):
+        raise ValueError(f"{target}: already a txlog table")
+    files = snapshot_files(table, version)
+    if not files:
+        raise ValueError(f"{table}: empty snapshot at version {version}")
+    os.makedirs(os.path.join(target, _DATA_DIR), exist_ok=True)
+    adds = []
+    for i, src in enumerate(sorted(files)):
+        rel_name = os.path.join(_DATA_DIR, f"clone-{i:05d}.parquet")
+        _shutil.copy(src, os.path.join(target, rel_name))
+        adds.append(rel_name)
+    res = commit(target, adds, [], "clone", 0, commit_id=None)
+    return res.version

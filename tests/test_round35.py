@@ -193,3 +193,59 @@ def test_merge_stream_sink_exactly_once_and_upsert(spark, tmp_path):
         (r["k"], r["v"]) for r in txlog.read_table(spark, table).collect()
     )
     assert rows == [(1, 10.0), (2, 99.0), (3, 30.0)]
+
+
+# ---------------------------------------------------------------------------
+# restore + clone (round 39 txlog lifecycle completion)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_forward_commit(spark, tmp_path):
+    table = str(tmp_path / "rst")
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    txlog.append(v1, table, commit_id="v1")
+    txlog.merge(
+        spark, table,
+        spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double"),
+        on=["k"], commit_id="v2",
+    )
+    res = txlog.restore(table, 1, commit_id="rollback")
+    assert res.version == 3 and not res.replayed
+    now = sorted((r["k"], r["v"]) for r in txlog.read_table(spark, table).collect())
+    assert now == [(1, 10.0), (2, 20.0)]
+    # intermediate version still time-travelable
+    v2 = sorted((r["k"], r["v"]) for r in txlog.read_table(spark, table, version=2).collect())
+    assert (2, 99.0) in v2 and (3, 30.0) in v2
+    # idempotent replay + history op recorded
+    assert txlog.restore(table, 1, commit_id="rollback").replayed
+    assert txlog.history(table)[-1]["op"] == "restore"
+
+
+def test_restore_rejects_future_version(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "rst2")
+    txlog.append(spark.createDataFrame([(1,)], "k long"), table, commit_id="a")
+    with pytest.raises(ValueError, match="cannot restore"):
+        txlog.restore(table, 5)
+
+
+def test_clone_is_independent_of_source_vacuum(spark, tmp_path):
+    table = str(tmp_path / "src")
+    tgt = str(tmp_path / "dst")
+    txlog.append(spark.createDataFrame([(1, "a")], "k long, g string"),
+                 table, commit_id="v1")
+    txlog.merge(spark, table,
+                spark.createDataFrame([(1, "b")], "k long, g string"),
+                on=["k"], commit_id="v2")
+    # clone the OLD version, then vacuum the source aggressively
+    v = txlog.clone(spark, table, tgt, version=1)
+    assert v == 1
+    txlog.vacuum(table, keep_versions=1, min_age_seconds=0.0)
+    rows = [(r["k"], r["g"]) for r in txlog.read_table(spark, tgt).collect()]
+    assert rows == [(1, "a")]  # the clone still serves the pre-merge row
+    # clone refuses to overwrite an existing table
+    import pytest
+
+    with pytest.raises(ValueError, match="already a txlog table"):
+        txlog.clone(spark, table, tgt)
