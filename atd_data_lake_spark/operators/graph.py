@@ -338,3 +338,96 @@ def k_hop_counts(
         .select("seed", *zeros)
         .orderBy("seed")
     )
+
+
+def ppr_masses(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    total_mass: int = 1_000_000_000_000,
+    dedupe_edges: bool = False,
+    broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
+) -> DataFrame:
+    """(node, mass) after ``n_iter`` integer-exact PERSONALIZED PageRank
+    rounds: all initial mass and every round's 15% teleport share land
+    on the SEED set only (``seeds`` = a one-column (node) frame), so
+    masses measure relevance *to the seeds* — the recommendation /
+    entity-salience form of PageRank.
+
+    Differs from :func:`pagerank_masses` in exactly one structural way:
+    the teleport base is PER-NODE (seed or zero), so it joins onto the
+    receiving side after each round's contribution aggregate instead of
+    riding the sender rows — one extra node-sized broadcast join per
+    round, gated by the same node-count limit.  Integer div keeps every
+    round bit-exact on both engines.
+    """
+    neigh = F.collect_set("dst") if dedupe_edges else F.collect_list("dst")
+    out_adj = (
+        edges.groupBy("src")
+        .agg(neigh.alias("dsts"))
+        .select("src", F.size("dsts").cast("long").alias("deg"), "dsts")
+    )
+    flat = out_adj.select("src", "deg", F.explode("dsts").alias("dst"))
+    in_adj = scoped_persist(
+        flat.groupBy("dst").agg(F.collect_list(F.struct("src", "deg")).alias("ins"))
+    )
+    n_adj_rows = in_adj.count()
+
+    nodes = edges.select("src").distinct()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("ppr_masses: empty edge list")
+    seed_nodes = scoped_persist(
+        nodes.join(
+            seeds.select(F.col(seeds.columns[0]).alias("src")).distinct(),
+            "src",
+            "left_semi",
+        )
+    )
+    s_n = seed_nodes.count()
+    if s_n == 0:
+        raise ValueError("ppr_masses: no seed appears in the edge list")
+    hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
+
+    base = nodes.join(
+        seed_nodes.select("src", F.lit(True).alias("_is_seed")), "src", "left"
+    ).select(
+        F.col("src").alias("node"),
+        F.when(
+            F.col("_is_seed"),
+            F.lit(15 * total_mass // (100 * s_n)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_base"),
+        F.when(
+            F.col("_is_seed"), F.lit(total_mass // s_n).cast("long")
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_init"),
+    )
+    base = scoped_persist(base)
+    base.count()
+
+    ranks = base.select("node", F.col("_init").alias("mass"))
+    for _ in range(n_iter):
+        ex = in_adj.select("dst", F.explode("ins").alias("_e")).select(
+            "dst",
+            F.col("_e.src").alias("_s"),
+            F.col("_e.deg").alias("_d"),
+        )
+        contrib = (
+            ex.join(
+                F.broadcast(ranks) if hint_ok else ranks,
+                F.col("_s") == F.col("node"),
+            )
+            .select("dst", F.expr("(85 * mass) div (100 * _d)").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = contrib.join(
+            F.broadcast(base.select("node", "_base"))
+            if hint_ok
+            else base.select("node", "_base"),
+            F.col("dst") == F.col("node"),
+        ).select("node", (F.col("_base") + F.col("_in")).alias("mass"))
+    return ranks.select("node", "mass")

@@ -2453,6 +2453,14 @@ from atd_data_lake_spark.round39_queries import (  # noqa: E402
 
 QUERIES.update(ROUND39_QUERIES)
 ORACLES.update(ROUND39_ORACLES)
+
+from atd_data_lake_spark.round40_queries import (  # noqa: E402
+    ROUND40_ORACLES,
+    ROUND40_QUERIES,
+)
+
+QUERIES.update(ROUND40_QUERIES)
+ORACLES.update(ROUND40_ORACLES)
 # assembled here, where the shared pair/jaccard SQL builders live
 ORACLES["er_canonical_entities"] = _er_entities_sql(_ED_PAIR_SQL)
 ORACLES["dedup_minhash_eval"] = _minhash_eval_sql(_jaccard_pairs_sql(0.5))
