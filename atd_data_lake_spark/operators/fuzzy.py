@@ -323,8 +323,12 @@ def passjoin_pairs(
     sr = shorts.select(
         F.col("pj_id").alias("b_id"), F.col("pj_s").alias("b_s")
     )
+    # broadcast the short side: the ≤d-char class is bounded (distinct
+    # strings ≤ |alphabet|^d); a corpus DOMINATED by such strings is out
+    # of scope for a segment join (docstring) — this stays a
+    # BroadcastNestedLoopJoin over a trivially small build side
     short_pairs = (
-        sl.crossJoin(sr)
+        sl.crossJoin(F.broadcast(sr))
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("a_id").alias("id_a"),

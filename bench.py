@@ -125,6 +125,9 @@ HEADLINE = [
     "er_canonical_entities",
     "dedup_minhash_eval",
     "sim_ann_ivfpq",
+    # round-38/40 flagships (item CF, personalized PageRank)
+    "mb_item_cf_topk",
+    "graph_ppr",
 ]
 
 

@@ -58,6 +58,19 @@ BNLJ_ALLOWED = {
     # composes unigram_logprob_score, inheriting its 1-row corpus-total
     # crossJoin (round30_queries.py cur_perplexity_buckets)
     "cur_perplexity_buckets",
+    # r7: 1-row broadcast pass-throughs — bigram/NB models crossJoin
+    # their 1-ROW corpus-total (t / t_en,t_ot + 1-row prior); l-diversity
+    # crossJoins its 1-row floor; temperature sampling its 1-row n_min
+    "text_bigram_logprob",
+    "text_nb_langid_eval",
+    "dq_l_diversity",
+    "cur_temperature_sample",
+    # r7 PassJoin short-short completion: the ≤d-char class crossJoins
+    # itself with the short side BROADCAST (bounded: distinct strings
+    # ≤ |alphabet|^d; every emitted pair is a true output pair) —
+    # operators/fuzzy.passjoin_pairs, and er_canonical_entities composes it
+    "dedup_edit_distance",
+    "er_canonical_entities",
 }
 
 
