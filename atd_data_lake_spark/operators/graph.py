@@ -430,4 +430,11 @@ def ppr_masses(
             else base.select("node", "_base"),
             F.col("dst") == F.col("node"),
         ).select("node", (F.col("_base") + F.col("_in")).alias("mass"))
+        # lazy lineage truncation (the connected_components discipline):
+        # unlike uniform PR, each round here RE-references the cached
+        # base frame, so the un-truncated logical plan re-prints base's
+        # full child lineage per nesting level — O(rounds²) plan text
+        # and analysis work for identical execution.  eager=False keeps
+        # the loop free of driver actions.
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "mass")
