@@ -387,9 +387,14 @@ def merge_stream_sink(table: str, app_id: str, on: list[str]):
     of appending — the ``foreachBatch + MERGE INTO`` pattern every
     Delta/Iceberg CDC pipeline runs, with the same
     ``(app_id, batch_id)`` idempotency: a replayed micro-batch is a
-    no-op, a racing writer gets CommitConflict (merge auto-retries
-    snapshot conflicts only for non-overlapping commits via the
-    optimistic loop in :func:`merge`).
+    no-op.  A RACING writer on the same table raises CommitConflict and
+    FAILS the stream — :func:`merge` has no retry loop (its file
+    rewrites were computed against the stale snapshot and must be
+    re-derived).  The recovery story is the streaming restart itself:
+    the failed batch re-runs from the checkpoint against the new
+    snapshot, and its commit_id keeps the retry exactly-once.
+    Single-writer-per-table is the intended deployment, as with Delta
+    streaming MERGE.
 
     The batch's rows must be key-unique (one change per key per batch —
     the CDC contract); duplicate keys within one batch would both land.
@@ -653,19 +658,29 @@ def restore(table: str, version: int, commit_id: str | None = None) -> CommitRes
         )
     target = set(snapshot_files(table, version))
     current = set(snapshot_files(table, base))
+    # vacuum may have aged the target snapshot's files out — a
+    # metadata-only commit pointing at deleted files would brick HEAD
+    # (Delta's RESTORE errors here too; r7 review, repro-confirmed)
+    missing = sorted(p for p in target if not os.path.exists(p))
+    if missing:
+        raise ValueError(
+            f"{table}: cannot restore to version {version} — "
+            f"{len(missing)} of its data files were vacuumed "
+            f"(first: {os.path.relpath(missing[0], table)})"
+        )
     rel = lambda paths: sorted(os.path.relpath(p, table) for p in paths)  # noqa: E731
     adds = rel(target - current)
     removes = rel(current - target)
     return commit(table, adds, removes, "restore", base, commit_id)
 
 
-def clone(spark: SparkSession, table: str, target: str,
-          version: int | None = None) -> int:
+def clone(table: str, target: str, version: int | None = None) -> int:
     """Deep CLONE: materialize ``table``'s snapshot (latest or a
     time-travel ``version``) as a NEW independent txlog table at
     ``target`` — the dev/test-copy verb.  Files are copied (deep), so
     vacuuming the source can never corrupt the clone; the clone starts
-    its own history at version 1.
+    its own history at version 1.  Pure metadata + file copy — no Spark
+    job runs.
     """
     import shutil as _shutil
 
@@ -673,6 +688,14 @@ def clone(spark: SparkSession, table: str, target: str,
     target = _canon(target)
     if os.path.exists(_log_path(target)) and _list_versions(target):
         raise ValueError(f"{target}: already a txlog table")
+    cur = current_version(table)
+    if version is not None and (version > cur or version < 1):
+        # snapshot_files silently truncates a too-high version to HEAD —
+        # a caller asking for v7 of a 3-version table must hear "no",
+        # not receive v3's data labeled v7 (r7 review)
+        raise ValueError(
+            f"{table}: cannot clone version {version} (current is {cur})"
+        )
     files = snapshot_files(table, version)
     if not files:
         raise ValueError(f"{table}: empty snapshot at version {version}")

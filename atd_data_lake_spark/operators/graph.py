@@ -373,7 +373,15 @@ def ppr_masses(
     )
     n_adj_rows = in_adj.count()
 
-    nodes = edges.select("src").distinct()
+    # src ∪ dst: a dst-only receiver must exist in the base frame or its
+    # inbound mass silently vanishes at the round join; a src-only seed
+    # must keep its teleport share (r7 review — on symmetric graphs the
+    # union is a no-op, on directed inputs it is the correctness fix)
+    nodes = (
+        edges.select("src")
+        .unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
+    )
     n = nodes.count()
     if n == 0:
         raise ValueError("ppr_masses: empty edge list")
@@ -424,12 +432,23 @@ def ppr_masses(
             .groupBy("dst")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = contrib.join(
-            F.broadcast(base.select("node", "_base"))
-            if hint_ok
-            else base.select("node", "_base"),
-            F.col("dst") == F.col("node"),
-        ).select("node", (F.col("_base") + F.col("_in")).alias("mass"))
+        # base LEFT join contrib: a node with no in-contributions this
+        # round (a src-only seed, an isolated receiver) keeps its
+        # teleport share instead of vanishing (r7 review)
+        ranks = (
+            base.select("node", "_base")
+            .join(
+                F.broadcast(contrib) if hint_ok else contrib,
+                F.col("node") == F.col("dst"),
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.col("_base") + F.coalesce(F.col("_in"), F.lit(0))
+                ).alias("mass"),
+            )
+        )
         # lazy lineage truncation (the connected_components discipline):
         # unlike uniform PR, each round here RE-references the cached
         # base frame, so the un-truncated logical plan re-prints base's

@@ -98,28 +98,30 @@ deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
 seeds AS (SELECT src FROM deg WHERE src % {_PPR_SEED_MOD} = 0),
 sn AS (SELECT CAST(count(*) AS BIGINT) AS s_n FROM seeds),
 base AS (
-    SELECT d.src AS node,
+    SELECT n.node,
            CASE WHEN s.src IS NOT NULL
                 THEN CAST((15 * {_PPR_MASS}) // (100 * sn.s_n) AS BIGINT)
                 ELSE 0 END AS b,
            CASE WHEN s.src IS NOT NULL
                 THEN CAST({_PPR_MASS} // sn.s_n AS BIGINT)
                 ELSE 0 END AS init
-    FROM deg d LEFT JOIN seeds s ON s.src = d.src, sn
+    FROM (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges) n
+    LEFT JOIN seeds s ON s.src = n.node, sn
 ),
 r0 AS (SELECT node, init AS mass FROM base)"""
     its = []
     for k in range(1, _PPR_ITER + 1):
         its.append(f""",
 r{k} AS (
-    SELECT b.node, CAST(b.b + c._in AS BIGINT) AS mass
-    FROM (
+    SELECT b.node, CAST(b.b + coalesce(c._in, 0) AS BIGINT) AS mass
+    FROM base b LEFT JOIN (
         SELECT e.dst, sum((85 * r.mass) // (100 * e.deg)) AS _in
         FROM (SELECT e0.src, e0.dst, d.deg
               FROM edges e0 JOIN deg d ON e0.src = d.src) e
         JOIN r{k - 1} r ON e.src = r.node
         GROUP BY e.dst
-    ) c JOIN base b ON b.node = c.dst
+    ) c ON b.node = c.dst
 )""")
     return (
         prelude

@@ -239,7 +239,7 @@ def test_clone_is_independent_of_source_vacuum(spark, tmp_path):
                 spark.createDataFrame([(1, "b")], "k long, g string"),
                 on=["k"], commit_id="v2")
     # clone the OLD version, then vacuum the source aggressively
-    v = txlog.clone(spark, table, tgt, version=1)
+    v = txlog.clone(table, tgt, version=1)
     assert v == 1
     txlog.vacuum(table, keep_versions=1, min_age_seconds=0.0)
     rows = [(r["k"], r["g"]) for r in txlog.read_table(spark, tgt).collect()]
@@ -248,4 +248,29 @@ def test_clone_is_independent_of_source_vacuum(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="already a txlog table"):
-        txlog.clone(spark, table, tgt)
+        txlog.clone(table, tgt)
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "rstv")
+    txlog.append(spark.createDataFrame([(1, "a")], "k long, g string"),
+                 table, commit_id="v1")
+    txlog.merge(spark, table,
+                spark.createDataFrame([(1, "b")], "k long, g string"),
+                on=["k"], commit_id="v2")
+    txlog.vacuum(table, keep_versions=1, min_age_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txlog.restore(table, 1)
+    # HEAD is still readable — the bad commit never happened
+    assert [r["g"] for r in txlog.read_table(spark, table).collect()] == ["b"]
+
+
+def test_clone_rejects_out_of_range_version(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "clv")
+    txlog.append(spark.createDataFrame([(1,)], "k long"), table, commit_id="a")
+    with pytest.raises(ValueError, match="cannot clone"):
+        txlog.clone(table, str(tmp_path / "x"), version=7)

@@ -34,13 +34,18 @@ def test_rolling_median_window_counts(spark, sf_dir):
         per.setdefault(r["event_type"], []).append(r)
     for et, rs in per.items():
         rs.sort(key=lambda r: r["day"])
-        # trailing window: day i has min(i+1, 7) days in window for a
-        # contiguous daily series
+        # trailing window: on a CONTIGUOUS daily series (which the
+        # driver events are, per type), day i has EXACTLY min(i+1, 7)
+        # days in its window
+        contiguous = all(
+            (rs[i]["day"] - rs[i - 1]["day"]) == datetime.timedelta(days=1)
+            for i in range(1, len(rs))
+        )
         for i, r in enumerate(rs):
             assert 1 <= r["n_days_in_window"] <= 7
-            if i >= 1 and (rs[i]["day"] - rs[i - 1]["day"]) == datetime.timedelta(days=1):
-                assert r["n_days_in_window"] >= min(i + 1, 7) - i  # sane
-        # a 1-day window's median equals its own daily value
+            if contiguous:
+                assert r["n_days_in_window"] == min(i + 1, 7)
+        # the first day's window is itself alone -> median == value
         first = rs[0]
         if first["n_days_in_window"] == 1:
             assert abs(first["rolling_median_7d"] - first["daily_value"]) < 1e-6

@@ -26,6 +26,26 @@ def test_ppr_concentrates_mass_near_seeds(spark):
     assert all(m == 0 for n, m in out.items() if n >= 10)
 
 
+def test_ppr_directed_keeps_receivers_and_source_seeds(spark):
+    """r7 review fix: on a DIRECTED graph, a dst-only receiver must
+    accumulate the mass flowing into it, and a src-only seed must keep
+    its teleport share every round — neither may vanish from the
+    output."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["mass"] for r in ppr_masses(edges, seeds, n_iter=3).collect()}
+    assert 2 in out and out[2] > 0  # dst-only receiver got its mass
+    assert out[0] > 0  # the seed keeps its teleport share
+    # src-only seed case: seed 3 has out-edges only
+    edges2 = spark.createDataFrame([(3, 4), (4, 5)], "src long, dst long")
+    seeds2 = spark.createDataFrame([(3,)], "node long")
+    out2 = {r["node"]: r["mass"] for r in ppr_masses(edges2, seeds2, n_iter=3).collect()}
+    assert out2[3] > 0  # teleport share retained despite no in-edges
+    assert out2[4] > 0  # downstream receiver got the 85% share
+
+
 def test_ppr_with_all_nodes_seeded_equals_uniform_pagerank(spark):
     edges = spark.createDataFrame(
         [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)],
