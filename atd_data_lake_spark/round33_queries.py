@@ -112,15 +112,22 @@ twins AS (
 tl AS (
     SELECT id, title, length(title) AS L
     FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)
-    WHERE length(title) >= 2
+    WHERE title IS NOT NULL
 ),
 akeys AS (
+    -- only strings of length >= k can be INDEXED (k non-empty
+    -- segments); shorter strings still PROBE via bgrid below and the
+    -- short-short class joins directly — mirroring passjoin_pairs
+    -- exactly (operators/fuzzy.py; ADVICE r7: the old >= 2 filter here
+    -- dropped short strings from the probe side too, a latent
+    -- divergence on corpora with < 2-char titles)
     SELECT id AS a_id, title AS a_s, L AS a_len, seg.i,
            substr(title,
                   1 + seg.i * (L // 2) + greatest(0, seg.i - (2 - L % 2)),
                   (L // 2) + (CASE WHEN seg.i >= 2 - L % 2
                               THEN 1 ELSE 0 END)) AS seg
     FROM tl, (SELECT unnest(range(2)) AS i) seg
+    WHERE L >= 2
 ),
 bgrid AS (
     SELECT b.id AS b_id, b.title AS b_s, b.L AS Lb,
@@ -139,13 +146,25 @@ bkeys AS (
     SELECT b_id, b_s, La AS a_len, i, substr(b_s, p, slen) AS seg
     FROM bgrid
     WHERE p >= 1 AND p + slen - 1 <= length(b_s)
+),
+cand AS (
+    SELECT least(a.a_id, b.b_id) AS id_a,
+           greatest(a.a_id, b.b_id) AS id_b,
+           levenshtein(a.a_s, b.b_s) AS ed
+    FROM akeys a JOIN bkeys b USING (a_len, i, seg)
+    WHERE a.a_id <> b.b_id
+      AND levenshtein(a.a_s, b.b_s) <= {_ED_MAX_DIST}
+),
+-- short-short completion: both lengths <= d ⇒ ed <= d by definition
+-- (passjoin_pairs emits every such pair unverified; so must the oracle)
+shorts AS (SELECT id, title FROM tl WHERE L < 2),
+short_pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.title, b.title) AS ed
+    FROM shorts a JOIN shorts b ON a.id < b.id
 )
-SELECT DISTINCT least(a.a_id, b.b_id) AS id_a,
-       greatest(a.a_id, b.b_id) AS id_b,
-       CAST(levenshtein(a.a_s, b.b_s) AS INTEGER) AS edit_dist
-FROM akeys a JOIN bkeys b USING (a_len, i, seg)
-WHERE a.a_id <> b.b_id
-  AND levenshtein(a.a_s, b.b_s) <= {_ED_MAX_DIST}
+SELECT DISTINCT id_a, id_b, CAST(ed AS INTEGER) AS edit_dist
+FROM (SELECT * FROM cand UNION ALL SELECT * FROM short_pairs)
 ORDER BY id_a, id_b
 """
 

@@ -223,10 +223,6 @@ _MH_BANDS = 4  # 4 bands x 2 rows — deliberately loose (recall < 1)
 _MH_TRUTH_T = 0.5
 
 
-def _md5_52(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
-
-
 def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of a LOOSE portable-MinHash banding (8 perms,
     4x2 bands) against the exact trigram-Jaccard >= 0.5 truth — the
@@ -238,13 +234,19 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-reproducible (not just the verified output, as in
     ``dedup_minhash_lsh``).
 
-    100 TB shape: one shingle explode feeds ONE agg producing all 8
-    mins (map-side combined); band keys explode 4 rows/doc; the band
-    self-join is candidate-bounded; truth reuses the inverted-index
-    exact-Jaccard join.  Output is a single summary row.
+    100 TB shape (r8 rewrite — the r7 version paid two corpus
+    shingle passes and three driver actions, 2.58× the proxy): the
+    corpus is scanned ONCE into a persisted per-doc shingle-SET frame
+    (``array_distinct`` of the trigram zip — a pure projection, no
+    shuffle); signatures are per-row ``array_min(transform(...))`` —
+    zero-shuffle, whole-stage-codegen; the band self-join and the
+    exact-Jaccard truth self-join both read the cached frame; truth
+    joins on ``xxhash64`` of the shingle (8-byte shuffle width) with
+    the J ≥ t size prune inside the join.  Candidates and truth meet
+    in a full-outer join on the pair key (both sides already
+    pair-partitioned — no extra exchange) and ONE aggregate emits the
+    single summary row: one Spark action, no driver-side counting.
     """
-    from atd_data_lake_spark.operators.dedup import ngram_jaccard_pairs
-
     d = _t(spark, sf_dir, "documents")
     ws = "split(trim(text), '\\\\s+')"
     tri = (
@@ -252,15 +254,27 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"slice({ws}, 2, size({ws}) - 2), (a, b) -> concat(a, ' ', b)), "
         f"slice({ws}, 3, size({ws}) - 2), (ab, c) -> concat(ab, ' ', c))"
     )
-    g = (
+    per_doc = (
         d.filter(F.expr(f"size({ws})") >= 3)
-        .select("doc_id", F.explode(F.expr(tri)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(tri)).alias("shingles"),
+        )
+        .persist()
     )
-    sig = g.groupBy("doc_id").agg(
+    # MinHash over a set == MinHash over the multiset: min(transform) per
+    # row, no explode, no aggregation.
+    sig = per_doc.select(
+        "doc_id",
         *[
-            F.min(_md5_52(F.concat("shingle", F.lit(f"#{j}")))).alias(f"h{j}")
+            F.array_min(
+                F.expr(
+                    "transform(shingles, s -> CAST(conv(substring("
+                    f"md5(concat(s, '#{j}')), 1, 13), 16, 10) AS BIGINT))"
+                )
+            ).alias(f"h{j}")
             for j in range(_MH_PERMS)
-        ]
+        ],
     )
     bands = sig.select(
         "doc_id",
@@ -287,31 +301,76 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
+    # exact truth from the SAME cached shingle frame: explode + inverted-
+    # index self-join on the 64-bit shingle hash, size prune in the join
+    # (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|); ε guards float overshoot).
+    posting = per_doc.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("_sz"),
+        F.explode("shingles").alias("shingle"),
+    ).select("doc_id", "_sz", F.xxhash64("shingle").alias("_hash"))
+    a, b = posting.alias("a"), posting.alias("b")
+    size_ok = (
+        F.col("a._sz") >= F.lit(_MH_TRUTH_T) * F.col("b._sz") - F.lit(1e-9)
+    ) & (F.col("b._sz") >= F.lit(_MH_TRUTH_T) * F.col("a._sz") - F.lit(1e-9))
     truth = (
-        ngram_jaccard_pairs(d, n=3, threshold=_MH_TRUTH_T)
-        .select("id_a", "id_b")
-        .persist()
-    )
-    n_cand = cand.count()
-    n_truth = truth.count()
-    n_hits = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
-    cand.unpersist()
-    truth.unpersist()
-    row = [
-        (
-            n_truth,
-            n_cand,
-            n_hits,
-            round(n_hits / n_truth, 6) if n_truth else 0.0,
-            round(n_hits / n_cand, 6) if n_cand else 0.0,
+        a.join(
+            b,
+            (F.col("a._hash") == F.col("b._hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
-    ]
-    return spark.createDataFrame(
-        row,
-        "n_truth long, n_candidates long, n_hits long, "
-        "recall double, precision double",
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a._sz").alias("sz_a"),
+            F.min("b._sz").alias("sz_b"),
+        )
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            )
+            >= _MH_TRUTH_T
+        )
+        .select("id_a", "id_b")
+    )
+    joined = truth.withColumn("in_t", F.lit(1)).join(
+        cand.withColumn("in_c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    stats = joined.agg(
+        F.coalesce(F.sum("in_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("in_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_t").isNotNull() & F.col("in_c").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hits") / F.col("n_truth"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
     )
 
 

@@ -67,10 +67,16 @@ def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton_stream = baskets.select(
         F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
     ).select(F.col("_a").cast("long").alias("a"), "b")
+    # counts feeds three consumers (pairs, and the per-part dimension on
+    # both join sides): persist so the basket + count shuffles execute
+    # once — r7's unfactored plan showed 5 exchanges / 6 plan-text scans
+    # (executed 1.0× only thanks to AQE reuse); the cache makes the
+    # single materialization structural rather than a runtime rescue.
     counts = (
         pair_stream.unionByName(singleton_stream)
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("n"))
+        .persist()
     )
     per_part = counts.filter(F.col("b") == -1).select(
         F.col("a").alias("pk"), F.col("n").alias("n_part")
@@ -88,16 +94,15 @@ def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pair",
         )
     )
+    # broadcast the IDENTICAL per_part plan on both sides (rename after
+    # the join, not inside the broadcast) so the second join reuses the
+    # first's broadcast exchange instead of building a twin.
     scored = (
-        sym.join(
-            F.broadcast(per_part.select(F.col("pk"), F.col("n_part").alias("n_a"))),
-            F.col("part_a") == F.col("pk"),
-        )
+        sym.join(F.broadcast(per_part), F.col("part_a") == F.col("pk"))
+        .withColumnRenamed("n_part", "n_a")
         .drop("pk")
-        .join(
-            F.broadcast(per_part.select(F.col("pk"), F.col("n_part").alias("n_b"))),
-            F.col("part_b") == F.col("pk"),
-        )
+        .join(F.broadcast(per_part), F.col("part_b") == F.col("pk"))
+        .withColumnRenamed("n_part", "n_b")
         .drop("pk")
         .select(
             "part_a",

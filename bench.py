@@ -134,6 +134,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_start = os.getloadavg()  # (1m, 5m, 15m) EXTERNAL load at start;
+    # recorded in the JSON so a noisy-neighbor round (r7 ran at loadavg
+    # 5-17, inflating every wall time ~30%) is distinguishable from a
+    # plan regression when comparing round-over-round.
 
     from atd_data_lake_spark.session import get_spark
     from atd_data_lake_spark.queries import QUERIES
@@ -201,6 +205,8 @@ def main() -> None:
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 3),
                 "errors": errors,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

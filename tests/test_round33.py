@@ -195,3 +195,39 @@ def test_nb_langid_confusion_adds_up(spark, sf_dir):
     for r in rows:
         assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
         assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_edit_distance_oracle_handles_short_titles(spark, tmp_path):
+    """ADVICE r7: the oracle used to drop length<2 titles from BOTH join
+    sides while passjoin_pairs lets them probe and completes the
+    short-short class — latent divergence on any corpus with short
+    titles.  A synthetic corpus with empty/1-char/2-char titles must now
+    agree exactly."""
+    import duckdb as _duckdb
+
+    from atd_data_lake_spark.round33_queries import (
+        DEDUP_EDIT_DISTANCE_SQL,
+        dedup_edit_distance,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, "ab"), (4, ""), (5, "abc def"),
+            (7, "a"), (100, "xy")]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(map(tuple, dedup_edit_distance(spark, str(tmp_path)).collect()))
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(DEDUP_EDIT_DISTANCE_SQL).fetchall()))
+    assert got == exp
+    assert (1, 2, 1) in got  # short-short: 'a' vs 'b'
+    assert (1, 7, 0) in got  # short-short: identical 1-char titles
+    assert (1, 3, 1) in got  # short PROBES the indexed 'ab'
+    assert (100, 20000100, 1) in got  # planted twin still found

@@ -75,3 +75,36 @@ def test_stream_static_join_matches_batch_join(spark, sf_dir):
         )
     )
     assert out == batch and len(out) > 0
+
+
+def test_append_mode_eviction_boundary_pinned(spark, tmp_path):
+    """ADVICE r7: when max(event_time) - 30min lands EXACTLY on a 15-min
+    window end, the oracle's inclusive `window_end <= max_ts - 1800`
+    must match Spark's append-mode eviction comparison.  Synthetic
+    events pin the equality case the sf data never hits: watermark
+    00:15:00 == the first window's end."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base + _dt.timedelta(minutes=1), 1, "A", 1.0, "{}"),
+        (2, base + _dt.timedelta(minutes=14), 1, "A", 2.0, "{}"),
+        (3, base + _dt.timedelta(minutes=16), 1, "A", 3.0, "{}"),
+        # max event: watermark = 00:45 - 30min = 00:15:00 exactly
+        (4, base + _dt.timedelta(minutes=45), 1, "B", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = evt_stream_append_window_executed(spark, str(tmp_path)).collect()
+    # inclusive boundary: the window ENDING exactly at the watermark is
+    # finalized and emitted; the 00:15 and 00:45 windows are not
+    assert [
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in out
+    ] == [(base, "A", 2, 3.0)]
