@@ -241,6 +241,113 @@ ORDER BY threshold DESC
 
 
 # ---------------------------------------------------------------------------
+# dq_calibration_bins
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def dq_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the stopword-ratio scorer vs the
+    lang=='en' label: scores bin into 10 equal-width buckets; each row
+    carries the bin's count, mean confidence, empirical accuracy, the
+    |acc − conf| gap, and the dataset-level expected calibration error
+    (Σ n_b/N·gap_b — constant across rows so the single number rides
+    along without a second query).  The decision AUC can't make —
+    whether a 0.9 score MEANS 90% — is exactly what thresholding a
+    classifier-filtered corpus on a score value assumes.
+
+    100 TB shape: the corpus collapses in ONE map-side-combined groupBy
+    on the bin id (≤ 10 groups); everything after is window math over
+    10 rows.
+    """
+    stop_arr = ", ".join(f"'{w}'" for w in _AUC_STOPWORDS)
+    d = _t(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    scored = d.filter(
+        F.col("text").isNotNull() & (F.expr(f"size({toks})") >= 1)
+    ).select(
+        F.round(
+            F.expr(f"size(filter({toks}, t -> t IN ({stop_arr})))").cast(
+                "double"
+            )
+            / F.expr(f"size({toks})").cast("double"),
+            6,
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+    )
+    bins = (
+        scored.select(
+            F.least(
+                F.floor(F.col("score") * _CAL_BINS), F.lit(_CAL_BINS - 1)
+            )
+            .cast("long")
+            .alias("bin"),
+            "score",
+            "is_pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("score").alias("score_sum"),
+            F.sum("is_pos").cast("long").alias("n_pos"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = bins.select(
+        "bin",
+        "n",
+        F.round(F.col("score_sum") / F.col("n"), 6).alias("mean_conf"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("accuracy"),
+        (
+            F.col("n")
+            * F.abs(
+                F.col("score_sum") / F.col("n") - F.col("n_pos") / F.col("n")
+            )
+        ).alias("_w_gap"),
+        F.sum("n").over(w_all).alias("_total"),
+    )
+    return per.select(
+        "bin",
+        "n",
+        "mean_conf",
+        "accuracy",
+        F.round(F.abs(F.col("mean_conf") - F.col("accuracy")), 6).alias("gap"),
+        F.round(
+            F.sum("_w_gap").over(w_all) / F.col("_total"), 6
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
+DQ_CALIBRATION_BINS_SQL = f"""
+WITH {_auc_base_sql()},
+b AS (
+    SELECT least(CAST(floor(score * {_CAL_BINS}) AS BIGINT),
+                 {_CAL_BINS - 1}) AS bin,
+           count(*) AS n,
+           sum(score) AS score_sum,
+           sum(is_pos) AS n_pos
+    FROM scored GROUP BY 1
+),
+per AS (
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(score_sum / n, 6) AS mean_conf,
+           round(n_pos / (n * 1.0), 6) AS accuracy,
+           n * abs(score_sum / n - n_pos / (n * 1.0)) AS w_gap,
+           sum(n) OVER () AS total
+    FROM b
+)
+SELECT bin, n, mean_conf, accuracy,
+       round(abs(mean_conf - accuracy), 6) AS gap,
+       round(sum(w_gap) OVER () / total, 6) AS ece
+FROM per
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # ts_rolling_p95_sketch
 # ---------------------------------------------------------------------------
 
@@ -391,11 +498,13 @@ ORDER BY event_type, day
 ROUND41_QUERIES = {
     "dq_classifier_auc": dq_classifier_auc,
     "dq_pr_curve": dq_pr_curve,
+    "dq_calibration_bins": dq_calibration_bins,
     "ts_rolling_p95_sketch": ts_rolling_p95_sketch,
 }
 
 ROUND41_ORACLES = {
     "dq_classifier_auc": DQ_CLASSIFIER_AUC_SQL,
     "dq_pr_curve": DQ_PR_CURVE_SQL,
+    "dq_calibration_bins": DQ_CALIBRATION_BINS_SQL,
     "ts_rolling_p95_sketch": TS_ROLLING_P95_SKETCH_SQL,
 }

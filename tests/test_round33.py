@@ -223,7 +223,7 @@ def test_edit_distance_oracle_handles_short_titles(spark, tmp_path):
     con = _duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
-        f"'{tmp_path}/documents.parquet'"
+        f"'{tmp_path}/documents.parquet/*.parquet'"  # Spark writes a dir
     )
     exp = sorted(map(tuple, con.execute(DEDUP_EDIT_DISTANCE_SQL).fetchall()))
     assert got == exp

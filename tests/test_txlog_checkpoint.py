@@ -25,7 +25,10 @@ def table(tmp_path):
 def _append_n(spark, table, n, start=0):
     for i in range(start, start + n):
         txlog.append(
-            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), table
+            spark.createDataFrame(
+                [(i, f"v{i}")], "k long, v string"
+            ).coalesce(1),
+            table,
         )
 
 
