@@ -131,6 +131,34 @@ HEADLINE = [
 ]
 
 
+def _read_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _calibrate_cpu() -> float:
+    """Seconds for a FIXED single-thread arithmetic loop — an absolute
+    host-speed yardstick (~0.5 s on this box unloaded).  r7/r8 measured
+    hypervisor steal windows where a single busy thread received ~3% of
+    cycles (19% steal, 78% forced-idle), inflating identical work
+    6-14×; this number lets a reader normalize a noisy round's wall
+    times instead of guessing."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    assert s > 0
+    return round(time.perf_counter() - t0, 3)
+
+
+def _steal_pct(start: list[int]) -> float:
+    """% of total CPU ticks stolen by the hypervisor since ``start``."""
+    end = _read_stat()
+    d = [b - a for a, b in zip(start, end)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -138,6 +166,8 @@ def main() -> None:
     # recorded in the JSON so a noisy-neighbor round (r7 ran at loadavg
     # 5-17, inflating every wall time ~30%) is distinguishable from a
     # plan regression when comparing round-over-round.
+    calib_start = _calibrate_cpu()
+    stat_start = _read_stat()
 
     from atd_data_lake_spark.session import get_spark
     from atd_data_lake_spark.queries import QUERIES
@@ -207,6 +237,8 @@ def main() -> None:
                 "errors": errors,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "calib_cpu_sec": [calib_start, _calibrate_cpu()],
+                "steal_pct": _steal_pct(stat_start),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
