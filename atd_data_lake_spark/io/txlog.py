@@ -153,20 +153,54 @@ def _replay_active(table: str, version: int) -> list[str]:
     return active
 
 
+def _commit_ids_upto(table: str, version: int) -> dict[str, int]:
+    """commit_id → version for every commit ≤ ``version``, fast-forwarded
+    from the newest checkpoint that recorded them (same accelerator
+    contract as ``_replay_active``: checkpoints missing or unreadable →
+    full walk; the log stays the source of truth)."""
+    ids: dict[str, int] = {}
+    start_v = 0
+    for c in reversed([c for c in _list_checkpoints(table) if c <= version]):
+        try:
+            with open(_checkpoint_file(table, c)) as f:
+                ck = json.load(f)
+            ids = dict(ck["commit_ids"])
+            start_v = int(ck["version"])
+            break
+        except (OSError, ValueError, KeyError):
+            continue  # pre-index or corrupt checkpoint: try an older one
+    for v in _list_versions(table):
+        if v <= start_v:
+            continue
+        if v > version:
+            break
+        cid = _read_commit(table, v).get("commit_id")
+        if cid:
+            ids[cid] = v
+    return ids
+
+
 def write_checkpoint(table: str, version: int | None = None) -> int:
-    """Snapshot the active file list at ``version`` (default: latest)
-    into ``_txlog/ckpt-<version>.json`` so later reads start there
-    instead of replaying from v1.  Content is a deterministic function
-    of the immutable log prefix, so concurrent writers racing on the
-    same version produce identical bytes — the atomic ``os.replace``
-    makes the race harmless.  Old checkpoints are kept (metadata-sized;
-    they serve time-travel reads at older versions)."""
+    """Snapshot the active file list AND the commit-id index at
+    ``version`` (default: latest) into ``_txlog/ckpt-<version>.json`` so
+    later reads start there instead of replaying from v1 — and so the
+    idempotent-retry lookup (``_commit_id_exists``, hit on EVERY commit
+    that carries an id, e.g. every streaming micro-batch) stops walking
+    the whole history too.  Content is a deterministic function of the
+    immutable log prefix, so concurrent writers racing on the same
+    version produce identical bytes — the atomic ``os.replace`` makes
+    the race harmless.  Old checkpoints are kept (metadata-sized; they
+    serve time-travel reads at older versions)."""
     table = _canon(table)
     if version is None:
         version = current_version(table)
     if version < 1:
         raise ValueError(f"{table}: nothing to checkpoint (no commits)")
-    payload = {"version": version, "active": _replay_active(table, version)}
+    payload = {
+        "version": version,
+        "active": _replay_active(table, version),
+        "commit_ids": _commit_ids_upto(table, version),
+    }
     staged = os.path.join(_log_path(table), f".tmp-ckpt-{uuid.uuid4().hex}.json")
     with open(staged, "w") as f:
         json.dump(payload, f, sort_keys=True)
@@ -234,11 +268,28 @@ def _reserve_version(table: str, version: int, payload: dict) -> None:
 
 def _commit_id_exists(table: str, commit_id: str) -> int | None:
     # newest-first: a replayed commit is almost always the latest one,
-    # so the common case is O(1); the full walk only happens for ids
-    # that are genuinely absent (the price of unbounded idempotency —
-    # a bounded-lookback index is the optimization if a table ever
-    # accumulates enough versions for this to matter)
-    for v in reversed(_list_versions(table)):
+    # so the common case is O(1).  For ids that are genuinely absent the
+    # walk stops at the newest checkpoint and consults its commit-id
+    # index instead of reading every older version file — O(interval)
+    # per lookup, with unbounded idempotency preserved (pre-index
+    # checkpoints fall back to the full walk)
+    versions = _list_versions(table)
+    ckpts = _list_checkpoints(table)
+    ck_ids: dict[str, int] | None = None
+    ck_v = 0
+    for c in reversed(ckpts):
+        try:
+            with open(_checkpoint_file(table, c)) as f:
+                ck = json.load(f)
+            ck_ids = dict(ck["commit_ids"])
+            ck_v = int(ck["version"])
+            break
+        except (OSError, ValueError, KeyError):
+            continue
+    for v in reversed(versions):
+        if ck_ids is not None and v <= ck_v:
+            got = ck_ids.get(commit_id)
+            return int(got) if got is not None else None
         if _read_commit(table, v).get("commit_id") == commit_id:
             return v
     return None

@@ -22,7 +22,18 @@ mergeable quantile sketches.
   and merge-order-invariant), relative error ≤ 2α/(1−α) ≈ 2% at
   α = 0.01 by construction.
 
-All three carry full DuckDB oracles.  The sketch is oracle-able —
+- ``dq_calibration_bins`` — reliability diagram + expected calibration
+  error for the same score/label pair (does a 0.9 score MEAN 90%?),
+  one ≤10-group aggregate over the corpus.
+- ``text_kn_bigram_logprob`` — interpolated Kneser-Ney bigram LM
+  scoring (the standard n-gram smoothing) trained in-plan by three
+  map-side-combined aggregates over hashed buckets.
+- ``evt_stream_sketch_quantile_executed`` — the STREAMING twin of the
+  sketch rollup: append-mode watermarked windows pre-aggregate
+  (window, type, bucket) counts — bounded per-bucket state, no raw
+  values retained — and quantiles finalize on read over the sink.
+
+All six carry full DuckDB oracles.  The sketch is oracle-able —
 unlike random-sampling KLL — precisely BECAUSE the bucket function
 ``ceil(ln(v)/ln γ)`` is deterministic: both engines compute identical
 bucket ids, so even the sketch CONTENTS are SQL-reproducible.
@@ -495,7 +506,259 @@ ORDER BY event_type, day
 """
 
 
+# ---------------------------------------------------------------------------
+# text_kn_bigram_logprob
+# ---------------------------------------------------------------------------
+
+_KN_BUCKETS = 4096
+_KN_D = 0.75
+
+
+def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an interpolated
+    KNESER-NEY bigram LM over hashed tokens (Kneser & Ney '95; Chen &
+    Goodman '99, interpolated form) — the standard n-gram smoothing,
+    one rung above ``text_bigram_logprob``'s add-one:
+
+        P(w2|w1) = (c(w1w2) − D)/c(w1)
+                 + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+
+    with D = 0.75.  Scoring corpus == training corpus, so every scored
+    bigram has c ≥ 1 > D and the max(·,0)/backoff branch is never
+    taken (documented precondition; a held-out scorer would add it).
+
+    Engine-exactness: the probability is a fixed parenthesization of
+    exact BIGINT counts under IEEE ops, its log is rounded to 9 dp and
+    decimal-summed per doc (the ``text_bigram_logprob`` recipe).
+
+    100 TB shape: THREE map-side-combined aggregates train the model
+    (pair counts; per-context totals + fan-out; continuation counts) —
+    all keyed on 8-byte hash buckets; the score join is a plain
+    equi-join on (b1, b2) with NO forced broadcast (the pair model
+    grows past LUT size with vocabulary; AQE broadcasts while it
+    fits).  Tokens never shuffle, buckets do.
+    """
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    # hash every token ONCE into a bucket array, then zip_with over two
+    # slices of that array — split()/md5 evaluate per row/token, never
+    # per bigram (the round-3 higher-order-function gotcha)
+    hb = (
+        f"transform(split(text, ' '), t -> "
+        f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) "
+        f"% {_KN_BUCKETS})"
+    )
+    bk = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"zip_with(slice({hb}, 1, size(split(text, ' ')) - 1), "
+                f"slice({hb}, 2, size(split(text, ' ')) - 1), "
+                f"(a, b) -> struct(a AS b1, b AS b2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.b1", "g.b2")
+    pairs = bk.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
+    ctx = pairs.groupBy("b1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_fwd")
+    )
+    cont = pairs.groupBy("b2").agg(F.count("*").alias("n_back"))
+    npairs = pairs.agg(F.count("*").alias("npairs"))
+    lp = (
+        pairs.join(ctx, "b1")
+        .join(cont, "b2")
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "b1",
+            "b2",
+            F.round(
+                F.log(
+                    (F.col("c12") - F.lit(_KN_D)) / F.col("c1")
+                    + ((F.lit(_KN_D) * F.col("n_fwd")) / F.col("c1"))
+                    * (F.col("n_back") / F.col("npairs"))
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bk.join(lp, ["b1", "b2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(20,9)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("_s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_KN_BIGRAM_LOGPROB_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bk AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(toks[i]), 1, 8))::UBIGINT
+                % {_KN_BUCKETS} AS BIGINT) AS b1,
+           CAST(('0x' || substr(md5(toks[i + 1]), 1, 8))::UBIGINT
+                % {_KN_BUCKETS} AS BIGINT) AS b2
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+),
+pairs AS (SELECT b1, b2, count(*) AS c12 FROM bk GROUP BY 1, 2),
+ctx AS (SELECT b1, sum(c12) AS c1, count(*) AS n_fwd FROM pairs GROUP BY 1),
+cont AS (SELECT b2, count(*) AS n_back FROM pairs GROUP BY 1),
+np AS (SELECT count(*) AS npairs FROM pairs),
+lp AS (
+    SELECT p.b1, p.b2,
+           round(ln((p.c12 - {_KN_D}) / c.c1
+                 + (({_KN_D} * c.n_fwd) / c.c1)
+                 * (o.n_back / (np.npairs * 1.0))), 9) AS lp
+    FROM pairs p JOIN ctx c USING (b1) JOIN cont o USING (b2), np
+)
+SELECT bk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(lp.lp AS DECIMAL(20,9))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM bk JOIN lp USING (b1, b2)
+GROUP BY bk.doc_id
+ORDER BY bk.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_stream_sketch_quantile_executed
+# ---------------------------------------------------------------------------
+
+_SSK_WINDOW = "60 minutes"
+_SSK_DELAY = "30 minutes"
+
+
+def evt_stream_sketch_quantile_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXECUTED Structured Streaming twin of the mergeable-sketch
+    pattern: the stream pre-aggregates per (hour window, type, DDSketch
+    bucket) COUNTS in append mode (watermark-finalized, emitted exactly
+    once) — the storable sketch rows — and the quantile finalization
+    (p50/p95) runs on READ over the sink, exactly how a 100 TB
+    streaming-percentile pipeline splits work: the unbounded stream
+    only ever maintains bounded per-bucket counters (no raw-value
+    state, unlike a percentile_approx over the window), and any later
+    consumer derives any quantile from the stored rows.
+
+    Harness discipline per round-34: NTZ event time, named memory sink
+    stopped before reuse, availableNow drain (the final no-data batch
+    advances the watermark and flushes finalized windows).
+    """
+    from atd_data_lake_spark.round34_queries import _drain, _events_stream
+
+    src = _events_stream(spark, sf_dir)
+    its = F.to_utc_timestamp("ts", "UTC")
+    sketch_rows = (
+        src.filter(F.col("value") > 0)
+        .select(
+            its.alias("its"),
+            "event_type",
+            F.ceil(F.log(F.col("value")) / F.lit(math.log(_SK_GAMMA)))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .withWatermark("its", _SSK_DELAY)
+        .groupBy(
+            F.window("its", _SSK_WINDOW).alias("w"), "event_type", "bucket"
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    sink = _drain(
+        sketch_rows, "evt_stream_sketch_quantile_sink", spark, "append"
+    )
+    w_cum = (
+        Window.partitionBy("w", "event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("w", "event_type")
+    cum = sink.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    quants = []
+    for name, q in (("p50", 0.50), ("p95", 0.95)):
+        b_q = F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("total")),
+                F.col("bucket"),
+            )
+        )
+        quants.append(
+            F.round(
+                2.0
+                * F.pow(F.lit(_SK_GAMMA), b_q.cast("double"))
+                / F.lit(_SK_GAMMA + 1.0),
+                6,
+            ).alias(name)
+        )
+    return (
+        cum.groupBy("window_start", "event_type")
+        .agg(F.max("total").cast("long").alias("n_events"), *quants)
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVT_STREAM_SKETCH_QUANTILE_SQL = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+sk AS (
+    SELECT make_timestamp(
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+             AS window_start,
+           event_type,
+           CAST(ceil(ln(value) / {math.log(_SK_GAMMA)!r}) AS INTEGER)
+             AS bucket,
+           count(*) AS cnt
+    FROM events WHERE value > 0
+    GROUP BY 1, 2, 3
+),
+fin AS (
+    SELECT s.* FROM sk s, mx
+    WHERE epoch(s.window_start) + 3600 <= epoch(m) - 1800
+),
+cum AS (
+    SELECT window_start, event_type, bucket, cnt,
+           sum(cnt) OVER (PARTITION BY window_start, event_type
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY window_start, event_type) AS total
+    FROM fin
+)
+SELECT window_start, event_type, CAST(max(total) AS BIGINT) AS n_events,
+       round(2.0 * pow({_SK_GAMMA!r}, CAST(min(CASE WHEN cum >=
+           ceil(0.50 * total) THEN bucket END) AS DOUBLE))
+           / ({_SK_GAMMA!r} + 1.0), 6) AS p50,
+       round(2.0 * pow({_SK_GAMMA!r}, CAST(min(CASE WHEN cum >=
+           ceil(0.95 * total) THEN bucket END) AS DOUBLE))
+           / ({_SK_GAMMA!r} + 1.0), 6) AS p95
+FROM cum
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 ROUND41_QUERIES = {
+    "text_kn_bigram_logprob": text_kn_bigram_logprob,
+    "evt_stream_sketch_quantile_executed": evt_stream_sketch_quantile_executed,
     "dq_classifier_auc": dq_classifier_auc,
     "dq_pr_curve": dq_pr_curve,
     "dq_calibration_bins": dq_calibration_bins,
@@ -503,6 +766,8 @@ ROUND41_QUERIES = {
 }
 
 ROUND41_ORACLES = {
+    "text_kn_bigram_logprob": TEXT_KN_BIGRAM_LOGPROB_SQL,
+    "evt_stream_sketch_quantile_executed": EVT_STREAM_SKETCH_QUANTILE_SQL,
     "dq_classifier_auc": DQ_CLASSIFIER_AUC_SQL,
     "dq_pr_curve": DQ_PR_CURVE_SQL,
     "dq_calibration_bins": DQ_CALIBRATION_BINS_SQL,

@@ -71,6 +71,10 @@ BNLJ_ALLOWED = {
     # operators/fuzzy.passjoin_pairs, and er_canonical_entities composes it
     "dedup_edit_distance",
     "er_canonical_entities",
+    # r8: the Kneser-Ney model's 1-ROW distinct-pair total (npairs)
+    # crossJoins the ≤|buckets|² pair-stat frame — broadcast
+    # pass-through, same class as text_bigram_logprob's corpus total
+    "text_kn_bigram_logprob",
 }
 
 

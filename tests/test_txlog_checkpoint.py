@@ -136,3 +136,40 @@ def test_explicit_checkpoint_and_vacuum_compose(spark, table):
 def test_checkpoint_requires_a_commit(table):
     with pytest.raises(ValueError):
         txlog.write_checkpoint(table)
+
+
+def test_commit_id_lookup_uses_checkpoint_index(spark, table, monkeypatch):
+    """The idempotency walk is O(interval) too: an ABSENT commit_id must
+    not read version files below the newest checkpoint, and a REPLAYED
+    id older than the checkpoint resolves through the index."""
+    n = txlog._CHECKPOINT_INTERVAL + 4
+    for i in range(n):
+        txlog.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            .coalesce(1),
+            table,
+            commit_id=f"batch-{i}",
+        )
+    reads: list[int] = []
+    real = txlog._read_commit
+
+    def counting(t, v):
+        reads.append(v)
+        return real(t, v)
+
+    monkeypatch.setattr(txlog, "_read_commit", counting)
+    assert txlog._commit_id_exists(txlog._canon(table), "nope") is None
+    assert len(reads) <= n - txlog._CHECKPOINT_INTERVAL
+    assert all(v > txlog._CHECKPOINT_INTERVAL for v in reads)
+    # an id below the checkpoint resolves via the index (version 2),
+    # and the replay path returns a no-op success
+    reads.clear()
+    assert txlog._commit_id_exists(txlog._canon(table), "batch-1") == 2
+    assert all(v > txlog._CHECKPOINT_INTERVAL for v in reads)
+    res = txlog.append(
+        spark.createDataFrame([(99, "dup")], "k long, v string").coalesce(1),
+        table,
+        commit_id="batch-1",
+    )
+    assert res.replayed and res.version == 2
+    assert txlog.current_version(table) == n
