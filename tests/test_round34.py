@@ -93,14 +93,23 @@ def test_append_mode_eviction_boundary_pinned(spark, tmp_path):
         # max event: watermark = 00:45 - 30min = 00:15:00 exactly
         (4, base + _dt.timedelta(minutes=45), 1, "B", 4.0, "{}"),
     ]
-    df = spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
+    # a single FILE named events.parquet (like the testdata layout) —
+    # the stream's pathGlobFilter matches leaf file names, so a
+    # directory-shaped Spark write would be filtered to nothing
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
     )
-    df.coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "events.parquet")
-    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
     out = evt_stream_append_window_executed(spark, str(tmp_path)).collect()
     # inclusive boundary: the window ENDING exactly at the watermark is
     # finalized and emitted; the 00:15 and 00:45 windows are not
