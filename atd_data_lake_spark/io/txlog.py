@@ -24,6 +24,15 @@ contain matched keys (file pruning via an ``input_file_name`` semi-join
 the log records file-level add/remove, so untouched files are never
 rewritten or even opened by the commit).
 
+Every commit also records per-file column MIN/MAX harvested from the
+parquet footers of its adds (zero data reads — the writer already
+computed them), and ``pruned_files``/``read_where`` use those stats for
+query-side FILE SKIPPING: a selective range/equality predicate on a
+clustered-write column opens only overlapping files, with the residual
+predicate keeping results exact whether or not stats exist (r8; the
+read-side half of Delta-style data skipping — ``operators/layout.py``'s
+Z-order clustering is the write-side half that makes ranges tight).
+
 Spark-first stance: the MERGE itself is still declared as DataFrame ops
 (anti-join + union — exactly what Delta's MERGE physically plans); this
 module adds the transactional boundary Spark's parquet sink lacks.
@@ -124,13 +133,18 @@ def _list_checkpoints(table: str) -> list[int]:
     return sorted(out)
 
 
-def _replay_active(table: str, version: int) -> list[str]:
-    """TABLE-RELATIVE active file list at ``version``: start from the
-    newest checkpoint ≤ ``version`` (full replay if none, or if the
-    checkpoint file is unreadable — a checkpoint is an ACCELERATOR, the
-    commit log stays the source of truth), then apply the remaining
-    commits in order."""
+def _replay_active_stats(
+    table: str, version: int
+) -> tuple[list[str], dict[str, dict]]:
+    """TABLE-RELATIVE active file list at ``version`` plus the per-file
+    column stats recorded by each commit: start from the newest
+    checkpoint ≤ ``version`` (full replay if none, or if the checkpoint
+    file is unreadable — a checkpoint is an ACCELERATOR, the commit log
+    stays the source of truth), then apply the remaining commits in
+    order.  Stats are best-effort metadata: a file with no recorded
+    stats (pre-stats commit, harvest failure) simply has no entry."""
     active: list[str] = []
+    stats: dict[str, dict] = {}
     start_v = 0
     ckpts = [c for c in _list_checkpoints(table) if c <= version]
     if ckpts:
@@ -139,8 +153,9 @@ def _replay_active(table: str, version: int) -> list[str]:
                 ck = json.load(f)
             active = list(ck["active"])
             start_v = int(ck["version"])
+            stats = dict(ck.get("stats", {}))
         except (OSError, ValueError, KeyError):
-            active, start_v = [], 0
+            active, stats, start_v = [], {}, 0
     for v in _list_versions(table):
         if v <= start_v:
             continue
@@ -149,8 +164,15 @@ def _replay_active(table: str, version: int) -> list[str]:
         c = _read_commit(table, v)
         removes = set(c.get("removes", []))
         active = [f for f in active if f not in removes]
+        for f in removes:
+            stats.pop(f, None)
         active.extend(c.get("adds", []))
-    return active
+        stats.update(c.get("stats", {}))
+    return active, stats
+
+
+def _replay_active(table: str, version: int) -> list[str]:
+    return _replay_active_stats(table, version)[0]
 
 
 def _commit_ids_upto(table: str, version: int) -> dict[str, int]:
@@ -196,9 +218,11 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         version = current_version(table)
     if version < 1:
         raise ValueError(f"{table}: nothing to checkpoint (no commits)")
+    active, stats = _replay_active_stats(table, version)
     payload = {
         "version": version,
-        "active": _replay_active(table, version),
+        "active": active,
+        "stats": stats,
         "commit_ids": _commit_ids_upto(table, version),
     }
     staged = os.path.join(_log_path(table), f".tmp-ckpt-{uuid.uuid4().hex}.json")
@@ -208,6 +232,153 @@ def write_checkpoint(table: str, version: int | None = None) -> int:
         os.fsync(f.fileno())
     os.replace(staged, _checkpoint_file(table, version))
     return version
+
+
+def _ser_stat(v):
+    """JSON-comparable form of a parquet footer min/max value, or None
+    for types pruning doesn't handle.  Dates/timestamps serialize to
+    ISO strings, whose lexicographic order IS their temporal order, so
+    one string comparison covers every ordered type."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _harvest_stats(table: str, rel_paths: list[str]) -> dict[str, dict]:
+    """Per-file {column: {"min": v, "max": v}} harvested from the
+    parquet FOOTERS of newly added files — the metadata every writer
+    already computed, so stats cost zero data reads (Delta harvests
+    add-file stats the same way).  Best-effort by contract: an
+    unreadable footer, a row group without min/max (e.g. an all-NULL
+    chunk), or a non-ordered type just omits that column — readers
+    treat a missing stat as "cannot prune", never as "empty"."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return {}
+    out: dict[str, dict] = {}
+    for rel in rel_paths:
+        path = os.path.join(table, rel)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001 — stats are an accelerator
+            continue
+        cols: dict[str, dict] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue  # nested leaves: file-level pruning is top-level only
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                mn, mx = _ser_stat(st.min), _ser_stat(st.max)
+                if mn is None or mx is None:
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                cur = cols.get(name)
+                if cur is None:
+                    cols[name] = {"min": mn, "max": mx}
+                else:
+                    cur["min"] = min(cur["min"], mn)
+                    cur["max"] = max(cur["max"], mx)
+        if cols:
+            out[rel] = cols
+    return out
+
+
+def snapshot_stats(table: str, version: int | None = None) -> dict[str, dict]:
+    """ABSOLUTE-path → column-stats map for the files active at
+    ``version`` (files committed before stats existed, or whose harvest
+    failed, are absent — present in the snapshot, unknown to pruning)."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    _, stats = _replay_active_stats(table, version)
+    return {os.path.join(table, f): s for f, s in stats.items()}
+
+
+def pruned_files(
+    table: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> list[str]:
+    """The subset of ``snapshot_files`` that can contain rows with
+    ``column`` in [lo, hi] (either bound may be None = unbounded),
+    decided from commit-log min/max stats WITHOUT opening any data
+    file.  Files with no stats for ``column`` are conservatively kept —
+    pruning is an accelerator, the residual filter stays exact."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    active, stats = _replay_active_stats(table, version)
+    slo, shi = _ser_stat(lo), _ser_stat(hi)
+    kept = []
+    for f in active:
+        st = stats.get(f, {}).get(column)
+        if st is not None:
+            if shi is not None and st["min"] > shi:
+                continue
+            if slo is not None and st["max"] < slo:
+                continue
+        kept.append(os.path.join(table, f))
+    return kept
+
+
+def read_where(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with FILE SKIPPING: open only the files whose
+    commit-log min/max for ``column`` overlaps [lo, hi], then apply the
+    residual range predicate — result-identical to
+    ``read_table(...).filter(lo <= column <= hi)`` (NULLs excluded, as
+    any range predicate does), but a selective filter on a clustered /
+    partitioned-write column touches only matching files.  This is the
+    query-side half of min/max data skipping (Delta/Iceberg file
+    stats); ``optimize``/Z-order clustering (operators/layout.py) is
+    the write-side half that makes the file ranges tight.
+    """
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    files = pruned_files(table, column, lo, hi, version)
+    if files:
+        df = spark.read.parquet(*files)
+    else:
+        # schema still comes from the (non-empty) snapshot
+        df = read_table(spark, table, version).limit(0)
+    # cast bounds to the column's type so NTZ timestamp columns compare
+    # against naive-datetime literals without a tz-type mismatch
+    ctype = df.schema[column].dataType
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo).cast(ctype))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi).cast(ctype))
+    if lo is None and hi is None:
+        df = df.filter(F.col(column).isNotNull())
+    return df
 
 
 def snapshot_files(table: str, version: int | None = None) -> list[str]:
@@ -336,6 +507,7 @@ def commit(
         "op": op,
         "adds": adds,
         "removes": removes,
+        "stats": _harvest_stats(table, adds),
         "ts": time.time(),
     }
     _reserve_version(table, base_version + 1, payload)

@@ -2469,6 +2469,20 @@ from atd_data_lake_spark.round41_queries import (  # noqa: E402
 
 QUERIES.update(ROUND41_QUERIES)
 ORACLES.update(ROUND41_ORACLES)
+
+from atd_data_lake_spark.round42_queries import (  # noqa: E402
+    ROUND42_ORACLES,
+    ROUND42_QUERIES,
+)
+
+QUERIES.update(ROUND42_QUERIES)
+ORACLES.update(ROUND42_ORACLES)
+# assembled here, where the shared jaccard SQL builder lives: the
+# prefix-filter path must agree with the SAME exact-Jaccard pair SQL
+# the inverted-index path is checked against
+ORACLES["dedup_jaccard_prefix"] = (
+    _jaccard_pairs_sql(0.5) + " ORDER BY id_a, id_b"
+)
 # assembled here, where the shared pair/jaccard SQL builders live
 ORACLES["er_canonical_entities"] = _er_entities_sql(_ED_PAIR_SQL)
 ORACLES["dedup_minhash_eval"] = _minhash_eval_sql(_jaccard_pairs_sql(0.5))

@@ -1,0 +1,144 @@
+"""File-level min/max data skipping through the txlog commit log:
+stats harvest from parquet footers, conservative pruning semantics
+(missing stats = keep), checkpoint survival, COW-rewrite refresh, and
+result-exactness of ``read_where`` vs a full-scan filter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from atd_data_lake_spark.io import txlog
+
+
+def _mk(spark, tmp_path, batches, coalesce=True):
+    """Build a table from a list of row-lists; one append per batch."""
+    table = str(tmp_path / "tbl")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id long, v double, s string")
+        if coalesce:
+            df = df.coalesce(1)
+        txlog.append(df, table, commit_id=f"b{i}")
+    return table
+
+
+def test_pruning_selects_only_overlapping_files(spark, tmp_path):
+    # fixed-width string key: lexicographic order == numeric order, so
+    # the string-stats assertions below aren't surprised by "s12" < "s9"
+    batches = [
+        [(i, float(i), f"s{i:02d}") for i in range(0, 10)],
+        [(i, float(i), f"s{i:02d}") for i in range(10, 20)],
+        [(i, float(i), f"s{i:02d}") for i in range(20, 30)],
+    ]
+    table = _mk(spark, tmp_path, batches)
+    assert len(txlog.snapshot_files(table)) == 3
+    assert len(txlog.pruned_files(table, "v", 12.0, 18.0)) == 1
+    assert len(txlog.pruned_files(table, "v", 9.0, 10.0)) == 2
+    assert len(txlog.pruned_files(table, "v", None, 5.0)) == 1
+    assert len(txlog.pruned_files(table, "v", 100.0, None)) == 0
+    # string column stats prune too
+    assert len(txlog.pruned_files(table, "s", "s12", "s12")) == 1
+
+
+def test_read_where_matches_full_scan_filter(spark, tmp_path):
+    batches = [
+        [(i, float(i % 7), f"s{i}") for i in range(0, 25)],
+        [(i, float(i % 11), f"s{i}") for i in range(25, 50)],
+    ]
+    table = _mk(spark, tmp_path, batches)
+    got = sorted(
+        tuple(r)
+        for r in txlog.read_where(spark, table, "v", 3.0, 8.0).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in txlog.read_table(spark, table)
+        .filter((F.col("v") >= 3.0) & (F.col("v") <= 8.0))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_read_where_empty_prune_keeps_schema(spark, tmp_path):
+    table = _mk(spark, tmp_path, [[(1, 1.0, "a")]])
+    df = txlog.read_where(spark, table, "v", 100.0, 200.0)
+    assert df.columns == ["id", "v", "s"]
+    assert df.count() == 0
+
+
+def test_missing_stats_file_is_conservatively_kept(spark, tmp_path, monkeypatch):
+    table = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, 1.0, "a")], "id long, v double, s string")
+    # simulate a pre-stats (legacy) commit
+    monkeypatch.setattr(txlog, "_harvest_stats", lambda *_: {})
+    txlog.append(df1.coalesce(1), table, commit_id="legacy")
+    monkeypatch.undo()
+    df2 = spark.createDataFrame([(2, 50.0, "b")], "id long, v double, s string")
+    txlog.append(df2.coalesce(1), table, commit_id="modern")
+    # the legacy file has no stats: every range keeps it
+    assert len(txlog.pruned_files(table, "v", 40.0, 60.0)) == 2
+    got = sorted(
+        tuple(r)
+        for r in txlog.read_where(spark, table, "v", 40.0, 60.0).collect()
+    )
+    assert got == [(2, 50.0, "b")]
+
+
+def test_stats_survive_checkpoint_replay(spark, tmp_path):
+    # 12 single-file appends: auto-checkpoint lands at v10, so the
+    # snapshot resolves checkpoint + 2 commits — stats must come back
+    # from the checkpoint payload for the first 10 files
+    batches = [
+        [(i, float(10 * i), f"s{i}")] for i in range(12)
+    ]
+    table = _mk(spark, tmp_path, batches)
+    ckpt = os.path.join(table, "_txlog", "ckpt-00000010.json")
+    assert os.path.exists(ckpt)
+    with open(ckpt) as f:
+        assert json.load(f)["stats"]  # stats made it into the checkpoint
+    assert len(txlog.pruned_files(table, "v", 30.0, 30.0)) == 1
+    assert len(txlog.pruned_files(table, "v", 105.0, 115.0)) == 1  # post-ckpt file
+    got = txlog.read_where(spark, table, "v", 30.0, 30.0).collect()
+    assert [tuple(r) for r in got] == [(3, 30.0, "s3")]
+
+
+def test_cow_merge_refreshes_stats(spark, tmp_path):
+    batches = [
+        [(i, float(i), f"s{i}") for i in range(0, 10)],
+        [(i, float(i), f"s{i}") for i in range(10, 20)],
+    ]
+    table = _mk(spark, tmp_path, batches)
+    # rewrite row id=5 with a value far outside its file's old range
+    src = spark.createDataFrame([(5, 500.0, "s5")], "id long, v double, s string")
+    txlog.merge(spark, table, src, on=["id"])
+    files = txlog.pruned_files(table, "v", 400.0, 600.0)
+    assert len(files) >= 1
+    got = sorted(
+        tuple(r)
+        for r in txlog.read_where(spark, table, "v", 400.0, 600.0).collect()
+    )
+    assert got == [(5, 500.0, "s5")]
+    # removed files' stats are gone from the snapshot map
+    snap = set(txlog.snapshot_files(table))
+    assert set(txlog.snapshot_stats(table)) <= snap
+
+
+def test_timestamp_stats_prune_by_iso_order(spark, tmp_path):
+    import datetime
+
+    table = str(tmp_path / "tbl")
+    for day in (1, 15):
+        rows = [
+            (i, datetime.datetime(2024, 3, day, h, 0, 0))
+            for i, h in enumerate(range(0, 8))
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+        txlog.append(df.coalesce(1), table, commit_id=f"d{day}")
+    lo = datetime.datetime(2024, 3, 14)
+    hi = datetime.datetime(2024, 3, 16)
+    assert len(txlog.pruned_files(table, "ts", lo, hi)) == 1
+    assert txlog.read_where(spark, table, "ts", lo, hi).count() == 8

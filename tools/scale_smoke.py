@@ -531,6 +531,24 @@ def main() -> None:
     ops["pq_adc_scan"] = lambda: _registered_10x("pq_adc", emb)
     ops["bigram_lm"] = lambda: _registered_10x("bigram_lm", docs)
 
+    def bloom_decontam_10x():
+        """The shipped cur_bloom_decontam over the 10x corpus: the
+        benchmark side (doc_id % 20 == 0 AFTER replication ≈ 5% of
+        500k docs) stresses the bitmap build; the probe side is a
+        constant-size literal test per shingle — wall should track the
+        two corpus passes (build + probe), never the reference-set
+        size."""
+        import atd_data_lake_spark.round42_queries as r42
+
+        orig = r42._t
+        try:
+            r42._t = lambda s_, sf_, name_: docs
+            return r42.cur_bloom_decontam(spark, "10x")
+        finally:
+            r42._t = orig
+
+    ops["bloom_decontam"] = bloom_decontam_10x
+
     only = os.environ.get("SCALE_SMOKE_ONLY")
     if only:
         wanted = {w.strip() for w in only.split(",") if w.strip()}
