@@ -2477,6 +2477,14 @@ from atd_data_lake_spark.round42_queries import (  # noqa: E402
 
 QUERIES.update(ROUND42_QUERIES)
 ORACLES.update(ROUND42_ORACLES)
+
+from atd_data_lake_spark.round43_queries import (  # noqa: E402
+    ROUND43_ORACLES,
+    ROUND43_QUERIES,
+)
+
+QUERIES.update(ROUND43_QUERIES)
+ORACLES.update(ROUND43_ORACLES)
 # assembled here, where the shared jaccard SQL builder lives: the
 # prefix-filter path must agree with the SAME exact-Jaccard pair SQL
 # the inverted-index path is checked against
