@@ -2485,6 +2485,14 @@ from atd_data_lake_spark.round43_queries import (  # noqa: E402
 
 QUERIES.update(ROUND43_QUERIES)
 ORACLES.update(ROUND43_ORACLES)
+
+from atd_data_lake_spark.round44_queries import (  # noqa: E402
+    ROUND44_ORACLES,
+    ROUND44_QUERIES,
+)
+
+QUERIES.update(ROUND44_QUERIES)
+ORACLES.update(ROUND44_ORACLES)
 # assembled here, where the shared jaccard SQL builder lives: the
 # prefix-filter path must agree with the SAME exact-Jaccard pair SQL
 # the inverted-index path is checked against

@@ -42,6 +42,11 @@ def evt_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hll_union_agg`` merges per report day.  At the lake this second
     stage reads a sketch TABLE, not events — backfilling a year of
     rolling actives touches 365 KB-sized rows.
+
+    rows-only because HLL++ register encoding is engine-internal; the
+    same stored-mergeable-sketch pattern WITH a full value-hash oracle
+    is ``agg_kmv_distinct`` (round 43: KMV state is k plain integers,
+    so both engines compute identical sketches AND estimates).
     """
     ev = _t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"

@@ -947,6 +947,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent — asserted by the partitioning-invariance test) and land
     within the published error bounds of the exact values (pytest
     `test_approx_sketches_within_error_bounds`).
+
+    Fully-oracled twins of both sketch families now exist where the
+    state is portable integers instead of engine registers:
+    ``agg_kmv_distinct`` (round 43, distinct counts) and
+    ``ts_rolling_p95_sketch`` (round 41, DDSketch quantiles).
     """
     ev = _t(spark, sf_dir, "events")
     return (

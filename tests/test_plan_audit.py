@@ -75,6 +75,10 @@ BNLJ_ALLOWED = {
     # crossJoins the ≤|buckets|² pair-stat frame — broadcast
     # pass-through, same class as text_bigram_logprob's corpus total
     "text_kn_bigram_logprob",
+    # r8: each unrolled GD iteration crossJoins the 1-ROW weight frame
+    # onto the feature scan (broadcast pass-through ×4: 3 gradients +
+    # the final loss) — the in-plan training loop's model distribution
+    "dq_logreg_quality_train",
 }
 
 
