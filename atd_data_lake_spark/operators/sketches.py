@@ -78,10 +78,12 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m: int, k: int) -> list[int]:
     """Build the m-bit Bloom bitmap over a key column, returned as a
     driver-side list of m/64 longs (the broadcastable constant).
 
-    Distributed build: positions explode map-side, distinct collapses
-    to ≤ m set bits, ``bit_or`` packs them into ≤ m/64 (word, bits)
-    rows — the ONLY collect is that bounded word frame (4096 rows at
-    m = 2¹⁸ by construction), never the keys.
+    Distributed build: positions explode map-side and ``bit_or`` packs
+    them straight into ≤ m/64 (word, bits) rows — setting a bit twice
+    is a no-op, so NO distinct pass is needed and the single exchange
+    carries at most m/64 rows per task after partial aggregation.  The
+    ONLY collect is that bounded word frame (4096 rows at m = 2¹⁸ by
+    construction), never the keys.
     """
     if m % 64 != 0:
         raise ValueError(f"m must be a multiple of 64: {m}")
@@ -89,7 +91,6 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m: int, k: int) -> list[int]:
         keys.select(
             F.explode(F.expr(bloom_positions_sql(key_col, m, k))).alias("p")
         )
-        .distinct()
         .select(
             (F.col("p") / 64).cast("int").alias("w"),
             F.expr(
@@ -123,7 +124,6 @@ def bloom_probe(
     reads bit 0 of the shifted value, which is the probed bit.
     """
     tmp = "_bloom_bits"
-    h1, h2 = _h12(key_sql, m)
     tests = []
     for i in range(k):
         p = f"((_bh1 + {i} * _bh2) % {m})"
@@ -131,12 +131,26 @@ def bloom_probe(
             f"(shiftright(element_at({tmp}, CAST({p} / 64 AS INT) + 1), "
             f"CAST({p} % 64 AS INT)) & 1) = 1"
         )
+    # md5 computed ONCE per row; h1/h2 parse substrings of that column
     return (
         df.withColumn(tmp, _array_lit(bitmap))
-        .withColumn("_bh1", F.expr(h1))
-        .withColumn("_bh2", F.expr(h2))
+        .withColumn("_bmd5", F.expr(f"md5({key_sql})"))
+        .withColumn(
+            "_bh1",
+            F.expr(
+                f"CAST(conv(substring(_bmd5, 1, 15), 16, 10) AS BIGINT)"
+                f" % {m}"
+            ),
+        )
+        .withColumn(
+            "_bh2",
+            F.expr(
+                f"CAST(conv(substring(_bmd5, 17, 15), 16, 10) AS BIGINT)"
+                f" % {m}"
+            ),
+        )
         .withColumn(out_col, F.expr(" AND ".join(tests)))
-        .drop(tmp, "_bh1", "_bh2")
+        .drop(tmp, "_bmd5", "_bh1", "_bh2")
     )
 
 

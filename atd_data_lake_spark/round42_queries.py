@@ -74,20 +74,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as ``cur_decontaminate``'s oracle, built JVM-side so
     the md5 position hashing sees the identical strings in both
     engines."""
+    from atd_data_lake_spark.operators.dedup import shingle_string_rows
+
     d = _t(spark, sf_dir, "documents")
-    toks = "split(trim(text), '\\\\s+')"
-    sh = (
-        f"transform(sequence(1, size({toks}) - {_BLOOM_N - 1}), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
-        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
-    )
-    return (
-        d.filter(
-            F.col("text").isNotNull()
-            & (F.expr(f"size({toks})") >= _BLOOM_N)
-        )
-        .select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
-        .distinct()
+    # Arrow-batched shingle strings (operators/dedup.shingle_string_rows)
+    # — the JVM transform/element_at construction is interpreted per
+    # element and measured 5x slower on bulk text (round-3 note).  The
+    # pandas stage already emits per-doc DISTINCT shingles.
+    return shingle_string_rows(d, "doc_id", "text", _BLOOM_N).select(
+        F.col("_id").alias("doc_id"), "shingle"
     )
 
 

@@ -50,30 +50,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = ", ".join(f"'{w}'" for w in _LR_STOPWORDS)
     d = _t(spark, sf_dir, "documents")
-    toks = "split(trim(text), '\\\\s+')"
-    return d.filter(
-        F.col("text").isNotNull()
-        & (F.expr(f"size({toks})") >= 1)
-        & (F.length("text") >= 1)
-    ).select(
-        F.round(
-            F.expr(f"size(filter({toks}, t -> t IN ({stop_arr})))").cast(
-                "double"
-            )
-            / F.expr(f"size({toks})").cast("double"),
-            6,
-        ).alias("x1"),
-        F.round(
-            F.least(F.expr(f"size({toks})"), F.lit(_LR_CAP)).cast("double")
-            / F.lit(float(_LR_CAP)),
-            6,
-        ).alias("x2"),
-        F.round(
-            F.expr(f"size(array_distinct({toks}))").cast("double")
-            / F.expr(f"size({toks})").cast("double"),
-            6,
-        ).alias("x3"),
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    # split once into a materialized column; every feature expression
+    # reads that array (splicing split() into each select re-tokenizes
+    # per expression — the round-3 gotcha)
+    return (
+        d.filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select(
+            "lang",
+            F.expr("split(trim(text), '\\\\s+')").alias("tk"),
+        )
+        .filter(F.size("tk") >= 1)
+        .select(
+            F.round(
+                F.expr(
+                    f"size(filter(tk, t -> t IN ({stop_arr})))"
+                ).cast("double")
+                / F.size("tk").cast("double"),
+                6,
+            ).alias("x1"),
+            F.round(
+                F.least(F.size("tk"), F.lit(_LR_CAP)).cast("double")
+                / F.lit(float(_LR_CAP)),
+                6,
+            ).alias("x2"),
+            F.round(
+                F.expr("size(array_distinct(tk))").cast("double")
+                / F.size("tk").cast("double"),
+                6,
+            ).alias("x3"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
     )
 
 

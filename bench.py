@@ -128,6 +128,18 @@ HEADLINE = [
     # round-38/40 flagships (item CF, personalized PageRank)
     "mb_item_cf_topk",
     "graph_ppr",
+    # round-41..44 flagships (classifier eval + in-plan training,
+    # KN LM, sketch layer: DDSketch / Bloom / KMV, prefix-filter join)
+    "dq_classifier_auc",
+    "text_kn_bigram_logprob",
+    "ts_rolling_p95_sketch",
+    "cur_bloom_decontam",
+    "agg_kmv_distinct",
+    "dq_logreg_quality_train",
+    # NOT headlined: dedup_jaccard_prefix — the prefix-filter strategy
+    # is documented SLOWER than the inverted index on this corpus's
+    # near-uniform vocabulary (operators/dedup.py docstring measures
+    # the trade); it stays driver-checked for correctness
 ]
 
 
