@@ -238,7 +238,10 @@ def _ser_stat(v):
     """JSON-comparable form of a parquet footer min/max value, or None
     for types pruning doesn't handle.  Dates/timestamps serialize to
     ISO strings, whose lexicographic order IS their temporal order, so
-    one string comparison covers every ordered type."""
+    one string comparison covers every ordered type.  Tz-AWARE
+    datetimes normalize to the UTC instant first — serializing the
+    wall clock would compare a +05:00 bound against UTC footer stats
+    and wrongly prune (r8 review)."""
     import datetime as _dt
 
     if isinstance(v, bool) or v is None:
@@ -248,10 +251,26 @@ def _ser_stat(v):
     if isinstance(v, str):
         return v
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     return None
+
+
+def _stat_comparable(a, b) -> bool:
+    """Whether two serialized stat values order meaningfully against
+    each other.  Date stats ('2024-03-14', no time part) vs datetime
+    bounds ('2024-03-14T06:00:00') compare as unequal-length strings
+    and would wrongly prune a file whose DATE rows match the residual
+    predicate — mixed temporal shapes skip pruning instead (the
+    conservative direction; the residual filter stays exact)."""
+    if isinstance(a, str) != isinstance(b, str):
+        return False
+    if isinstance(a, str) and (("T" in a) != ("T" in b)):
+        return False
+    return True
 
 
 def _harvest_stats(table: str, rel_paths: list[str]) -> dict[str, dict]:
@@ -334,9 +353,17 @@ def pruned_files(
     for f in active:
         st = stats.get(f, {}).get(column)
         if st is not None:
-            if shi is not None and st["min"] > shi:
+            if (
+                shi is not None
+                and _stat_comparable(st["min"], shi)
+                and st["min"] > shi
+            ):
                 continue
-            if slo is not None and st["max"] < slo:
+            if (
+                slo is not None
+                and _stat_comparable(st["max"], slo)
+                and st["max"] < slo
+            ):
                 continue
         kept.append(os.path.join(table, f))
     return kept
@@ -514,10 +541,13 @@ def commit(
     new_version = base_version + 1
     if new_version % _CHECKPOINT_INTERVAL == 0:
         # best-effort: the commit is already durable; a failed checkpoint
-        # only costs the next reader a longer replay, never correctness
+        # only costs the next reader a longer replay, never correctness.
+        # Catch EVERYTHING (a damaged older commit JSON raises
+        # JSONDecodeError during the replay, not OSError — r8 review):
+        # the accelerator must never fail an already-landed commit
         try:
             write_checkpoint(table, new_version)
-        except OSError:
+        except Exception:  # noqa: BLE001 — accelerator-only contract
             pass
     return CommitResult(new_version, len(adds), len(removes))
 

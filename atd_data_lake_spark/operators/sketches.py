@@ -189,13 +189,23 @@ def cms_estimate(
     """Estimated count per probe key: min over the d counter cells the
     key hashes to.  The counter table (≤ d·w rows by construction) is
     broadcast; the probe side explodes ×d and never shuffles beyond
-    the final per-key min-groupBy."""
+    the final per-key min-groupBy.
+
+    LEFT join + coalesce-to-0: a probe key the build never touched has
+    empty cells, and CMS's answer for it is 0 — an inner join would
+    silently drop it (or, worse, min over only its COLLIDING cells and
+    over-estimate).  Matters exactly when the probe side is a
+    watchlist rather than the build's own key census (r8 review)."""
     cells = probes.select(
         key_col,
         F.explode(F.expr(cms_positions_sql(key_col, w, d))).alias("c"),
     ).select(key_col, F.col("c.r").alias("r"), F.col("c.p").alias("p"))
     return (
-        cells.join(F.broadcast(counters), ["r", "p"])
+        cells.join(F.broadcast(counters), ["r", "p"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
     )

@@ -77,26 +77,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _AUC_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
 
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, is_pos) per document — THE scored-classifier frame all
+    three evaluation queries (AUC, PR curve, calibration) share, so the
+    score definition lives in exactly one place.  The split() is
+    hoisted into one materialized array column (splicing it into each
+    select re-tokenizes per expression — the round-3 gotcha, fixed
+    here by the r8 review)."""
+    stop_arr = ", ".join(f"'{w}'" for w in _AUC_STOPWORDS)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("lang", F.expr("split(trim(text), '\\\\s+')").alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            F.round(
+                F.expr(
+                    f"size(filter(tk, t -> t IN ({stop_arr})))"
+                ).cast("double")
+                / F.size("tk").cast("double"),
+                6,
+            ).alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        )
+    )
+
+
 def _scored_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per DISTINCT classifier score: (score, p, n) positive /
     negative label counts.  This is the only pass that touches the
     corpus; everything downstream windows over |distinct scores| rows."""
-    stop_arr = ", ".join(f"'{w}'" for w in _AUC_STOPWORDS)
-    d = _t(spark, sf_dir, "documents")
-    toks = "split(trim(text), '\\\\s+')"
-    scored = d.filter(
-        F.col("text").isNotNull() & (F.expr(f"size({toks})") >= 1)
-    ).select(
-        F.round(
-            F.expr(
-                f"size(filter({toks}, t -> t IN ({stop_arr})))"
-            ).cast("double")
-            / F.expr(f"size({toks})").cast("double"),
-            6,
-        ).alias("score"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
-    )
-    return scored.groupBy("score").agg(
+    return _scored(spark, sf_dir).groupBy("score").agg(
         F.sum("is_pos").cast("long").alias("p"),
         F.sum(1 - F.col("is_pos")).cast("long").alias("n"),
     )
@@ -272,21 +283,7 @@ def dq_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bin id (≤ 10 groups); everything after is window math over
     10 rows.
     """
-    stop_arr = ", ".join(f"'{w}'" for w in _AUC_STOPWORDS)
-    d = _t(spark, sf_dir, "documents")
-    toks = "split(trim(text), '\\\\s+')"
-    scored = d.filter(
-        F.col("text").isNotNull() & (F.expr(f"size({toks})") >= 1)
-    ).select(
-        F.round(
-            F.expr(f"size(filter({toks}, t -> t IN ({stop_arr})))").cast(
-                "double"
-            )
-            / F.expr(f"size({toks})").cast("double"),
-            6,
-        ).alias("score"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
-    )
+    scored = _scored(spark, sf_dir)
     bins = (
         scored.select(
             F.least(

@@ -150,6 +150,24 @@ def test_cms_counters_merge_by_cellwise_addition(spark):
     assert merged == whole
 
 
+def test_cms_estimate_unseen_watchlist_key_is_zero(spark):
+    build = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
+    counters = cms_counters(build, "k", 64, 4)
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("never-seen-key",)], "k string"
+    )
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probes, counters, "k", 64, 4).collect()
+    }
+    # the unseen key must be PRESENT with est 0 (or a collision-floor
+    # value if every one of its 4 cells collides — impossible to hit 4
+    # collisions with 2 build keys in a 64-wide sketch here)
+    assert set(est) == {"a", "b", "never-seen-key"}
+    assert est["a"] == 7 and est["b"] == 3
+    assert est["never-seen-key"] == 0
+
+
 def test_cms_estimate_exact_when_no_collisions(spark):
     # 8 keys in a 1024-wide sketch: collisions are possible but the
     # MIN over 4 rows makes a simultaneous 4-row collision for any key

@@ -127,6 +127,44 @@ def test_cow_merge_refreshes_stats(spark, tmp_path):
     assert set(txlog.snapshot_stats(table)) <= snap
 
 
+def test_tz_aware_bound_normalizes_to_utc_instant():
+    import datetime
+
+    tz5 = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(2020, 1, 1, 12, 0, tzinfo=tz5)
+    # the +05:00 wall clock is 07:00 UTC — pruning must compare instants
+    assert txlog._ser_stat(aware) == "2020-01-01T07:00:00"
+
+
+def test_date_column_with_datetime_bound_is_conservatively_kept(
+    spark, tmp_path
+):
+    import datetime
+
+    table = str(tmp_path / "tbl")
+    for d in (1, 15):
+        df = spark.createDataFrame(
+            [(i, datetime.date(2024, 3, d)) for i in range(4)],
+            "id long, day date",
+        )
+        txlog.append(df.coalesce(1), table, commit_id=f"d{d}")
+    # datetime bounds against DATE stats: mixed temporal shapes must
+    # not prune (lexicographic '2024-03-14' < '2024-03-14T00:00:00'
+    # would wrongly drop the file whose 2024-03-14 rows match)
+    lo = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    hi = datetime.datetime(2024, 3, 14, 6, 0, 0)
+    assert len(txlog.pruned_files(table, "day", lo, hi)) == 2
+    # same-shape DATE bounds still prune
+    assert (
+        len(
+            txlog.pruned_files(
+                table, "day", datetime.date(2024, 3, 10), datetime.date(2024, 3, 20)
+            )
+        )
+        == 1
+    )
+
+
 def test_timestamp_stats_prune_by_iso_order(spark, tmp_path):
     import datetime
 
