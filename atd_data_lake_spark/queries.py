@@ -2493,6 +2493,14 @@ from atd_data_lake_spark.round44_queries import (  # noqa: E402
 
 QUERIES.update(ROUND44_QUERIES)
 ORACLES.update(ROUND44_ORACLES)
+
+from atd_data_lake_spark.round45_queries import (  # noqa: E402
+    ROUND45_ORACLES,
+    ROUND45_QUERIES,
+)
+
+QUERIES.update(ROUND45_QUERIES)
+ORACLES.update(ROUND45_ORACLES)
 # assembled here, where the shared jaccard SQL builder lives: the
 # prefix-filter path must agree with the SAME exact-Jaccard pair SQL
 # the inverted-index path is checked against
