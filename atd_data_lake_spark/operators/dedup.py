@@ -162,6 +162,7 @@ def shingle_string_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    fan: bool = True,
 ) -> DataFrame:
     """(id, text) → exploded DISTINCT (_id, shingle STRING) rows, the
     Arrow-batched twin of ``shingle_hash_rows`` for operators that need
@@ -170,7 +171,15 @@ def shingle_string_rows(
     Same reason it exists: the JVM higher-order-function construction
     (transform + element_at + concat_ws per element) is interpreted and
     measured ~5× slower on bulk text (round-3 note, re-measured r8:
-    10.2 s vs 2.1 s for 260k shingles at sf0.1)."""
+    10.2 s vs 2.1 s for 260k shingles at sf0.1).
+
+    ``fan=False`` skips the ``fan_out`` repartition — for callers whose
+    input slice is small and whose downstream is itself bounded (the
+    Bloom bitmap build over a 5% bench slice: ≤ m/64 output rows), the
+    repartition's extra AQE stage wave costs more than the parallelism
+    buys.  At production scale the scan already yields ≥ cores
+    partitions and ``fan_out`` is a no-op, so this flag only removes a
+    dead local exchange."""
     out_schema = T.StructType(
         [
             T.StructField("_id", df.schema[id_col].dataType),
@@ -199,7 +208,8 @@ def shingle_string_rows(
                 }
             )
 
-    return fan_out(df).select(id_col, text_col).mapInPandas(op, schema=out_schema)
+    src = fan_out(df) if fan else df
+    return src.select(id_col, text_col).mapInPandas(op, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

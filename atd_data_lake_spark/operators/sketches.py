@@ -37,12 +37,18 @@ batches (``atd_data_lake/core/catalog.py``); these operators are the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 __all__ = [
     "bloom_positions_sql",
     "bloom_bitmap",
     "bloom_probe",
+    "bloom_shingle_probe_counts",
     "cms_positions_sql",
     "cms_counters",
     "cms_estimate",
@@ -68,10 +74,13 @@ def bloom_positions_sql(key_sql: str, m: int, k: int) -> str:
 
 
 def _array_lit(values: list[int]) -> Column:
-    try:  # pyspark >= 3.4 accepts a list directly (single Literal node)
-        return F.lit(values)
+    # F.lit(list) builds the array one py4j call PER ELEMENT (~2.3 s for
+    # 4096 longs, measured r9); a numpy array ships as one literal (~3x
+    # faster warm).  Fall back to the list path on older lit().
+    try:
+        return F.lit(np.asarray(values, dtype=np.int64))
     except Exception:  # pragma: no cover — older lit()
-        return F.array(*[F.lit(v) for v in values])
+        return F.lit(values)
 
 
 def bloom_bitmap(keys: DataFrame, key_col: str, m: int, k: int) -> list[int]:
@@ -152,6 +161,91 @@ def bloom_probe(
         .withColumn(out_col, F.expr(" AND ".join(tests)))
         .drop(tmp, "_bmd5", "_bh1", "_bh2")
     )
+
+
+def bloom_shingle_probe_counts(
+    df: DataFrame,
+    bitmap: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """FUSED shingle → Bloom-probe → per-doc count in ONE Arrow stage:
+    (id, n_shingles, n_flagged) with one row per doc that has ≥ n
+    tokens.  The r8 verdict's wave-fusion ask for the decontamination
+    hot path: the unfused pipeline (``shingle_string_rows`` → persist →
+    ``bloom_probe`` → groupBy(doc_id)) pays a cache materialization, an
+    exploded row per shingle, and a full per-shingle shuffle back into
+    doc groups — all to compute a per-doc counter the shingling stage
+    already knows.  Here each doc is wholly inside one pandas batch, so
+    the probe result aggregates in-batch and NOTHING is exploded or
+    shuffled (callers add only their final presentation sort).
+
+    Hash parity: identical to ``bloom_positions_sql`` —
+    h1/h2 = int(md5(shingle)[1..15] / [17..31], 16) mod m (hex chars,
+    1-indexed as in SQL ``substring``), p_i = (h1 + i·h2) mod m —
+    ``hashlib.md5`` and the JVM/DuckDB ``md5`` agree byte-for-byte on
+    UTF-8 input, so a SQL oracle replays the same bits.
+
+    100 TB shape: the bitmap is a 32 KB closure constant (m = 2¹⁸); the
+    corpus streams through map-side Arrow batches and emits one 24-byte
+    row per DOC (not per shingle).  Python-side md5 costs ~2 µs/shingle
+    — measured subordinate to the scan at sf0.1×10 (SCALE.md r9).
+    """
+    if m % 64 != 0:
+        raise ValueError(f"m must be a multiple of 64: {m}")
+    # non-negative Python ints: bit 63 arrives sign-extended from the JVM
+    words = [w & 0xFFFFFFFFFFFFFFFF for w in bitmap]
+    from atd_data_lake_spark.operators.dedup import _doc_shingles
+    from atd_data_lake_spark.operators.scale import fan_out
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("n_flagged", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        for pdf in batches:
+            ids: list = []
+            n_sh: list[int] = []
+            n_fl: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _doc_shingles(text, n)
+                if not sh:
+                    continue
+                flagged = 0
+                for s in sh:
+                    # digest[:8] >> 4 == int(hexdigest[:15], 16); the
+                    # byte path skips the hex round-trip (~2x faster)
+                    dg = md5(s.encode("utf-8")).digest()
+                    h1 = (from_bytes(dg[:8], "big") >> 4) % m
+                    h2 = (from_bytes(dg[8:16], "big") >> 4) % m
+                    for i in range(k):
+                        p = (h1 + i * h2) % m
+                        if not (words[p >> 6] >> (p & 63)) & 1:
+                            break
+                    else:
+                        flagged += 1
+                ids.append(did)
+                n_sh.append(len(sh))
+                n_fl.append(flagged)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.array(ids),
+                        "n_shingles": np.array(n_sh, dtype=np.int64),
+                        "n_flagged": np.array(n_fl, dtype=np.int64),
+                    }
+                )
+
+    return fan_out(df).select(id_col, text_col).mapInPandas(op, schema=out_schema)
 
 
 def cms_positions_sql(key_sql: str, w: int, d: int) -> str:

