@@ -213,6 +213,67 @@ def shingle_string_rows(
 
 
 # ---------------------------------------------------------------------------
+# Shared shingle frame (r9 — VERDICT r8 item 3)
+# ---------------------------------------------------------------------------
+
+# (session id, analyzed-plan semanticHash, id_col, text_col, n, with_size)
+# → the persisted shingle frame.  Bounded in practice by the handful of
+# distinct corpus frames a session dedups; entries are cheap (a lazy
+# DataFrame handle), so no eviction.
+_SHINGLE_FRAMES: dict[tuple, DataFrame] = {}
+
+
+def shingle_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    with_size: bool = True,
+) -> DataFrame:
+    """Session-shared PERSISTED shingle-hash frame — the common
+    subexpression of the dedup suite.  ``ngram_jaccard_pairs``,
+    ``containment_pairs``, the MinHash verify path, and
+    ``common_shingle_profile`` each used to re-derive the 64-bit
+    shingle hashes from the corpus per call; a curation DAG that runs
+    several of them paid the corpus scan + Arrow shingling once PER
+    STAGE.  This memoizes on (session, analyzed-plan semanticHash,
+    params): the first caller pays the scan and persists, every later
+    caller in the same session reuses the cached frame — including
+    ACROSS operators, as long as they shingle the same input with the
+    same parameters.
+
+    Cache discipline: a ``spark.catalog.clearCache()`` (the bench /
+    sweep contract) merely un-materializes the frame — the next caller
+    re-persists the SAME handle (checked via ``storageLevel``), so
+    sharing degrades to cold-start, never to recompute-per-consumer.
+    Inside a ``tracked_caches()`` scope the (re-)persist registers with
+    the scope like any operator-internal cache.
+
+    100 TB framing: this is plan-level common-subexpression reuse, the
+    thing AQE's ReusedExchange cannot do for ``mapInPandas`` stages
+    (round-5 note).  On a cluster the persist is a one-scan
+    materialization of an (8 + 8 + 8)-byte-per-shingle frame that every
+    downstream dedup/decontam stage shares.
+    """
+    spark = df.sparkSession
+    try:
+        plan_key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover — connect-style sessions
+        plan_key = id(df)
+    key = (id(spark), plan_key, id_col, text_col, n, with_size)
+    got = _SHINGLE_FRAMES.get(key)
+    if got is not None:
+        if got.storageLevel.useMemory or got.storageLevel.useDisk:
+            return got
+        return _persist(got)  # re-persist after a clearCache
+    out = _persist(
+        shingle_hash_rows(df, id_col, text_col, n, with_size=with_size)
+    )
+    _SHINGLE_FRAMES[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -426,9 +487,9 @@ def verify_pairs_jaccard(
             )
         else:
             cand_docs = cand_docs.dropDuplicates([id_col])
-    sh = _persist(shingle_hash_rows(
+    sh = shingle_hashes(
         cand_docs, id_col, text_col, shingle_n, with_size=True
-    ))
+    )
     a_side = (
         cands.select("id_a", "id_b")
         .join(sh.alias("a"), F.col("id_a") == F.col("a._id"))
@@ -751,7 +812,7 @@ def ngram_jaccard_pairs(
     """
     if prefix_filter is None:
         prefix_filter = False
-    sh = _persist(shingle_hash_rows(df, id_col, text_col, n, with_size=True))
+    sh = shingle_hashes(df, id_col, text_col, n, with_size=True)
 
     if not prefix_filter:
         # both self-join sides consume the Python stage: persist so the
@@ -1065,7 +1126,7 @@ def ngram_containment_pairs(
     ``cont_a_in_b`` vs ``cont_b_in_a`` for the directional question.
     Pair survives when max(directions) ≥ threshold.
     """
-    sh = _persist(shingle_hash_rows(df, id_col, text_col, n, with_size=True))
+    sh = shingle_hashes(df, id_col, text_col, n, with_size=True)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(

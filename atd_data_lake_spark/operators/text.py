@@ -590,11 +590,13 @@ def ngram_novelty(
     the df groupBy → map-side partial combine absorbs them; the join is
     AQE-skew-eligible.  Nothing materializes per-shingle posting lists.
     """
-    from atd_data_lake_spark.operators.dedup import shingle_hash_rows
+    from atd_data_lake_spark.operators.dedup import shingle_hashes
 
-    # sh feeds BOTH the df count and the membership join: persist so
-    # the Arrow shingling stage runs once, not twice
-    sh = shingle_hash_rows(df, id_col, text_col, n=n, with_size=True).persist()
+    # sh feeds BOTH the df count and the membership join: the shared
+    # session-memoized frame (dedup.shingle_hashes) runs the Arrow
+    # shingling once — for this operator AND any dedup stage in the
+    # same session shingling the same corpus
+    sh = shingle_hashes(df, id_col, text_col, n=n, with_size=True)
     dfc = sh.groupBy("_hash").agg(F.count("*").alias("_df"))
     return (
         sh.join(dfc, "_hash")

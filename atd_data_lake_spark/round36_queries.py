@@ -234,66 +234,112 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-reproducible (not just the verified output, as in
     ``dedup_minhash_lsh``).
 
-    100 TB shape (r8 rewrite — the r7 version paid two corpus
-    shingle passes and three driver actions, 2.58× the proxy): the
-    corpus is scanned ONCE into a persisted per-doc shingle-SET frame
-    (``array_distinct`` of the trigram zip — a pure projection, no
-    shuffle); signatures are per-row ``array_min(transform(...))`` —
-    zero-shuffle, whole-stage-codegen; the band self-join and the
-    exact-Jaccard truth self-join both read the cached frame; truth
-    joins on ``xxhash64`` of the shingle (8-byte shuffle width) with
-    the J ≥ t size prune inside the join.  Candidates and truth meet
-    in a full-outer join on the pair key (both sides already
-    pair-partitioned — no extra exchange) and ONE aggregate emits the
-    single summary row: one Spark action, no driver-side counting.
+    100 TB shape (r9 single-pass rewrite, detail at the stage below):
+    the corpus is scanned ONCE through an Arrow stage that emits a
+    narrow union frame of hash-posting rows (for the exact-Jaccard
+    truth self-join, 8-byte shuffle width, J ≥ t size prune inside the
+    join) and pre-banded signature rows (for the candidate self-join)
+    — that union is the only persisted frame; shingle strings never
+    leave the pandas batch.  Candidates and truth meet in a full-outer
+    join on the pair key (both sides already pair-partitioned — no
+    extra exchange) and ONE aggregate emits the single summary row:
+    one Spark action, no driver-side counting.
     """
+    # r9 single-pass rewrite: the r8 formulation materialized a cached
+    # per-doc shingle-array frame via JVM ``zip_with``/``array_distinct``
+    # (interpreted per-element lambdas — ~2.5 s cold at sf0.1) and then
+    # computed the 8 per-perm minima as ``array_min(transform(shingles,
+    # md5(...)))`` — another ~2M INTERPRETED md5 evals, measured 4.4 s of
+    # the query's 5.7 s wall (the round-3 HOF gotcha, paid in our own r8
+    # rewrite).  Now ONE Arrow stage shingles each doc and emits BOTH
+    # work products as a union-schema frame (the only corpus pass):
+    #   posting rows (doc_id, _sz, _hash)   — vectorized 64-bit shingle
+    #     hash for the exact-Jaccard truth self-join (negligible-
+    #     collision assumption, as shingle_hash_rows documents: the
+    #     oracle joins exact strings, Spark joins their 64-bit hashes —
+    #     a collision between distinct shared shingles would inflate
+    #     the intersection; at 2^64 this is ~1e-9 for this corpus);
+    #   band rows (doc_id, band, key)       — per-perm minima of the
+    #     52-bit md5 prefix of shingle||'#j' via hashlib.md5 (byte-
+    #     identical to the SQL oracle's md5), pre-banded in-batch.
+    # The persisted frame is the narrow union (~280k rows), never the
+    # shingle strings.  Measured 5.7 → 2.5 s same host (cold cache),
+    # ~1.2x the DuckDB proxy — under the 2x bar for the first time.
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from atd_data_lake_spark.operators.dedup import _doc_shingles
+    from atd_data_lake_spark.operators.scale import fan_out
+
     d = _t(spark, sf_dir, "documents")
-    ws = "split(trim(text), '\\\\s+')"
-    tri = (
-        f"zip_with(zip_with(slice({ws}, 1, size({ws}) - 2), "
-        f"slice({ws}, 2, size({ws}) - 2), (a, b) -> concat(a, ' ', b)), "
-        f"slice({ws}, 3, size({ws}) - 2), (ab, c) -> concat(ab, ' ', c))"
-    )
-    per_doc = (
-        d.filter(F.expr(f"size({ws})") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(F.expr(tri)).alias("shingles"),
+    sfx = [f"#{j}".encode() for j in range(_MH_PERMS)]
+
+    def fused_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            p_ids: list = []
+            p_sh: list[str] = []
+            p_cnt: list[int] = []
+            b_ids: list = []
+            b_band: list[int] = []
+            b_key: list[str] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _doc_shingles(text, 3)
+                if not sh:
+                    continue
+                p_ids.append(did)
+                p_sh.extend(sh)
+                p_cnt.append(len(sh))
+                h = [
+                    min(
+                        int(md5(s.encode("utf-8") + sfx[j]).hexdigest()[:13], 16)
+                        for s in sh
+                    )
+                    for j in range(_MH_PERMS)
+                ]
+                for b in range(_MH_BANDS):
+                    b_ids.append(did)
+                    b_band.append(b)
+                    b_key.append(f"{h[2 * b]}:{h[2 * b + 1]}")
+            if not p_ids:
+                continue
+            cnt = np.array(p_cnt, dtype=np.int64)
+            hashes = pd.util.hash_array(
+                np.array(p_sh, dtype=object)
+            ).astype(np.int64)
+            posting = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.array(p_ids), cnt),
+                    "band": np.full(len(p_sh), -1, dtype=np.int32),
+                    "key": np.full(len(p_sh), None, dtype=object),
+                    "_sz": np.repeat(cnt, cnt),
+                    "_hash": hashes,
+                }
+            )
+            band = pd.DataFrame(
+                {
+                    "doc_id": np.array(b_ids),
+                    "band": np.array(b_band, dtype=np.int32),
+                    "key": b_key,
+                    "_sz": np.full(len(b_ids), -1, dtype=np.int64),
+                    "_hash": np.zeros(len(b_ids), dtype=np.int64),
+                }
+            )
+            yield pd.concat([posting, band], ignore_index=True)
+
+    fused = (
+        fan_out(d)
+        .select("doc_id", "text")
+        .mapInPandas(
+            fused_rows,
+            schema="doc_id long, band int, key string, _sz long, _hash long",
         )
         .persist()
     )
-    # MinHash over a set == MinHash over the multiset: min(transform) per
-    # row, no explode, no aggregation.
-    sig = per_doc.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.expr(
-                    "transform(shingles, s -> CAST(conv(substring("
-                    f"md5(concat(s, '#{j}')), 1, 13), 16, 10) AS BIGINT))"
-                )
-            ).alias(f"h{j}")
-            for j in range(_MH_PERMS)
-        ],
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ":",
-                            F.col(f"h{2 * b}").cast("string"),
-                            F.col(f"h{2 * b + 1}").cast("string"),
-                        ).alias("key"),
-                    )
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = fused.filter(F.col("band") >= 0).select("doc_id", "band", "key")
     l = bands.select("band", "key", F.col("doc_id").alias("id_a"))
     r = bands.select("band", "key", F.col("doc_id").alias("id_b"))
     cand = (
@@ -302,14 +348,10 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact truth from the SAME cached shingle frame: explode + inverted-
-    # index self-join on the 64-bit shingle hash, size prune in the join
+    # exact truth from the SAME cached union frame: inverted-index
+    # self-join on the 64-bit shingle hash, size prune in the join
     # (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|); ε guards float overshoot).
-    posting = per_doc.select(
-        "doc_id",
-        F.size("shingles").cast("long").alias("_sz"),
-        F.explode("shingles").alias("shingle"),
-    ).select("doc_id", "_sz", F.xxhash64("shingle").alias("_hash"))
+    posting = fused.filter(F.col("band") < 0).select("doc_id", "_sz", "_hash")
     a, b = posting.alias("a"), posting.alias("b")
     size_ok = (
         F.col("a._sz") >= F.lit(_MH_TRUTH_T) * F.col("b._sz") - F.lit(1e-9)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from atd_data_lake_spark.io.reader import read_table
 from atd_data_lake_spark.operators.dedup import simhash_near_dups
@@ -398,7 +399,14 @@ def test_tracked_caches_unpersists_operator_persists(spark, sf_dir):
         tracked_caches,
     )
 
-    d = read_table(spark, sf_dir, "documents")
+    # unique analyzed plan → the shared shingle frame (r9
+    # dedup.shingle_hashes) is COLD here, so its persist registers in
+    # this scope like the operator-private ones; a warm shared frame
+    # from an earlier query would legitimately register nothing
+    # (sharing across queries is its point — see test_round46)
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 1000 != 998
+    )
     with tracked_caches() as reg:
         out = minhash_near_dups(
             d, num_hashes=32, bands=10, threshold=0.8

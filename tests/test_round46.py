@@ -1,0 +1,107 @@
+"""Round-46 (build round 9) tests — the shared shingle frame
+(`dedup.shingle_hashes`, VERDICT r8 item 3) and the fused Bloom
+probe (`sketches.bloom_shingle_probe_counts`, VERDICT r8 item 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from atd_data_lake_spark.io.reader import read_table
+from atd_data_lake_spark.operators import dedup
+from atd_data_lake_spark.operators.dedup import shingle_hashes
+from atd_data_lake_spark.operators.sketches import (
+    bloom_bitmap,
+    bloom_probe,
+    bloom_shingle_probe_counts,
+)
+
+
+def _docs(spark, sf_dir, tag: int):
+    # a per-test filter makes the analyzed plan unique, so memoization
+    # state from other tests in the shared session cannot leak in
+    return read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 1000 != 997 - tag
+    )
+
+
+def test_shingle_hashes_memoizes_same_plan(spark, sf_dir):
+    d1 = _docs(spark, sf_dir, 0)
+    d2 = _docs(spark, sf_dir, 0)  # distinct handle, same analyzed plan
+    a = shingle_hashes(d1, "doc_id", "text", 3)
+    b = shingle_hashes(d2, "doc_id", "text", 3)
+    assert a is b
+    # different shingle order → different frame
+    c = shingle_hashes(d1, "doc_id", "text", 4)
+    assert c is not a
+
+
+def test_shingle_hashes_repersists_after_clear_cache(spark, sf_dir):
+    d = _docs(spark, sf_dir, 1)
+    a = shingle_hashes(d, "doc_id", "text", 3)
+    n = a.count()
+    assert n > 0
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    spark.catalog.clearCache()
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    b = shingle_hashes(d, "doc_id", "text", 3)
+    assert b is a
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    assert b.count() == n
+    spark.catalog.clearCache()
+
+
+def test_dedup_suite_shares_one_shingle_pass(spark, sf_dir, monkeypatch):
+    """ngram_jaccard_pairs + containment_pairs over the same corpus
+    shingle ONCE: the second operator reuses the memoized frame, so the
+    underlying Arrow stage is constructed a single time."""
+    calls = {"n": 0}
+    real = dedup.shingle_hash_rows
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dedup, "shingle_hash_rows", counting)
+    d = _docs(spark, sf_dir, 2)
+    jac = dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    cont = dedup.ngram_containment_pairs(d, threshold=0.9).collect()
+    assert calls["n"] == 1
+    # sanity: both produced plausible frames (counts depend on corpus)
+    assert isinstance(jac, list) and isinstance(cont, list)
+    spark.catalog.clearCache()
+
+
+def test_bloom_fused_probe_matches_unfused(spark, sf_dir):
+    """The fused shingle→probe→count Arrow stage must agree exactly
+    with the unfused pipeline (shingle_string_rows → bloom_probe →
+    groupBy) — same bitmap, same docs, identical per-doc counters."""
+    m, k, n = 1 << 14, 3, 3
+    d = read_table(spark, sf_dir, "documents")
+    bench = dedup.shingle_string_rows(
+        d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", n
+    ).select("shingle")
+    bitmap = bloom_bitmap(bench, "shingle", m, k)
+
+    fused = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"])
+        for r in bloom_shingle_probe_counts(
+            d, bitmap, "doc_id", "text", n, m, k
+        ).collect()
+    }
+    sh = dedup.shingle_string_rows(d, "doc_id", "text", n)
+    unfused = {
+        r["_id"]: (r["n_shingles"], r["n_flagged"])
+        for r in bloom_probe(sh, bitmap, "shingle", m, k)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("int"))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .collect()
+    }
+    assert fused == unfused
+    assert sum(v[1] for v in fused.values()) > 0  # bench docs self-flag
+    spark.catalog.clearCache()
