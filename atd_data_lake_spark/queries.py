@@ -2501,6 +2501,16 @@ from atd_data_lake_spark.round45_queries import (  # noqa: E402
 
 QUERIES.update(ROUND45_QUERIES)
 ORACLES.update(ROUND45_ORACLES)
+
+from atd_data_lake_spark.round46_queries import (  # noqa: E402
+    ROUND46_QUERIES,
+    round46_oracles,
+)
+
+QUERIES.update(ROUND46_QUERIES)
+# deferred builder: the composite oracle reuses this module's
+# _text_profile_sql/_bucket_sql, which exist by this point of the import
+ORACLES.update(round46_oracles())
 # assembled here, where the shared jaccard SQL builder lives: the
 # prefix-filter path must agree with the SAME exact-Jaccard pair SQL
 # the inverted-index path is checked against

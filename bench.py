@@ -136,6 +136,10 @@ HEADLINE = [
     "cur_bloom_decontam",
     "agg_kmv_distinct",
     "dq_logreg_quality_train",
+    # round-46 flagship (end-to-end curation DAG: profile → gate →
+    # decontam → Jaccard dedup → components → leakage-safe split in
+    # ONE query, two Arrow corpus passes total)
+    "cur_full_pipeline",
     # NOT headlined: dedup_jaccard_prefix — the prefix-filter strategy
     # is documented SLOWER than the inverted index on this corpus's
     # near-uniform vocabulary (operators/dedup.py docstring measures

@@ -72,6 +72,30 @@ def test_dedup_suite_shares_one_shingle_pass(spark, sf_dir, monkeypatch):
     spark.catalog.clearCache()
 
 
+def test_cur_full_pipeline_invariants(spark, sf_dir):
+    """Pipeline-level invariants the per-stage oracles can't see:
+    no benchmark doc survives, every component id is itself a surviving
+    doc (min-id labeling over survivor pairs), and a component's docs
+    all land in the same split (the leakage-safe property)."""
+    from atd_data_lake_spark.round46_queries import cur_full_pipeline
+
+    rows = cur_full_pipeline(spark, sf_dir).collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    assert all(r["doc_id"] % 20 != 0 for r in rows)
+    by_comp: dict = {}
+    for r in rows:
+        assert r["component"] in ids
+        assert r["is_canonical"] == (r["doc_id"] == r["component"])
+        assert r["split"] in ("train", "val", "test")
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # every cluster has exactly one canonical member — its own id
+    canon = {r["component"] for r in rows}
+    assert canon <= ids
+    spark.catalog.clearCache()
+
+
 def test_bloom_fused_probe_matches_unfused(spark, sf_dir):
     """The fused shingle→probe→count Arrow stage must agree exactly
     with the unfused pipeline (shingle_string_rows → bloom_probe →
