@@ -138,24 +138,27 @@ def _replay_active_stats(
 ) -> tuple[list[str], dict[str, dict]]:
     """TABLE-RELATIVE active file list at ``version`` plus the per-file
     column stats recorded by each commit: start from the newest
-    checkpoint ≤ ``version`` (full replay if none, or if the checkpoint
-    file is unreadable — a checkpoint is an ACCELERATOR, the commit log
+    READABLE checkpoint ≤ ``version`` (progressively older ones are
+    tried when the newest is corrupt/missing — the same fallback ladder
+    as ``_commit_ids_upto``, ADVICE r8; full replay only when none
+    loads, because a checkpoint is an ACCELERATOR and the commit log
     stays the source of truth), then apply the remaining commits in
     order.  Stats are best-effort metadata: a file with no recorded
     stats (pre-stats commit, harvest failure) simply has no entry."""
     active: list[str] = []
     stats: dict[str, dict] = {}
     start_v = 0
-    ckpts = [c for c in _list_checkpoints(table) if c <= version]
-    if ckpts:
+    for c in reversed([c for c in _list_checkpoints(table) if c <= version]):
         try:
-            with open(_checkpoint_file(table, ckpts[-1])) as f:
+            with open(_checkpoint_file(table, c)) as f:
                 ck = json.load(f)
             active = list(ck["active"])
             start_v = int(ck["version"])
             stats = dict(ck.get("stats", {}))
+            break
         except (OSError, ValueError, KeyError):
             active, stats, start_v = [], {}, 0
+            continue  # corrupt/partial checkpoint: try an older one
     for v in _list_versions(table):
         if v <= start_v:
             continue
@@ -367,6 +370,102 @@ def pruned_files(
                 continue
         kept.append(os.path.join(table, f))
     return kept
+
+
+def pruned_files_multi(
+    table: str,
+    predicates: dict,
+    version: int | None = None,
+) -> list[str]:
+    """Multi-column file skipping (r9, VERDICT r8 item 6): the subset of
+    ``snapshot_files`` whose stats overlap EVERY ``column: (lo, hi)``
+    range in ``predicates`` — the per-column prunings intersect, so a
+    2-predicate read over a ``write_clustered`` layout opens only the
+    files where both ranges land.  Missing stats keep a file for that
+    column (conservative, same contract as :func:`pruned_files`)."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    active, stats = _replay_active_stats(table, version)
+    bounds = {
+        col: (_ser_stat(lo), _ser_stat(hi))
+        for col, (lo, hi) in predicates.items()
+    }
+    kept = []
+    for f in active:
+        fstats = stats.get(f, {})
+        drop = False
+        for col, (slo, shi) in bounds.items():
+            st = fstats.get(col)
+            if st is None:
+                continue
+            if (
+                shi is not None
+                and _stat_comparable(st["min"], shi)
+                and st["min"] > shi
+            ) or (
+                slo is not None
+                and _stat_comparable(st["max"], slo)
+                and st["max"] < slo
+            ):
+                drop = True
+                break
+        if not drop:
+            kept.append(os.path.join(table, f))
+    return kept
+
+
+def prune_report(
+    table: str,
+    predicates: dict,
+    version: int | None = None,
+) -> dict:
+    """Skipping audit (the PLANS.md-style row): files_total /
+    files_kept / skip_ratio for a predicate set, decided purely from
+    commit-log stats — what an engine EXPLAIN would print as
+    "files pruned by statistics"."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    total = len(_replay_active(table, version))
+    kept = len(pruned_files_multi(table, predicates, version))
+    return {
+        "files_total": total,
+        "files_kept": kept,
+        "files_skipped": total - kept,
+        "skip_ratio": round((total - kept) / total, 6) if total else 0.0,
+    }
+
+
+def read_where_multi(
+    spark: SparkSession,
+    table: str,
+    predicates: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with MULTI-COLUMN file skipping: open only files
+    whose stats overlap every ``column: (lo, hi)`` range, then apply
+    every residual predicate — result-identical to chaining
+    ``.filter(lo <= col <= hi)`` for each entry (NULLs excluded, as any
+    range predicate does).  Pair with :func:`write_clustered` so the
+    per-file ranges are tight on the clustered columns."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    files = pruned_files_multi(table, predicates, version)
+    if files:
+        df = spark.read.parquet(*files)
+    else:
+        df = read_table(spark, table, version).limit(0)
+    for col, (lo, hi) in predicates.items():
+        ctype = df.schema[col].dataType
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo).cast(ctype))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi).cast(ctype))
+        if lo is None and hi is None:
+            df = df.filter(F.col(col).isNotNull())
+    return df
 
 
 def read_where(
@@ -597,6 +696,34 @@ def append(
         except CommitConflict:
             continue
     raise CommitConflict(f"{table}: append could not land after 20 retries")
+
+
+def write_clustered(
+    df: DataFrame,
+    table: str,
+    cluster_by: list[str],
+    num_files: int = 8,
+    commit_id: str | None = None,
+) -> CommitResult:
+    """Append commit with a CLUSTERED layout (r9, VERDICT r8 item 6):
+    range-repartition on ``cluster_by`` into ``num_files`` output
+    files and sort within each, so the commit-harvested min/max stats
+    are range-disjoint on the leading cluster column and tight on the
+    rest — the write-side half of data skipping that makes
+    :func:`read_where_multi`'s pruning actually fire (Delta's
+    OPTIMIZE ZORDER / Iceberg's sort-order write, expressed as
+    Catalyst's own range partitioner + local sort; for true
+    multi-dimension locality pass a Morton key from
+    ``operators.layout.zorder_layout`` as the single cluster column).
+
+    100 TB shape: one range-exchange over the batch (sampled bounds,
+    skew-safe) + a local sort — exactly what the engine's own
+    ``sortBy`` write path costs; stats harvesting stays zero extra
+    reads (footers only)."""
+    clustered = df.repartitionByRange(
+        num_files, *[F.col(c) for c in cluster_by]
+    ).sortWithinPartitions(*cluster_by)
+    return append(clustered, table, commit_id=commit_id)
 
 
 def _norm_file(uri: str) -> str:

@@ -173,11 +173,22 @@ def cur_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("_key"),
     )
+    # final presentation order uses the UNROUNDED key, exactly like the
+    # oracle's ORDER BY (ADVICE r8: ordering by the 9-dp-rounded
+    # sample_key could emit two near-tied rows in a different order
+    # than DuckDB; the verify harness sorts rows, but the contract
+    # shouldn't lean on that)
     return (
         scored.orderBy(F.col("_key").desc(), F.col("doc_id"))
         .limit(_RES_K)
-        .select("doc_id", "weight", F.round("_key", 9).alias("sample_key"))
-        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .select(
+            "doc_id",
+            "weight",
+            F.round("_key", 9).alias("sample_key"),
+            F.col("_key").alias("_order_key"),
+        )
+        .orderBy(F.col("_order_key").desc(), F.col("doc_id"))
+        .drop("_order_key")
     )
 
 

@@ -81,12 +81,18 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       the COMPONENT so a near-dup cluster lands wholly in one split
       (the leakage-safe variant of ``cur_split_assign``).
     """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return full_pipeline_frame(d)
+
+
+def full_pipeline_frame(d: DataFrame) -> DataFrame:
+    """The DAG over an arbitrary (doc_id, text) frame — the registry
+    query reads the testdata table; ``tools/scale_smoke.py`` drives the
+    same composition over the 10×-replicated corpus."""
     from atd_data_lake_spark.operators.components import connected_components
     from atd_data_lake_spark.operators.curation import hash_u16
     from atd_data_lake_spark.operators.dedup import shingle_hashes
     from atd_data_lake_spark.operators.text import profile_documents
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     # Arrow pass 1: profile.  Persist only the NARROW meta frame — the
     # corpus text never enters a cache.

@@ -180,3 +180,113 @@ def test_timestamp_stats_prune_by_iso_order(spark, tmp_path):
     hi = datetime.datetime(2024, 3, 16)
     assert len(txlog.pruned_files(table, "ts", lo, hi)) == 1
     assert txlog.read_where(spark, table, "ts", lo, hi).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# r9: multi-column skipping over a clustered write (VERDICT r8 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_write_clustered_two_predicate_read_opens_intersection(
+    spark, tmp_path
+):
+    """A 2-predicate read over a write_clustered layout must open ONLY
+    the files where both ranges land: 16 range-disjoint files on id,
+    both predicates together keep exactly one."""
+    table = str(tmp_path / "ctbl")
+    rows = [(i, float(i), f"s{i:03d}") for i in range(1600)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    txlog.write_clustered(df, table, cluster_by=["id", "v"], num_files=16)
+    assert len(txlog.snapshot_files(table)) == 16
+
+    # id and v are perfectly correlated here, so a narrow band on both
+    # intersects exactly one 100-row file
+    preds = {"id": (250, 299), "v": (250.0, 299.0)}
+    kept = txlog.pruned_files_multi(table, preds)
+    assert len(kept) == 1
+    rep = txlog.prune_report(table, preds)
+    assert rep == {
+        "files_total": 16,
+        "files_kept": 1,
+        "files_skipped": 15,
+        "skip_ratio": round(15 / 16, 6),
+    }
+    # one-sided / single-column predicates intersect conservatively
+    assert len(txlog.pruned_files_multi(table, {"id": (None, 99)})) == 1
+    assert (
+        len(txlog.pruned_files_multi(table, {"id": (0, 199), "v": (150.0, None)}))
+        == 1
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in txlog.read_where_multi(spark, table, preds).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in txlog.read_table(spark, table)
+        .filter((F.col("id") >= 250) & (F.col("id") <= 299))
+        .filter((F.col("v") >= 250.0) & (F.col("v") <= 299.0))
+        .collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_compact_and_merge_preserve_stats(spark, tmp_path):
+    """Every rewrite verb routes through commit() -> _harvest_stats, so
+    the files a compact or CDC-merge writes carry skip stats too."""
+    table = str(tmp_path / "mtbl")
+    b1 = spark.createDataFrame(
+        [(i, float(i), "a") for i in range(0, 50)], "id long, v double, s string"
+    ).coalesce(1)
+    b2 = spark.createDataFrame(
+        [(i, float(i), "a") for i in range(50, 100)], "id long, v double, s string"
+    ).coalesce(1)
+    txlog.append(b1, table)
+    txlog.append(b2, table)
+
+    # MERGE (CDC path): upsert a slice; new files must carry stats
+    src = spark.createDataFrame(
+        [(10, 1000.0, "z"), (200, 200.0, "n")], "id long, v double, s string"
+    ).coalesce(1)
+    txlog.merge(spark, table, src, on=["id"])
+    stats = txlog.snapshot_stats(table)
+    files = txlog.snapshot_files(table)
+    assert files and all(f in stats and "v" in stats[f] for f in files)
+    # the merged-slice file's max reflects the upserted value
+    assert any(st["v"]["max"] >= 1000.0 for st in stats.values())
+
+    # OPTIMIZE/compact: rewritten file carries fresh whole-table stats
+    txlog.compact(spark, table, target_files=1)
+    stats = txlog.snapshot_stats(table)
+    files = txlog.snapshot_files(table)
+    assert len(files) == 1 and files[0] in stats
+    st = stats[files[0]]
+    assert st["id"]["min"] == 0 and st["id"]["max"] == 200
+    assert st["v"]["max"] == 1000.0
+    # and pruning still fires post-compact (single file: trivially kept)
+    assert txlog.prune_report(table, {"id": (0, 10)})["files_kept"] == 1
+
+
+def test_stats_replay_falls_back_to_older_checkpoint(spark, tmp_path):
+    """ADVICE r8: _replay_active_stats must try progressively older
+    checkpoints (like _commit_ids_upto) instead of jumping straight to
+    full replay when the newest checkpoint is corrupt."""
+    table = str(tmp_path / "ktbl")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(j, float(j)) for j in range(i * 10, i * 10 + 10)],
+            "id long, v double",
+        ).coalesce(1)
+        txlog.append(df, table)
+        txlog.write_checkpoint(table)
+    ckpts = txlog._list_checkpoints(table)
+    assert len(ckpts) == 4
+    # corrupt the NEWEST checkpoint
+    with open(txlog._checkpoint_file(table, ckpts[-1]), "w") as f:
+        f.write("{not json")
+    active, stats = txlog._replay_active_stats(table, ckpts[-1])
+    assert len(active) == 4
+    assert all(f in stats for f in active)
+    # and pruning over the recovered stats still works
+    assert len(txlog.pruned_files(table, "v", 15.0, 15.0)) == 1

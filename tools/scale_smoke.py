@@ -549,6 +549,33 @@ def main() -> None:
 
     ops["bloom_decontam"] = bloom_decontam_10x
 
+    # round-9 additions: the fused Bloom decontam pass (bitmap = closure
+    # constant; corpus crosses ONE Arrow stage emitting a row per doc) and
+    # the end-to-end curation DAG (every replica is a near-dup of its
+    # source, so components see 10-member clusters — the split-leakage
+    # worst case)
+    from atd_data_lake_spark.operators.dedup import shingle_string_rows
+    from atd_data_lake_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_shingle_probe_counts,
+    )
+    from atd_data_lake_spark.round46_queries import full_pipeline_frame
+
+    def bloom_fused_decontam_10x():
+        bench_sh = shingle_string_rows(
+            docs.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", 3,
+            fan=False,
+        ).select("shingle")
+        bitmap = bloom_bitmap(bench_sh, "shingle", 1 << 18, 3)
+        return bloom_shingle_probe_counts(
+            docs, bitmap, "doc_id", "text", 3, 1 << 18, 3
+        )
+
+    ops["bloom_fused_decontam"] = bloom_fused_decontam_10x
+    ops["cur_full_pipeline"] = lambda: full_pipeline_frame(
+        docs.select("doc_id", "text")
+    )
+
     only = os.environ.get("SCALE_SMOKE_ONLY")
     if only:
         wanted = {w.strip() for w in only.split(",") if w.strip()}
