@@ -280,12 +280,320 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_txlog_cluster_skip_executed — EXECUTED multi-column skipping
+# ---------------------------------------------------------------------------
+
+
+def evt_txlog_cluster_skip_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXECUTED clustered-write + MULTI-COLUMN file skipping through the
+    txlog (the r9 ``write_clustered``/``read_where_multi`` pair): events
+    land as ONE clustered commit (range-partitioned and sorted on
+    (user_id, value) into 8 files, so each file's commit-log min/max is
+    range-disjoint on user_id), then a 2-predicate read
+    (user_id ∈ [100, 500] AND value ∈ [10, 50]) intersects the
+    per-column prunings and opens only the files where BOTH ranges
+    land.  Rollup of what came back, value-hashed against raw events —
+    the oracle pins that pruning never changes RESULTS; the file-count
+    assertion (1 of 16 for a correlated 2-predicate band) lives in
+    tests/test_txlog_skipping.py."""
+    import shutil
+    import tempfile
+
+    from atd_data_lake_spark.io import txlog
+
+    work = tempfile.mkdtemp(prefix="txlog_cskip_")
+    try:
+        table = f"{work}/tbl"
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        txlog.write_clustered(
+            ev, table, cluster_by=["user_id", "value"], num_files=8,
+            commit_id="clustered-load",
+        )
+        picked = txlog.read_where_multi(
+            spark, table,
+            {"user_id": (100, 500), "value": (10.0, 50.0)},
+        )
+        agg = (
+            picked.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(14,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = agg.collect()  # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+EVT_TXLOG_CLUSTER_SKIP_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_value
+FROM events
+WHERE user_id BETWEEN 100 AND 500
+  AND value BETWEEN 10.0 AND 50.0
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_ks_statistic — two-sample Kolmogorov-Smirnov distance
+# ---------------------------------------------------------------------------
+
+
+def dq_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between the value distributions of
+    'click' and 'error' events: D = max over observed points of
+    |ECDF_click(v) − ECDF_error(v)| — the standard drift test one rung
+    above ``dq_psi_drift``'s binned PSI (no binning policy, exact).
+
+    Engine-exactness: per grouped value the two cumulative counts are
+    exact BIGINTs; each |c1/n1 − c2/n2| is one fixed parenthesization
+    of bigint/bigint IEEE divisions, so both engines compute the
+    identical double and MAX picks the same one; rounded to 6 dp at
+    the very end.
+
+    100 TB shape: events collapse to one row per DISTINCT value (one
+    map-side-combined groupBy) before the cumulative window — the
+    ``dq_classifier_auc`` reduction argument: the global-order window
+    runs over the |distinct values| frame (17.8k rows at sf0.1), never
+    raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(
+                g.agg(
+                    F.sum("a").cast("long").alias("n1"),
+                    F.sum("b").cast("long").alias("n2"),
+                )
+            )
+        )
+        .agg(
+            F.max(F.col("n1")).cast("long").alias("n_click"),
+            F.max(F.col("n2")).cast("long").alias("n_error"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("n1") - F.col("cb") / F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+DQ_KS_STATISTIC_SQL = """
+WITH g AS (
+    SELECT value,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+    FROM events WHERE event_type IN ('click', 'error')
+    GROUP BY value
+),
+tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM g),
+cum AS (
+    SELECT sum(a) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(b) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+    FROM g
+)
+SELECT CAST(max(n1) AS BIGINT) AS n_click,
+       CAST(max(n2) AS BIGINT) AS n_error,
+       round(max(abs(ca / CAST(n1 AS DOUBLE) - cb / CAST(n2 AS DOUBLE))), 6)
+           AS ks_stat
+FROM cum, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_benford_digits — leading-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-significant-digit census of event values against
+    Benford's law — the classic fabricated-data screen.  The digit is
+    taken from the INTEGER round(value·100) rendered as a string (both
+    engines print integers identically), sidestepping cross-engine
+    log10/float-formatting divergence on the digit extraction itself;
+    expected probabilities are log(1+1/d)/log(10) with the division
+    spelled out (fixed parenthesization), rounded with the observed
+    frequency and the χ² contribution to 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    n100 = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        F.substring(n100.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = d.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    exp_n = F.col("n_total") * p
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_frac"),
+            F.round(p, 6).alias("benford_prob"),
+            F.round(
+                (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n,
+                6,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INT) AS digit
+    FROM events
+),
+counts AS (
+    SELECT digit, count(*) AS n_obs FROM d WHERE digit >= 1 GROUP BY digit
+),
+tot AS (SELECT sum(n_obs) AS n_total FROM counts)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs / CAST(n_total AS DOUBLE), 6) AS obs_frac,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_prob,
+       round((n_obs - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             * (n_obs - n_total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             / (n_total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6)
+           AS chi2_part
+FROM counts, tot
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_good_turing — frequency-of-frequencies smoothing table
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 20
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over corpus token
+    counts: for each token frequency r ≤ 20, the number of distinct
+    tokens n_r seen exactly r times and the Turing estimate
+    r* = (r+1)·n_{r+1}/n_r (Good '53) — the smoothing table a
+    held-out LM scorer needs for unseen-mass estimation (the
+    Kneser-Ney cousin of ``text_kn_bigram_logprob``).
+
+    100 TB shape: tokens collapse by TWO map-side-combined aggregates
+    (token → count, count → n_r); the lead lookup runs over the tiny
+    frequency-of-frequencies table, never tokens, and the output is the
+    ``_GT_MAX_R`` SMALLEST frequency classes (ordered limit — the
+    synthetic corpus's dense vocabulary starts its r classes in the
+    hundreds, so an absolute r cap would be empty).  Same tokenizer
+    parity as ``text_top_tokens`` (split on ' ', empties dropped)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("r"))
+    nr = freq.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    w = Window.orderBy("r")
+    return (
+        nr.withColumn("_next_r", F.lead("r").over(w))
+        .withColumn("_next_n", F.lead("n_r").over(w))
+        .orderBy("r")
+        .limit(_GT_MAX_R)
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.round(
+                F.when(
+                    F.col("_next_r") == F.col("r") + 1,
+                    (F.col("r") + 1)
+                    * (F.col("_next_n") / F.col("n_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )
+
+
+TEXT_GOOD_TURING_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+    SELECT token, count(*) AS r FROM toks WHERE token <> '' GROUP BY token
+),
+nr AS (SELECT r, count(*) AS n_r FROM freq GROUP BY r),
+led AS (
+    SELECT r, n_r,
+           lead(r) OVER (ORDER BY r) AS next_r,
+           lead(n_r) OVER (ORDER BY r) AS next_n
+    FROM nr
+)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(n_r AS BIGINT) AS n_r,
+       round(CASE WHEN next_r = r + 1
+                  THEN (r + 1) * (next_n / CAST(n_r AS DOUBLE))
+                  ELSE 0.0 END, 6) AS r_star
+FROM led
+ORDER BY r
+LIMIT {_GT_MAX_R}
+"""
+
+
 ROUND46_QUERIES = {
     "cur_full_pipeline": cur_full_pipeline,
+    "evt_txlog_cluster_skip_executed": evt_txlog_cluster_skip_executed,
+    "dq_ks_statistic": dq_ks_statistic,
+    "dq_benford_digits": dq_benford_digits,
+    "text_good_turing": text_good_turing,
 }
 
 
 def round46_oracles() -> dict[str, str]:
     return {
         "cur_full_pipeline": _cur_full_pipeline_sql(),
+        "evt_txlog_cluster_skip_executed": EVT_TXLOG_CLUSTER_SKIP_SQL,
+        "dq_ks_statistic": DQ_KS_STATISTIC_SQL,
+        "dq_benford_digits": DQ_BENFORD_SQL,
+        "text_good_turing": TEXT_GOOD_TURING_SQL,
     }

@@ -79,6 +79,11 @@ BNLJ_ALLOWED = {
     # onto the feature scan (broadcast pass-through ×4: 3 gradients +
     # the final loss) — the in-plan training loop's model distribution
     "dq_logreg_quality_train",
+    # r9: 1-row broadcast pass-throughs — the KS test's (n1, n2) sample
+    # totals crossJoin the |distinct values| cumulative frame; Benford's
+    # 1-row digit total crossJoins the ≤9-row digit census
+    "dq_ks_statistic",
+    "dq_benford_digits",
 }
 
 
