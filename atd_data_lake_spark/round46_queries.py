@@ -580,12 +580,259 @@ LIMIT {_GT_MAX_R}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_js_divergence — Jensen-Shannon divergence between two corpus halves
+# ---------------------------------------------------------------------------
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token
+    distributions of the even- and odd-doc_id halves of the corpus —
+    the symmetric, bounded [0, ln 2] drift measure for TEXT the KS test
+    is for numeric columns (corpus-mix monitoring: did the new crawl
+    shift the token distribution?).
+
+    Engine-exactness: the ``text_bigram_logprob`` recipe — each
+    per-token contribution P·ln(P/M) is one fixed parenthesization of
+    exact-count IEEE divisions, rounded to 9 dp, and the corpus sum is
+    a DECIMAL(30,9) (order-independent), so both engines add identical
+    addends exactly; final JSD rounded to 6 dp.
+
+    100 TB shape: ONE map-side-combined groupBy(token) with conditional
+    counts carries both sides; the two scalar totals ride a 1-row
+    broadcast crossJoin (allowlisted pass-through).  Tokens shuffle
+    once, 16 bytes per distinct token.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("_even"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    g = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_even"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("_even"), 1).otherwise(0)).alias("b"),
+    )
+    tot = g.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    p = F.col("a") / F.col("na")
+    q = F.col("b") / F.col("nb")
+    m = (p + q) / F.lit(2.0)
+    term = lambda x: F.round(x * F.log(x / m), 9).cast(  # noqa: E731
+        "decimal(30,9)"
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            F.when(F.col("a") > 0, term(p)).otherwise(
+                F.lit(0).cast("decimal(30,9)")
+            ).alias("ta"),
+            F.when(F.col("b") > 0, term(q)).otherwise(
+                F.lit(0).cast("decimal(30,9)")
+            ).alias("tb"),
+        )
+        .agg(
+            F.max("na").cast("long").alias("n_tokens_even"),
+            F.max("nb").cast("long").alias("n_tokens_odd"),
+            F.round(
+                F.lit(0.5)
+                * (F.sum("ta") + F.sum("tb")).cast("double"),
+                6,
+            ).alias("jsd"),
+        )
+    )
+
+
+TEXT_JS_DIVERGENCE_SQL = """
+WITH toks AS (
+    SELECT doc_id % 2 = 0 AS even,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+g AS (
+    SELECT token,
+           sum(CASE WHEN even THEN 1 ELSE 0 END) AS a,
+           sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS b
+    FROM toks WHERE token <> '' GROUP BY token
+),
+tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM g),
+terms AS (
+    SELECT na, nb,
+           CASE WHEN a > 0 THEN CAST(round(
+               (a / CAST(na AS DOUBLE)) * ln((a / CAST(na AS DOUBLE))
+               / (((a / CAST(na AS DOUBLE)) + (b / CAST(nb AS DOUBLE))) / 2.0)),
+               9) AS DECIMAL(30,9)) ELSE CAST(0 AS DECIMAL(30,9)) END AS ta,
+           CASE WHEN b > 0 THEN CAST(round(
+               (b / CAST(nb AS DOUBLE)) * ln((b / CAST(nb AS DOUBLE))
+               / (((a / CAST(na AS DOUBLE)) + (b / CAST(nb AS DOUBLE))) / 2.0)),
+               9) AS DECIMAL(30,9)) ELSE CAST(0 AS DECIMAL(30,9)) END AS tb
+    FROM g, tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_tokens_even,
+       CAST(max(nb) AS BIGINT) AS n_tokens_odd,
+       round(0.5 * CAST(sum(ta) + sum(tb) AS DOUBLE), 6) AS jsd
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# mb_sequential_rules — next-event transition rules
+# ---------------------------------------------------------------------------
+
+
+def mb_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules over per-user event streams:
+    consecutive (prev_type → next_type) transitions ordered by
+    (ts, event_id), with support and confidence — the market-basket
+    family's temporal cousin (``mb_copurchase_lift`` without the
+    order-blindness).
+
+    100 TB shape: ONE per-user window (lead over the user's timeline —
+    the sessionize exchange) feeds one map-side-combined pair count;
+    confidence joins the ≤|types|² pair frame against its ≤|types|
+    margin (broadcast).  Ties broken by event_id so both engines see
+    the identical sequence.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    margin = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("n_prev")
+    )
+    return (
+        trans.join(F.broadcast(margin), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("n_prev"), 6).alias("confidence"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+MB_SEQUENTIAL_RULES_SQL = """
+WITH seq AS (
+    SELECT event_type AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+margin AS (SELECT prev_type, sum(n) AS n_prev FROM trans GROUP BY 1)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       round(t.n / CAST(m.n_prev AS DOUBLE), 6) AS confidence
+FROM trans t JOIN margin m USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_stream_benford_executed — 11th EXECUTED streaming query
+# ---------------------------------------------------------------------------
+
+_SBF_WINDOW = "60 minutes"
+_SBF_DELAY = "30 minutes"
+
+
+def evt_stream_benford_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXECUTED Structured Streaming twin of ``dq_benford_digits``: the
+    stream maintains per (hour window, leading digit) COUNTS in append
+    mode (watermark-finalized — bounded state, ≤ 9 counters per window)
+    and the fraud-screen fractions are derived on READ over the sink —
+    live data-quality monitoring in the same split-the-work shape as
+    the sketch-quantile stream (the unbounded side only ever holds
+    mergeable counters).
+
+    Harness discipline per round-34: NTZ event time, named memory sink
+    stopped before reuse, availableNow drain."""
+    from pyspark.sql import Window
+
+    from atd_data_lake_spark.round34_queries import _drain, _events_stream
+
+    src = _events_stream(spark, sf_dir)
+    its = F.to_utc_timestamp("ts", "UTC")
+    n100 = F.round(F.col("value") * 100).cast("long")
+    digits = (
+        src.select(
+            its.alias("its"),
+            F.substring(n100.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            ),
+        )
+        .filter(F.col("digit") >= 1)
+        .withWatermark("its", _SBF_DELAY)
+        .groupBy(F.window("its", _SBF_WINDOW).alias("w"), "digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    sink = _drain(digits, "evt_stream_benford_sink", spark, "append")
+    w_all = Window.partitionBy("w")
+    return (
+        sink.select(
+            F.col("w.start").alias("window_start"),
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("n_obs") / F.sum("n_obs").over(w_all), 6
+            ).alias("obs_frac"),
+        )
+        .orderBy("window_start", "digit")
+    )
+
+
+EVT_STREAM_BENFORD_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+d AS (
+    SELECT make_timestamp(
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+             AS window_start,
+           CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INT) AS digit
+    FROM events
+),
+counts AS (
+    SELECT window_start, digit, count(*) AS n_obs
+    FROM d WHERE digit >= 1 GROUP BY 1, 2
+),
+fin AS (
+    SELECT c.* FROM counts c, mx
+    WHERE epoch(c.window_start) + 3600 <= epoch(m) - 1800
+)
+SELECT window_start, digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs / CAST(sum(n_obs) OVER (PARTITION BY window_start)
+             AS DOUBLE), 6) AS obs_frac
+FROM fin
+ORDER BY window_start, digit
+"""
+
+
 ROUND46_QUERIES = {
     "cur_full_pipeline": cur_full_pipeline,
     "evt_txlog_cluster_skip_executed": evt_txlog_cluster_skip_executed,
     "dq_ks_statistic": dq_ks_statistic,
     "dq_benford_digits": dq_benford_digits,
     "text_good_turing": text_good_turing,
+    "text_js_divergence": text_js_divergence,
+    "mb_sequential_rules": mb_sequential_rules,
+    "evt_stream_benford_executed": evt_stream_benford_executed,
 }
 
 
@@ -596,4 +843,7 @@ def round46_oracles() -> dict[str, str]:
         "dq_ks_statistic": DQ_KS_STATISTIC_SQL,
         "dq_benford_digits": DQ_BENFORD_SQL,
         "text_good_turing": TEXT_GOOD_TURING_SQL,
+        "text_js_divergence": TEXT_JS_DIVERGENCE_SQL,
+        "mb_sequential_rules": MB_SEQUENTIAL_RULES_SQL,
+        "evt_stream_benford_executed": EVT_STREAM_BENFORD_SQL,
     }

@@ -81,9 +81,11 @@ BNLJ_ALLOWED = {
     "dq_logreg_quality_train",
     # r9: 1-row broadcast pass-throughs — the KS test's (n1, n2) sample
     # totals crossJoin the |distinct values| cumulative frame; Benford's
-    # 1-row digit total crossJoins the ≤9-row digit census
+    # 1-row digit total crossJoins the ≤9-row digit census; JS
+    # divergence's (na, nb) corpus totals crossJoin the per-token frame
     "dq_ks_statistic",
     "dq_benford_digits",
+    "text_js_divergence",
 }
 
 

