@@ -138,6 +138,78 @@ def cosine_topk(
     )
 
 
+def maxdot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k MAXIMUM-INNER-PRODUCT neighbors per query vector —
+    the retrieval contract of a trained two-tower / recommendation
+    model, where magnitude carries signal and cosine's normalization
+    would erase it (MIPS; Shrivastava & Li NIPS'14 frame the
+    reduction-to-cosine; here the brute-force baseline is exact).
+
+    Same shape as :func:`cosine_topk`: queries are driver-small and
+    ship in the task closure, the corpus crosses ONE Arrow stage that
+    emits only each batch's top-k per query (≤ k·|queries| rows per
+    partition), and a final window keeps the global k.  Output:
+    (query_id, neighbor_id, dot, rank), ties broken by neighbor id.
+    """
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("dot", T.DoubleType()),
+        ]
+    )
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = _round_half_up(mat @ qmat.T)  # n×q
+            outs = []
+            for j, qid in enumerate(qids):
+                col = dots[:, j]
+                keep = ids != qid  # exclude self
+                cand_ids, cand_dots = ids[keep], col[keep]
+                order = np.lexsort((cand_ids, -cand_dots))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "dot": cand_dots[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score_batch, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -824,6 +824,161 @@ ORDER BY window_start, digit
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_maxdot_topk — brute-force maximum-inner-product search
+# ---------------------------------------------------------------------------
+
+
+def sim_maxdot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MIPS top-10 for query vectors vec_id < 5
+    (operators/similarity.maxdot_topk) — the two-tower retrieval
+    contract beside ``sim_knn_bruteforce``'s cosine: magnitude counts."""
+    from atd_data_lake_spark.operators.similarity import maxdot_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = maxdot_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SIM_MAXDOT_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+    FROM embeddings WHERE vec_id < 5
+),
+s AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_inner_product(q.qvec, CAST(e.embedding AS DOUBLE[])), 6)
+               AS dot
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot, rank
+FROM (
+    SELECT query_id, neighbor_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id ASC) AS rank
+    FROM s
+) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_funnel_conversion — ordered funnel completion per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user reaches stage i+1
+    only with an event STRICTLY AFTER their stage-i entry time (the
+    classic product-analytics sequence constraint, not mere presence).
+    Output: one row per stage with reach count and conversion from the
+    previous stage.
+
+    Engine-exactness: stage times are exact min-aggregates of
+    timestamps; the strict ordering needs only the previous stage's min
+    ts, so both engines agree bit-for-bit; the conversion division and
+    its HALF_UP rounding run engine-side.
+
+    100 TB shape: three user_id-keyed aggregates chained by equi-joins
+    on user_id — each stage's frame is PER-USER (≤ |users| rows, not
+    events), each join co-partitions on the same key so AQE reuses the
+    exchange, and stage i+1's event filter (`event_type = X AND
+    ts > t_prev`) prunes before its aggregate.  No window over raw
+    events, no per-user event lists; the final rollup is three scalar
+    counts over user-sized frames.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = v.count()
+    n_click = c.count()
+    n_buy = p.count()
+    # conversion division + rounding happens ENGINE-side (F.round is
+    # HALF_UP like DuckDB's round; Python's round() is half-even)
+    staged = spark.createDataFrame(
+        [
+            ("1_view", n_view, None),
+            ("2_click", n_click, n_view),
+            ("3_purchase", n_buy, n_click),
+        ],
+        "stage string, n_users long, _prev long",
+    )
+    return (
+        staged.select(
+            "stage",
+            "n_users",
+            F.when(
+                F.col("_prev") > 0,
+                F.round(F.col("n_users") / F.col("_prev"), 6),
+            ).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+),
+n AS (
+    SELECT (SELECT count(*) FROM v) AS nv,
+           (SELECT count(*) FROM c) AS nc,
+           (SELECT count(*) FROM p) AS np
+)
+SELECT stage, n_users, conversion FROM (
+    SELECT '1_view' AS stage, CAST(nv AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conversion FROM n
+    UNION ALL
+    SELECT '2_click', CAST(nc AS BIGINT),
+           CASE WHEN nv > 0 THEN round(nc / CAST(nv AS DOUBLE), 6) END
+    FROM n
+    UNION ALL
+    SELECT '3_purchase', CAST(np AS BIGINT),
+           CASE WHEN nc > 0 THEN round(np / CAST(nc AS DOUBLE), 6) END
+    FROM n
+) ORDER BY stage
+"""
+
+
 ROUND46_QUERIES = {
     "cur_full_pipeline": cur_full_pipeline,
     "evt_txlog_cluster_skip_executed": evt_txlog_cluster_skip_executed,
@@ -833,6 +988,8 @@ ROUND46_QUERIES = {
     "text_js_divergence": text_js_divergence,
     "mb_sequential_rules": mb_sequential_rules,
     "evt_stream_benford_executed": evt_stream_benford_executed,
+    "sim_maxdot_topk": sim_maxdot_topk,
+    "evt_funnel_conversion": evt_funnel_conversion,
 }
 
 
@@ -846,4 +1003,6 @@ def round46_oracles() -> dict[str, str]:
         "text_js_divergence": TEXT_JS_DIVERGENCE_SQL,
         "mb_sequential_rules": MB_SEQUENTIAL_RULES_SQL,
         "evt_stream_benford_executed": EVT_STREAM_BENFORD_SQL,
+        "sim_maxdot_topk": SIM_MAXDOT_SQL,
+        "evt_funnel_conversion": EVT_FUNNEL_SQL,
     }

@@ -244,3 +244,53 @@ def test_evt_stream_benford_matches_batch_on_finalized_windows(
     # deterministic across re-execution (stream re-drains from scratch)
     again = evt_stream_benford_executed(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sim_maxdot_topk_agrees_with_numpy(spark, sf_dir):
+    """The distributed MIPS result must equal a local numpy
+    brute-force over the same vectors (rank, id, rounded dot)."""
+    import numpy as np
+
+    from atd_data_lake_spark.round46_queries import sim_maxdot_topk
+
+    rows = sim_maxdot_topk(spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    for qid in {r["query_id"] for r in rows}:
+        got = [
+            (r["rank"], r["neighbor_id"], r["dot"])
+            for r in sorted(rows, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        dots = sorted(
+            (
+                (-float(np.dot(emb[qid], v)), nid)
+                for nid, v in emb.items()
+                if nid != qid
+            ),
+        )[: len(got)]
+        want = [
+            (i + 1, nid, round(-d, 6)) for i, (d, nid) in enumerate(dots)
+        ]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        assert all(abs(g[2] - w[2]) < 1e-5 for g, w in zip(got, want))
+
+
+def test_evt_funnel_conversion_monotone(spark, sf_dir):
+    from atd_data_lake_spark.round46_queries import evt_funnel_conversion
+
+    rows = {r["stage"]: r for r in evt_funnel_conversion(spark, sf_dir).collect()}
+    assert set(rows) == {"1_view", "2_click", "3_purchase"}
+    assert rows["1_view"]["conversion"] is None
+    # the funnel only narrows
+    assert (
+        rows["1_view"]["n_users"]
+        >= rows["2_click"]["n_users"]
+        >= rows["3_purchase"]["n_users"]
+    )
+    for s in ("2_click", "3_purchase"):
+        c = rows[s]["conversion"]
+        assert c is None or 0.0 <= c <= 1.0
