@@ -335,58 +335,13 @@ def snapshot_stats(table: str, version: int | None = None) -> dict[str, dict]:
     return {os.path.join(table, f): s for f, s in stats.items()}
 
 
-def pruned_files(
-    table: str,
-    column: str,
-    lo=None,
-    hi=None,
-    version: int | None = None,
+def _kept_files(
+    table: str, active: list[str], stats: dict, predicates: dict
 ) -> list[str]:
-    """The subset of ``snapshot_files`` that can contain rows with
-    ``column`` in [lo, hi] (either bound may be None = unbounded),
-    decided from commit-log min/max stats WITHOUT opening any data
-    file.  Files with no stats for ``column`` are conservatively kept —
+    """Overlap test shared by every pruning entry point: keep a file
+    unless SOME column's recorded [min, max] provably misses its
+    (lo, hi) range.  Missing stats keep the file for that column —
     pruning is an accelerator, the residual filter stays exact."""
-    table = _canon(table)
-    if version is None:
-        version = current_version(table)
-    active, stats = _replay_active_stats(table, version)
-    slo, shi = _ser_stat(lo), _ser_stat(hi)
-    kept = []
-    for f in active:
-        st = stats.get(f, {}).get(column)
-        if st is not None:
-            if (
-                shi is not None
-                and _stat_comparable(st["min"], shi)
-                and st["min"] > shi
-            ):
-                continue
-            if (
-                slo is not None
-                and _stat_comparable(st["max"], slo)
-                and st["max"] < slo
-            ):
-                continue
-        kept.append(os.path.join(table, f))
-    return kept
-
-
-def pruned_files_multi(
-    table: str,
-    predicates: dict,
-    version: int | None = None,
-) -> list[str]:
-    """Multi-column file skipping (r9, VERDICT r8 item 6): the subset of
-    ``snapshot_files`` whose stats overlap EVERY ``column: (lo, hi)``
-    range in ``predicates`` — the per-column prunings intersect, so a
-    2-predicate read over a ``write_clustered`` layout opens only the
-    files where both ranges land.  Missing stats keep a file for that
-    column (conservative, same contract as :func:`pruned_files`)."""
-    table = _canon(table)
-    if version is None:
-        version = current_version(table)
-    active, stats = _replay_active_stats(table, version)
     bounds = {
         col: (_ser_stat(lo), _ser_stat(hi))
         for col, (lo, hi) in predicates.items()
@@ -415,6 +370,37 @@ def pruned_files_multi(
     return kept
 
 
+def pruned_files(
+    table: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> list[str]:
+    """The subset of ``snapshot_files`` that can contain rows with
+    ``column`` in [lo, hi] (either bound may be None = unbounded),
+    decided from commit-log min/max stats WITHOUT opening any data
+    file.  Single-column form of :func:`pruned_files_multi`."""
+    return pruned_files_multi(table, {column: (lo, hi)}, version)
+
+
+def pruned_files_multi(
+    table: str,
+    predicates: dict,
+    version: int | None = None,
+) -> list[str]:
+    """Multi-column file skipping (r9, VERDICT r8 item 6): the subset of
+    ``snapshot_files`` whose stats overlap EVERY ``column: (lo, hi)``
+    range in ``predicates`` — the per-column prunings intersect, so a
+    2-predicate read over a ``write_clustered`` layout opens only the
+    files where both ranges land."""
+    table = _canon(table)
+    if version is None:
+        version = current_version(table)
+    active, stats = _replay_active_stats(table, version)
+    return _kept_files(table, active, stats, predicates)
+
+
 def prune_report(
     table: str,
     predicates: dict,
@@ -423,12 +409,13 @@ def prune_report(
     """Skipping audit (the PLANS.md-style row): files_total /
     files_kept / skip_ratio for a predicate set, decided purely from
     commit-log stats — what an engine EXPLAIN would print as
-    "files pruned by statistics"."""
+    "files pruned by statistics".  ONE log replay serves both counts."""
     table = _canon(table)
     if version is None:
         version = current_version(table)
-    total = len(_replay_active(table, version))
-    kept = len(pruned_files_multi(table, predicates, version))
+    active, stats = _replay_active_stats(table, version)
+    kept = len(_kept_files(table, active, stats, predicates))
+    total = len(active)
     return {
         "files_total": total,
         "files_kept": kept,

@@ -259,7 +259,12 @@ def shingle_hashes(
     try:
         plan_key = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover — connect-style sessions
-        plan_key = id(df)
+        # no stable plan identity available: do NOT memoize (an id(df)
+        # key could be recycled by the allocator after df is collected
+        # and silently serve another corpus's shingles — r9 review)
+        return _persist(
+            shingle_hash_rows(df, id_col, text_col, n, with_size=with_size)
+        )
     key = (id(spark), plan_key, id_col, text_col, n, with_size)
     got = _SHINGLE_FRAMES.get(key)
     if got is not None:

@@ -70,6 +70,84 @@ def drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     )
 
+def _scored_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    score_fn,
+    score_col: str,
+) -> DataFrame:
+    """Shared brute-force top-k scaffold for the exact retrieval
+    operators (cosine / inner-product): queries are driver-small and
+    ship in the task closure, the corpus crosses ONE Arrow stage that
+    emits each batch's top-k per query (≤ k·|queries| rows per
+    partition), and a final window keeps the global k.
+    ``score_fn(corpus_mat, query_mat) → n×q`` float64 scores.  Empty
+    query sets return an empty (schema-stable) frame instead of
+    crashing the Arrow stage (r9 review)."""
+    corpus = drop_null_vectors(corpus, vec_col)
+    queries = drop_null_vectors(queries, vec_col)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField(score_col, T.DoubleType()),
+        ]
+    )
+    if len(qrows) == 0:
+        # StructType.add mutates in place — build the ranked schema fresh
+        full_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField("rank", T.IntegerType())]
+        )
+        return corpus.sparkSession.createDataFrame([], full_schema)
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scores = _round_half_up(score_fn(mat, qmat))  # n×q
+            outs = []
+            for j, qid in enumerate(qids):
+                col = scores[:, j]
+                keep = ids != qid  # exclude self
+                cand_ids, cand_scores = ids[keep], col[keep]
+                # partial top-k within the batch: sort by (-score, id)
+                order = np.lexsort((cand_ids, -cand_scores))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            score_col: cand_scores[order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score_batch, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", score_col, "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -85,56 +163,9 @@ def cosine_topk(
     when ids collide.  Output: (query_id, neighbor_id, cos_sim, rank)
     with deterministic tie-break on neighbor id.
     """
-    corpus = drop_null_vectors(corpus, vec_col)
-    queries = drop_null_vectors(queries, vec_col)
-    qrows = queries.select(query_id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = _round_half_up(_cosine_matrix(mat, qmat))  # n×q
-            outs = []
-            for j, qid in enumerate(qids):
-                col = sims[:, j]
-                keep = ids != qid  # exclude self
-                cand_ids, cand_sims = ids[keep], col[keep]
-                # partial top-k within the batch: sort by (-sim, id)
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": cand_ids[order],
-                            "cos_sim": cand_sims[order],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
-        score_batch, schema=out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return _scored_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col,
+        _cosine_matrix, "cos_sim",
     )
 
 
@@ -152,61 +183,15 @@ def maxdot_topk(
     would erase it (MIPS; Shrivastava & Li NIPS'14 frame the
     reduction-to-cosine; here the brute-force baseline is exact).
 
-    Same shape as :func:`cosine_topk`: queries are driver-small and
-    ship in the task closure, the corpus crosses ONE Arrow stage that
-    emits only each batch's top-k per query (≤ k·|queries| rows per
-    partition), and a final window keeps the global k.  Output:
-    (query_id, neighbor_id, dot, rank), ties broken by neighbor id.
+    Same shape as :func:`cosine_topk` (shared ``_scored_topk``
+    scaffold): queries ship in the task closure, the corpus crosses ONE
+    Arrow stage emitting per-batch top-k, and a final window keeps the
+    global k.  Output: (query_id, neighbor_id, dot, rank), ties broken
+    by neighbor id.
     """
-    corpus = drop_null_vectors(corpus, vec_col)
-    queries = drop_null_vectors(queries, vec_col)
-    qrows = queries.select(query_id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("dot", T.DoubleType()),
-        ]
-    )
-
-    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            dots = _round_half_up(mat @ qmat.T)  # n×q
-            outs = []
-            for j, qid in enumerate(qids):
-                col = dots[:, j]
-                keep = ids != qid  # exclude self
-                cand_ids, cand_dots = ids[keep], col[keep]
-                order = np.lexsort((cand_ids, -cand_dots))[:k]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": cand_ids[order],
-                            "dot": cand_dots[order],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    partial = fan_out(corpus).select(id_col, vec_col).mapInPandas(
-        score_batch, schema=out_schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dot", "rank")
+    return _scored_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col,
+        lambda mat, qmat: mat @ qmat.T, "dot",
     )
 
 

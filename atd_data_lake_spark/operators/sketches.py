@@ -76,11 +76,15 @@ def bloom_positions_sql(key_sql: str, m: int, k: int) -> str:
 def _array_lit(values: list[int]) -> Column:
     # F.lit(list) builds the array one py4j call PER ELEMENT (~2.3 s for
     # 4096 longs, measured r9); a numpy array ships as one literal (~3x
-    # faster warm).  Fall back to the list path on older lit().
+    # faster warm).  Fallback ladder: list lit (pyspark >= 3.4), then
+    # the per-element array() that every version supports.
     try:
         return F.lit(np.asarray(values, dtype=np.int64))
     except Exception:  # pragma: no cover — older lit()
-        return F.lit(values)
+        try:
+            return F.lit(values)
+        except Exception:
+            return F.array(*[F.lit(v) for v in values])
 
 
 def bloom_bitmap(keys: DataFrame, key_col: str, m: int, k: int) -> list[int]:

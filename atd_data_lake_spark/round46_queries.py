@@ -897,10 +897,15 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over user-sized frames.
     """
     ev = _t(spark, sf_dir, "events")
+    # v and c each feed the next stage AND their own count action:
+    # persist the tiny per-user frames so the three count jobs scan
+    # events once per stage, not once per downstream consumer (r9
+    # review — unpersisted, p's job would recompute c and v)
     v = (
         ev.filter(F.col("event_type") == _FUNNEL[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == _FUNNEL[1])
@@ -908,6 +913,7 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == _FUNNEL[2])
@@ -919,6 +925,8 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_view = v.count()
     n_click = c.count()
     n_buy = p.count()
+    v.unpersist()
+    c.unpersist()
     # conversion division + rounding happens ENGINE-side (F.round is
     # HALF_UP like DuckDB's round; Python's round() is half-even)
     staged = spark.createDataFrame(

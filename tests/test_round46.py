@@ -294,3 +294,21 @@ def test_evt_funnel_conversion_monotone(spark, sf_dir):
     for s in ("2_click", "3_purchase"):
         c = rows[s]["conversion"]
         assert c is None or 0.0 <= c <= 1.0
+
+
+def test_scored_topk_empty_queries_returns_empty(spark, sf_dir):
+    """An empty query set must yield a schema-stable empty frame, not an
+    Arrow-stage crash (r9 review)."""
+    from atd_data_lake_spark.operators.similarity import (
+        cosine_topk,
+        maxdot_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn, col in ((cosine_topk, "cos_sim"), (maxdot_topk, "dot")):
+        out = fn(emb, none, k=5)
+        assert out.columns == ["query_id", "neighbor_id", col, "rank"]
+        assert out.count() == 0
