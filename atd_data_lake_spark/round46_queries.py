@@ -987,6 +987,246 @@ SELECT stage, n_users, conversion FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_retention_cohorts — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen week, and
+    for each (cohort_week, weeks_since_cohort) cell the count of
+    DISTINCT users active that week — the product-analytics matrix next
+    to DAU/WAU stickiness.
+
+    Engine-exactness: week boundaries via date_trunc('week') (Monday in
+    both engines), week offsets as exact day differences / 7 (always an
+    integer for week-truncated dates).
+
+    100 TB shape: per-user first-seen = one map-side-combined
+    groupBy(user_id) min; activity weeks = one DISTINCT (user, week)
+    projection; the matrix joins the per-user cohort (broadcastable at
+    |users| dimension or plain equi-join) and aggregates ≤
+    |cohorts|×|weeks| cells."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    weeks = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(F.col("week"), F.col("cohort_week"))
+            .cast("long")
+            .alias("days_since"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            "cohort_week",
+            (F.col("days_since") / 7).cast("long").alias("weeks_since"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+EVT_RETENTION_SQL = """
+WITH wk AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+act AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+           AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, weeks_since
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — Adamic-Adar link prediction on the copurchase graph
+# ---------------------------------------------------------------------------
+
+_AA_MOD = 4
+_AA_TOPK = 20
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent part pairs by ADAMIC-ADAR score
+    AA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) — the link-prediction
+    measure that down-weights promiscuous hubs, one rung above
+    ``graph_common_neighbors``' raw count/Jaccard.  Same (part % 4)
+    subgraph gate and wedge enumeration; every common neighbor has
+    deg ≥ 2 by construction, so ln(deg) > 0 always.
+
+    Engine-exactness: each wedge's 1/ln(deg_mid) term is rounded to
+    9 dp and DECIMAL-summed per pair (order-independent), final score
+    rounded to 6 dp; ties broken by (a, b).
+
+    100 TB shape: degree attaches to the wedge midpoints BEFORE the
+    wedge self-join (one broadcast onto the edge list), so the pair
+    aggregate is one map-side-combined groupBy over wedge rows —
+    identical shuffle volume to the common-neighbors count."""
+    from atd_data_lake_spark.round13_queries import _copurchase_pairs
+
+    pairs = (
+        _copurchase_pairs(spark, sf_dir)
+        .filter((F.col("a") % _AA_MOD == 0) & (F.col("b") % _AA_MOD == 0))
+        .persist()
+    )
+    und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    undd = und.join(F.broadcast(deg), "s").select(
+        "s",
+        "d",
+        F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
+        .cast("decimal(20,9)")
+        .alias("w"),
+    )
+    w1 = undd.select(F.col("s").alias("mid"), F.col("d").alias("a"), "w")
+    w2 = undd.select(F.col("s").alias("mid"), F.col("d").alias("b"))
+    cand = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").alias("_aa"),
+        )
+        .join(pairs, ["a", "b"], "left_anti")
+    )
+    return (
+        cand.select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(F.col("_aa").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "a", "b")
+        .limit(_AA_TOPK)
+    )
+
+
+def _graph_adamic_adar_sql() -> str:
+    from atd_data_lake_spark.round13_queries import _PAIR_CTE
+
+    return f"""
+WITH {_PAIR_CTE},
+sub AS (SELECT a, b FROM pairs WHERE a % {_AA_MOD} = 0 AND b % {_AA_MOD} = 0),
+und AS (SELECT a AS s, b AS d FROM sub UNION ALL SELECT b, a FROM sub),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+undd AS (
+    SELECT und.s, und.d,
+           CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 9)
+                AS DECIMAL(20,9)) AS w
+    FROM und JOIN deg USING (s)
+),
+cand AS (
+    SELECT w1.d AS a, w2.d AS b,
+           count(*) AS common_neighbors,
+           sum(w1.w) AS aa
+    FROM undd w1 JOIN undd w2 ON w1.s = w2.s
+    WHERE w1.d < w2.d
+    GROUP BY 1, 2
+),
+nonadj AS (
+    SELECT c.* FROM cand c
+    ANTI JOIN sub e ON e.a = c.a AND e.b = c.b
+)
+SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+       round(CAST(aa AS DOUBLE), 6) AS aa_score
+FROM nonadj
+ORDER BY aa_score DESC, a, b
+LIMIT {_AA_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_ttr_deciles — type-token-ratio by document-length decile
+# ---------------------------------------------------------------------------
+
+
+def text_ttr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostic: documents bucketed into 10
+    length deciles (ntile over (n_tokens, doc_id) — a TOTAL order, so
+    the bucketing is engine-deterministic), each reporting doc count,
+    token-length range, and the decimal-exact SUM of per-doc type-token
+    ratios (distinct/total tokens, 6 dp) — the Heaps'-law readout that
+    flags template/boilerplate strata (low TTR at high length).
+
+    Sums instead of averages by design: a per-decile mean would need
+    the half-up integer-averaging dance for float parity; the exact
+    decimal sum plus the count carries the same information."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("n_types") / F.col("n_tokens").cast("double"),
+                        6,
+                    ).cast("decimal(20,6)")
+                ).cast("double"),
+                6,
+            ).alias("sum_ttr"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "sum_ttr",
+        )
+        .orderBy("decile")
+    )
+
+
+TEXT_TTR_DECILES_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           count(DISTINCT token) AS n_types
+    FROM toks WHERE token <> '' GROUP BY doc_id
+),
+dec AS (
+    SELECT *, ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+    FROM per_doc
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       round(CAST(sum(CAST(round(n_types / CAST(n_tokens AS DOUBLE), 6)
+                           AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_ttr
+FROM dec
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 ROUND46_QUERIES = {
     "cur_full_pipeline": cur_full_pipeline,
     "evt_txlog_cluster_skip_executed": evt_txlog_cluster_skip_executed,
@@ -998,6 +1238,9 @@ ROUND46_QUERIES = {
     "evt_stream_benford_executed": evt_stream_benford_executed,
     "sim_maxdot_topk": sim_maxdot_topk,
     "evt_funnel_conversion": evt_funnel_conversion,
+    "evt_retention_cohorts": evt_retention_cohorts,
+    "graph_adamic_adar": graph_adamic_adar,
+    "text_ttr_deciles": text_ttr_deciles,
 }
 
 
@@ -1013,4 +1256,7 @@ def round46_oracles() -> dict[str, str]:
         "evt_stream_benford_executed": EVT_STREAM_BENFORD_SQL,
         "sim_maxdot_topk": SIM_MAXDOT_SQL,
         "evt_funnel_conversion": EVT_FUNNEL_SQL,
+        "evt_retention_cohorts": EVT_RETENTION_SQL,
+        "graph_adamic_adar": _graph_adamic_adar_sql(),
+        "text_ttr_deciles": TEXT_TTR_DECILES_SQL,
     }

@@ -312,3 +312,50 @@ def test_scored_topk_empty_queries_returns_empty(spark, sf_dir):
         out = fn(emb, none, k=5)
         assert out.columns == ["query_id", "neighbor_id", col, "rank"]
         assert out.count() == 0
+
+
+def test_evt_retention_cohorts_shape(spark, sf_dir):
+    """Week-0 is every cohort's maximum (all members are active in
+    their first week) and offsets are non-negative."""
+    from collections import defaultdict
+
+    from atd_data_lake_spark.round46_queries import evt_retention_cohorts
+
+    rows = evt_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        assert r["weeks_since"] >= 0 and r["n_users"] > 0
+        by_cohort[r["cohort_week"]][r["weeks_since"]] = r["n_users"]
+    for cells in by_cohort.values():
+        assert 0 in cells
+        assert cells[0] == max(cells.values())
+
+
+def test_graph_adamic_adar_bounds(spark, sf_dir):
+    """AA down-weights hubs: every score is positive and at most
+    common_neighbors / ln(2) (each term is 1/ln(deg) with deg >= 2)."""
+    import math
+
+    from atd_data_lake_spark.round46_queries import graph_adamic_adar
+
+    rows = graph_adamic_adar(spark, sf_dir).collect()
+    assert rows
+    scores = [r["aa_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["common_neighbors"] >= 1
+        assert 0.0 < r["aa_score"] <= r["common_neighbors"] / math.log(2) + 1e-6
+
+
+def test_text_ttr_deciles_shape(spark, sf_dir):
+    from atd_data_lake_spark.round46_queries import text_ttr_deciles
+
+    rows = text_ttr_deciles(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    # deciles are length-ordered: each decile's max <= the next's min...
+    # (ntile ties can straddle, so compare min-to-min monotonicity)
+    mins = [r["min_tokens"] for r in rows]
+    assert mins == sorted(mins)
+    for r in rows:
+        assert 0 < r["sum_ttr"] <= r["n_docs"] + 1e-6
