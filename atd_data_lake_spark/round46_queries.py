@@ -1227,6 +1227,153 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_pivot_monthly — the DataFrame pivot operator, oracle-checked
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def evt_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly value totals PIVOTED to one column per event type — the
+    `df.groupBy().pivot(values=...).agg()` operator surface (wide BI
+    export shape).  The pivot value list is EXPLICIT, which is the
+    at-scale contract anyway: an unlisted pivot forces an extra
+    distinct-collect job to discover columns, and both engines must
+    agree on the column set for parity.  Decimal-exact sums, absent
+    cells coalesced to 0.00."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.trunc(F.to_date("ts"), "month").alias("month")
+    piv = (
+        ev.select(month, "event_type", F.col("value").cast("decimal(14,2)").alias("v"))
+        .groupBy("month")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum("v"))
+    )
+    cols = [
+        F.round(F.coalesce(F.col(t), F.lit(0)).cast("double"), 2).alias(t)
+        for t in _PIVOT_TYPES
+    ]
+    return piv.select("month", *cols).orderBy("month")
+
+
+EVT_PIVOT_MONTHLY_SQL = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+       round(CAST(coalesce(sum(CASE WHEN event_type = 'click'
+           THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DOUBLE), 2) AS click,
+       round(CAST(coalesce(sum(CASE WHEN event_type = 'error'
+           THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DOUBLE), 2) AS error,
+       round(CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+           THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DOUBLE), 2) AS purchase,
+       round(CAST(coalesce(sum(CASE WHEN event_type = 'signup'
+           THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DOUBLE), 2) AS signup,
+       round(CAST(coalesce(sum(CASE WHEN event_type = 'view'
+           THEN CAST(value AS DECIMAL(14,2)) END), 0) AS DOUBLE), 2) AS view
+FROM events
+GROUP BY 1
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# mb_affinity_npmi — normalized pointwise mutual information
+# ---------------------------------------------------------------------------
+
+_NPMI_MIN_N = 5
+
+
+def mb_affinity_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by NORMALIZED PMI over basket co-occurrence:
+    npmi = ln(p(a,b)/(p(a)p(b))) / −ln(p(a,b)) ∈ [−1, 1] — the
+    association measure that, unlike raw lift (``mb_copurchase_lift``),
+    is comparable across support levels.  Pairs with co-count <
+    ``_NPMI_MIN_N`` are dropped (PMI is noise at tiny support).
+
+    Engine-exactness: probabilities are exact count ratios under one
+    fixed parenthesization; npmi rounded to 6 dp, ties broken (a, b).
+
+    100 TB shape: identical to the copurchase counting shape — baskets
+    collapse in one lineitem shuffle, pair counts map-side-combine, the
+    two 1-row totals and the per-part margins broadcast."""
+    from atd_data_lake_spark.round13_queries import _copurchase_pairs
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
+    )
+    n_baskets = baskets.count()
+    pair_n = (
+        baskets.select("parts", F.posexplode("parts").alias("_i", "a"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _NPMI_MIN_N)
+    )
+    part_n = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n_p"))
+    )
+    pa = F.broadcast(part_n.select(F.col("p").alias("a"), F.col("n_p").alias("n_a")))
+    pb = F.broadcast(part_n.select(F.col("p").alias("b"), F.col("n_p").alias("n_b")))
+    nb = F.lit(n_baskets).cast("double")
+    p_ab = F.col("n_ab") / nb
+    npmi = F.round(
+        F.log(p_ab / ((F.col("n_a") / nb) * (F.col("n_b") / nb)))
+        / -F.log(p_ab),
+        6,
+    )
+    return (
+        pair_n.join(pa, "a")
+        .join(pb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            npmi.alias("npmi"),
+        )
+        .orderBy(F.col("npmi").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+MB_AFFINITY_NPMI_SQL = f"""
+WITH b AS (
+    SELECT l_orderkey,
+           list_sort(list_distinct(list(l_partkey))) AS parts
+    FROM lineitem GROUP BY l_orderkey
+),
+nb AS (SELECT count(*) AS n FROM b),
+pairs AS (
+    SELECT t1.a, t2.b, count(*) AS n_ab
+    FROM b, UNNEST(b.parts) t1(a), UNNEST(b.parts) t2(b)
+    WHERE t1.a < t2.b
+    GROUP BY 1, 2
+    HAVING count(*) >= {_NPMI_MIN_N}
+),
+pn AS (
+    SELECT p, count(*) AS n_p
+    FROM (SELECT l_orderkey, unnest(parts) AS p FROM b)
+    GROUP BY p
+)
+SELECT pr.a, pr.b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       round(ln((pr.n_ab / CAST(nb.n AS DOUBLE))
+             / ((pa.n_p / CAST(nb.n AS DOUBLE))
+                * (pb.n_p / CAST(nb.n AS DOUBLE))))
+             / -ln(pr.n_ab / CAST(nb.n AS DOUBLE)), 6) AS npmi
+FROM pairs pr
+JOIN pn pa ON pa.p = pr.a
+JOIN pn pb ON pb.p = pr.b, nb
+ORDER BY npmi DESC, pr.a, pr.b
+LIMIT 20
+"""
+
+
 ROUND46_QUERIES = {
     "cur_full_pipeline": cur_full_pipeline,
     "evt_txlog_cluster_skip_executed": evt_txlog_cluster_skip_executed,
@@ -1241,6 +1388,8 @@ ROUND46_QUERIES = {
     "evt_retention_cohorts": evt_retention_cohorts,
     "graph_adamic_adar": graph_adamic_adar,
     "text_ttr_deciles": text_ttr_deciles,
+    "evt_pivot_monthly": evt_pivot_monthly,
+    "mb_affinity_npmi": mb_affinity_npmi,
 }
 
 
@@ -1259,4 +1408,6 @@ def round46_oracles() -> dict[str, str]:
         "evt_retention_cohorts": EVT_RETENTION_SQL,
         "graph_adamic_adar": _graph_adamic_adar_sql(),
         "text_ttr_deciles": TEXT_TTR_DECILES_SQL,
+        "evt_pivot_monthly": EVT_PIVOT_MONTHLY_SQL,
+        "mb_affinity_npmi": MB_AFFINITY_NPMI_SQL,
     }

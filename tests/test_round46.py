@@ -359,3 +359,38 @@ def test_text_ttr_deciles_shape(spark, sf_dir):
     assert mins == sorted(mins)
     for r in rows:
         assert 0 < r["sum_ttr"] <= r["n_docs"] + 1e-6
+
+
+def test_evt_pivot_monthly_columns_and_totals(spark, sf_dir):
+    """Pivoted per-type columns must sum back to the unpivoted total
+    (no rows lost to the explicit value list) and absent cells are 0."""
+    from atd_data_lake_spark.round46_queries import (
+        _PIVOT_TYPES,
+        evt_pivot_monthly,
+    )
+
+    rows = evt_pivot_monthly(spark, sf_dir).collect()
+    assert rows
+    assert rows[0].__fields__ == ["month", *list(_PIVOT_TYPES)]
+    total = sum(sum(r[t] for t in _PIVOT_TYPES) for r in rows)
+    want = (
+        read_table(spark, sf_dir, "events")
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")))
+        .collect()[0][0]
+    )
+    assert abs(total - float(want)) < 0.05  # per-cell 2dp rounding slack
+
+
+def test_mb_affinity_npmi_bounds(spark, sf_dir):
+    from atd_data_lake_spark.round46_queries import (
+        _NPMI_MIN_N,
+        mb_affinity_npmi,
+    )
+
+    rows = mb_affinity_npmi(spark, sf_dir).collect()
+    assert rows
+    scores = [r["npmi"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["n_ab"] >= _NPMI_MIN_N
+        assert -1.0 - 1e-6 <= r["npmi"] <= 1.0 + 1e-6
