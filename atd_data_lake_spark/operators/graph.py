@@ -155,9 +155,19 @@ def pagerank_masses(
     # materializes the cache the rounds read, so this job is the build
     n_adj_rows = in_adj.count()
 
-    # cheap distinct lineage — NOT the collect_set aggregation, which
-    # would otherwise re-evaluate for the rank-init consumers
-    nodes = edges.select("src").distinct()
+    # Derive the node set FROM THE CACHED ADJACENCY (distinct senders =
+    # distinct src over the exploded ins structs), the label_propagate
+    # discipline: `edges.select("src").distinct()` re-evaluated the
+    # caller's FULL edge lineage (for the registry queries that is the
+    # lineitem scan → basket collect_set → posexplode pair build) once
+    # for the n-count job and again inside the round-1 broadcast build —
+    # two redundant edge builds per query (guide §2.4: remove recompute
+    # before tuning anything else).  Reading the cache costs one
+    # edge-sized explode + distinct and keeps the whole algorithm at ONE
+    # edge-source scan.
+    nodes = in_adj.select(F.explode("ins").alias("_e")).select(
+        F.col("_e.src").alias("src")
+    ).distinct()
     # the teleport denominator N, needed as a scalar anyway — and it is
     # the EXACT size of the round-1 ranks frame, which on a directed
     # graph can dwarf the dst-keyed adjacency (r7 review: a dst-only
@@ -225,8 +235,21 @@ def label_propagate(
     per-round groupBy(dst) aggregates with NO exchange.  ``n_rounds``
     rounds over a 100 TB edge set shuffle the edge stream once.
     """
+    # SELF-LOOP folded into the adjacency at build time (array_union
+    # dedupes): min over (in-neighbors ∪ self) ≡ least(own label, min
+    # of in-neighbor labels), so each round needs ONE join + ONE
+    # aggregate instead of the old neighbor-min join PLUS a left-join
+    # least() update — per round that deletes a node-sized broadcast
+    # build and a join (guide §1.2/§2.4; measured A/B below).  Nodes
+    # that never appear as a receiver (src-only) have no adjacency row;
+    # their label provably never changes, so they ride as a constant
+    # persisted frame unioned per round.
     in_adj = scoped_persist(
-        edges.groupBy("dst").agg(F.collect_set("src").alias("ins"))
+        edges.groupBy("dst").agg(
+            F.array_union(
+                F.collect_set("src"), F.array(F.col("dst"))
+            ).alias("ins")
+        )
     )
     # nodes = src ∪ dst: a sink (in-edges only) must still start with its
     # own label — init from src alone silently dropped sinks on directed
@@ -248,29 +271,23 @@ def label_propagate(
     # materializing it for the rounds; above the gate every join runs
     # un-hinted (AQE decides), labels identical.
     hint_ok = labels.count() <= broadcast_node_limit
+    src_only = scoped_persist(
+        labels.join(
+            in_adj.select(F.col("dst").alias("node")), "node", "left_anti"
+        )
+    )
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))
-        nb = (
+        upd = (
             ex.join(
                 F.broadcast(labels) if hint_ok else labels,
                 F.col("_s") == F.col("node"),
             )
             .groupBy("dst")
-            .agg(F.min("label").alias("_nb"))
-            .select(F.col("dst").alias("node"), "_nb")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("node"), "label")
         )
-        # nb is node-bounded (one row per receiving node) — broadcast it
-        # like pagerank's rank frame, so the label update is exchange-free
-        # (an unhinted plan ran 3 rounds of node-sized sort-merge joins);
-        # same OOM gate as above
-        labels = labels.join(
-            F.broadcast(nb) if hint_ok else nb, "node", "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce("_nb", F.col("label"))
-            ).alias("label"),
-        )
+        labels = upd.unionByName(src_only)
     return labels
 
 
@@ -376,10 +393,20 @@ def ppr_masses(
     # src ∪ dst: a dst-only receiver must exist in the base frame or its
     # inbound mass silently vanishes at the round join; a src-only seed
     # must keep its teleport share (r7 review — on symmetric graphs the
-    # union is a no-op, on directed inputs it is the correctness fix)
-    nodes = (
-        edges.select("src")
-        .unionByName(edges.select(F.col("dst").alias("src")))
+    # union is a no-op, on directed inputs it is the correctness fix).
+    # Derived FROM THE CACHED ADJACENCY (receivers = dst keys, senders =
+    # exploded ins.src) and PERSISTED: the raw-edge formulation re-ran
+    # the caller's full edge lineage once per consumer (n-count,
+    # seed_nodes join, base join — three redundant edge builds per
+    # query; guide §2.4), and without its own persist the cache-read
+    # explode+distinct would still re-run per consumer.
+    nodes = scoped_persist(
+        in_adj.select(F.col("dst").alias("src"))
+        .unionByName(
+            in_adj.select(F.explode("ins").alias("_e")).select(
+                F.col("_e.src").alias("src")
+            )
+        )
         .distinct()
     )
     n = nodes.count()

@@ -74,6 +74,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Edge-row ceiling for broadcasting an EDGE-sized frame (two longs per
+# row).  8M rows ≈ 320 MB as a built hash relation — the same practical
+# executor/driver ceiling as operators/graph.BROADCAST_NODE_ROW_LIMIT;
+# above it the joins run un-hinted and AQE picks the strategy.
+_BROADCAST_EDGE_ROW_LIMIT = 8_000_000
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected co-purchase edges (a < b) via the basket
     posexplode x slice pair generator (the graph_pagerank path — one
@@ -127,14 +134,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row ever exceeds a few bytes regardless of skew.
     """
     pairs = _copurchase_pairs(spark, sf_dir).persist()
+    # one explicit materialization wave; the count also gates the
+    # closing-side broadcast below (edge-sized frame, OOM-gated like
+    # operators/graph.BROADCAST_NODE_ROW_LIMIT)
+    n_pairs = pairs.count()
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
 
-    dl = F.broadcast(deg.select(F.col("s").alias("a"), F.col("deg").alias("dega")))
-    dr = F.broadcast(deg.select(F.col("s").alias("b"), F.col("deg").alias("degb")))
-    ranked = pairs.join(dl, "a").join(dr, "b")
+    # IDENTICAL broadcast plan on both sides (rename AFTER the join):
+    # canonically-equal BroadcastExchanges collapse into one build +
+    # ReusedExchange instead of two sequential broadcast-build waves
+    # (guide §2.4 — the r8 mb_item_cf_topk recipe)
+    dg = F.broadcast(deg)
+    ranked = (
+        pairs.join(dg, F.col("a") == F.col("s"))
+        .withColumnRenamed("deg", "dega")
+        .drop("s")
+        .join(dg, F.col("b") == F.col("s"))
+        .withColumnRenamed("deg", "degb")
+        .drop("s")
+    )
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
@@ -151,9 +172,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("degv") < F.col("degw"))
         | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
     )
+    # The closing check is the expensive join: wedge volume (Σ outdeg²,
+    # 41M rows at sf0.1) dwarfs the edge list (1.2M).  Sort-merge joins
+    # them by shuffling + sorting the WEDGE stream — measured 4.2 s of
+    # the query's 8.6 s.  Broadcasting the edge-sized closing side
+    # turns it into a map-side hash probe: the wedge stream is never
+    # exchanged at all and the count partial-aggregates in place.
+    # Size-gated (an explicit F.broadcast bypasses Spark's size check):
+    # above the limit the wedge stream is big too, and SMJ + AQE is the
+    # honest fallback.
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
+    if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count("*").alias("n_triangles")
     )
@@ -267,12 +299,23 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("a") % _CN_MOD == 0) & (F.col("b") % _CN_MOD == 0))
         .persist()
     )
+    # materialization wave + the broadcast gate for the wedge join below
+    n_sub = pairs.count()
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
     w1 = und.select(F.col("s").alias("mid"), F.col("d").alias("a"))
     w2 = und.select(F.col("s").alias("mid"), F.col("d").alias("b"))
+    # Broadcast the subgraph-edge side of the wedge self-join (gated —
+    # an explicit hint bypasses Spark's size check): wedge volume is
+    # Σ deg² ≫ |edges|, so a sort-merge join here shuffles + sorts the
+    # WEDGE stream; with the edge side broadcast, wedges generate
+    # map-side and the (a, b) aggregate's partial pass compresses them
+    # before the only remaining exchange (candidate-pair-sized).  Same
+    # recipe as graph_triangle_count's closing join (guide §3.1).
+    if 2 * n_sub <= _BROADCAST_EDGE_ROW_LIMIT:
+        w2 = F.broadcast(w2)
     cand = (
         w1.join(w2, "mid")
         .filter(F.col("a") < F.col("b"))

@@ -53,11 +53,19 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    pairs = baskets.select(
-        "parts", F.posexplode("parts").alias("_i", "pa")
-    ).select(
-        "pa",
-        F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
+    # persist the raw pair stream: it feeds the adjacency build AND the
+    # seed derivation — unpersisted, the seed-gate job re-ran the whole
+    # lineitem → basket → posexplode pipeline a second time (guide
+    # §2.4: the cheapest shuffle is the one you don't re-run)
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
+    pairs = scoped_persist(
+        baskets.select(
+            "parts", F.posexplode("parts").alias("_i", "pa")
+        ).select(
+            "pa",
+            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
+        )
     )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")

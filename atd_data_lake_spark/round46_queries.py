@@ -922,21 +922,25 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n_view = v.count()
-    n_click = c.count()
-    n_buy = p.count()
-    v.unpersist()
-    c.unpersist()
+    # ONE action instead of three sequential count() waves + a
+    # createDataFrame round-trip (guide §1.2/§2.4: the per-job
+    # scheduling floor was 3× here): the three stage counts become
+    # 1-row aggregates cross-joined in-plan, so the whole funnel is a
+    # single job and the persisted v/c frames still materialize once
+    # each (v feeds its own count AND c's join; c feeds its count AND
+    # p's join).  Row values, rounding, and ordering are unchanged.
+    nv = v.agg(F.count("*").alias("nv"))
+    nc = c.agg(F.count("*").alias("nc"))
+    np_ = p.agg(F.count("*").alias("np"))
+    totals = F.broadcast(nv.crossJoin(nc).crossJoin(np_))
+    staged = totals.selectExpr(
+        "stack(3, "
+        "'1_view', nv, cast(null as bigint), "
+        "'2_click', nc, nv, "
+        "'3_purchase', np, nc) AS (stage, n_users, _prev)"
+    )
     # conversion division + rounding happens ENGINE-side (F.round is
     # HALF_UP like DuckDB's round; Python's round() is half-even)
-    staged = spark.createDataFrame(
-        [
-            ("1_view", n_view, None),
-            ("2_click", n_click, n_view),
-            ("3_purchase", n_buy, n_click),
-        ],
-        "stage string, n_users long, _prev long",
-    )
     return (
         staged.select(
             "stage",
@@ -1072,11 +1076,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shuffle volume to the common-neighbors count."""
     from atd_data_lake_spark.round13_queries import _copurchase_pairs
 
+    from atd_data_lake_spark.round13_queries import _BROADCAST_EDGE_ROW_LIMIT
+
     pairs = (
         _copurchase_pairs(spark, sf_dir)
         .filter((F.col("a") % _AA_MOD == 0) & (F.col("b") % _AA_MOD == 0))
         .persist()
     )
+    # materialization wave + the broadcast gate for the wedge join below
+    n_sub = pairs.count()
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
@@ -1090,6 +1098,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = undd.select(F.col("s").alias("mid"), F.col("d").alias("a"), "w")
     w2 = undd.select(F.col("s").alias("mid"), F.col("d").alias("b"))
+    # broadcast the edge-sized wedge side (size-gated) so the Σ deg²
+    # wedge stream never shuffles — the graph_common_neighbors /
+    # graph_triangle_count recipe (guide §3.1)
+    if 2 * n_sub <= _BROADCAST_EDGE_ROW_LIMIT:
+        w2 = F.broadcast(w2)
     cand = (
         w1.join(w2, "mid")
         .filter(F.col("a") < F.col("b"))

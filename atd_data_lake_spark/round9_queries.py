@@ -266,29 +266,44 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = drop_null_vectors(_t(spark, sf_dir, "embeddings"), "embedding")
-    plane_rows = (
-        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    planes = np.array([r[0] for r in plane_rows], dtype=np.float64)
-    centroid_rows = (
-        emb.filter(F.col("vec_id") < 16)
+    # ONE model-collect job for both indexes (was two sequential
+    # collects — guide §1.2 wave fusion; both frames are bounded model
+    # rows: 16 hyperplanes + 16 centroids)
+    model_rows = (
+        emb.filter(
+            (F.col("vec_id") < 16)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        )
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
     )
-    centroids = [(int(r[0]), list(r[1])) for r in centroid_rows]
+    planes = np.array(
+        [r[1] for r in model_rows if 100 <= r[0] < 116], dtype=np.float64
+    )
+    centroids = [(int(r[0]), list(r[1])) for r in model_rows if r[0] < 16]
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = cosine_topk(
         emb, queries, k=10, id_col="vec_id", vec_col="embedding"
     ).select("query_id", "neighbor_id").persist()
-    n_truth = exact.count()
+    # materialize the cache BEFORE the fused final job: its two
+    # semi-join branches otherwise race each other into the unbuilt
+    # persist and duplicate the brute-force pass (measured 4.1 s vs
+    # 3.1 s — the A/B that motivated keeping this one wave)
+    exact.count()
+    n_truth_agg = exact.agg(F.count("*").alias("n_truth"))
 
-    results = []
+    # hits per index and the truth count fused into ONE action (was
+    # count-per-index + a truth count + a createDataFrame round-trip =
+    # four sequential job waves): each branch is a semi-join + 1-row
+    # aggregate, unioned and cross-joined with the 1-row truth count.
+    # The recall division moves engine-side; hits/n_truth at 4 dp has
+    # no representable half-way ties (n_truth is a top-k multiple of
+    # the 5-query panel), so HALF_UP F.round equals the Python round
+    # it replaces — and the driver oracle re-checks exactly that.
+    branches = []
     for index_name, approx in (
         (
             "lsh",
@@ -299,16 +314,28 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("ivf", ivf_topk_model(emb, queries, centroids, k=10, n_probe=4)),
     ):
-        hits = exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).count()
-        results.append((index_name, 10, n_truth, hits, round(hits / n_truth, 4)))
-    exact.unpersist()
-    return spark.createDataFrame(
-        results, "index_name string, k int, n_truth long, n_hits long, recall double"
-    ).orderBy("index_name")
+        branches.append(
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(index_name).alias("index_name"), "n_hits")
+        )
+    return (
+        branches[0]
+        .unionByName(branches[1])
+        .crossJoin(F.broadcast(n_truth_agg))
+        .select(
+            "index_name",
+            F.lit(10).cast("int").alias("k"),
+            "n_truth",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        )
+        .orderBy("index_name")
+    )
 
 
 SIM_RECALL_EVAL_SQL = """

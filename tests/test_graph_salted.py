@@ -149,6 +149,12 @@ def test_label_prop_broadcast_gate_fallback(spark):
         for r in label_propagate(edges, n_rounds=3).collect()
     }
     with _no_auto_broadcast(spark):
+        # Drop the hinted run's persisted fragments first: CacheManager
+        # dedupes an identical logical plan against the live cache and
+        # returns the cached PHYSICAL fragment, which retains the join
+        # strategy from its planning-time threshold — the fallback run
+        # would otherwise "inherit" a BroadcastHashJoin it never planned.
+        spark.catalog.clearCache()
         fb_df = label_propagate(edges, n_rounds=3, broadcast_node_limit=0)
         fallback = {r["node"]: r["label"] for r in fb_df.collect()}
         plan = fb_df._jdf.queryExecution().executedPlan().toString()

@@ -86,6 +86,12 @@ BNLJ_ALLOWED = {
     "dq_ks_statistic",
     "dq_benford_digits",
     "text_js_divergence",
+    # r9 wave fusion (guide §1.2): the funnel's three 1-ROW stage
+    # counts crossJoin each other; recall eval's 1-ROW truth count
+    # crossJoins the 2-row per-index hit counts — broadcast
+    # pass-throughs replacing three sequential driver count() waves
+    "evt_funnel_conversion",
+    "sim_recall_eval",
 }
 
 

@@ -100,6 +100,7 @@ def test_tracked_caches_reclaims_graph_adjacency(spark):
     with tracked_caches() as reg:
         out = label_propagate(edges, n_rounds=2).collect()
         assert out
-        assert len(reg) == 1  # the receiver-keyed adjacency
-        assert reg[0].is_cached
-    assert not reg[0].is_cached
+        # the receiver-keyed adjacency + the constant src-only label frame
+        assert len(reg) == 2
+        assert all(df.is_cached for df in reg)
+    assert not any(df.is_cached for df in reg)
