@@ -1157,6 +1157,65 @@ def ngram_containment_pairs(
     )
 
 
+def window_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(id, text) → ``(_id, _pos, _wh)`` rows: one 52-bit md5-prefix hash
+    per sliding ``window``-token window, ``_pos`` 1-based.
+
+    Arrow-batched (``mapInPandas``) replacement for the JVM
+    ``transform(sequence(...), i -> concat_ws(slice(...)))`` +
+    posexplode + md5 formulation: higher-order-function lambdas are
+    interpreted PER ELEMENT, and the window build materializes every
+    overlapping window string as an array cell before hashing — measured
+    2.1 s of ``dedup_repeated_spans``'s 3.0 s at sf0.1 (the round-3
+    shingle measurement, replayed: Arrow batches + ``hashlib.md5`` do
+    the same work in ~0.3 s).  The hash value is engine-portable by
+    construction — ``int(md5(utf8(window)).hexdigest()[:13], 16)`` ==
+    DuckDB's ``('0x' || substr(md5(w), 1, 13))::UBIGINT`` == Spark's
+    ``conv(substring(md5(w), 1, 13), 16, 10)`` — so oracle parity is
+    unchanged.  Token semantics match ``split(text, ' ')`` exactly
+    (consecutive delimiters yield empty tokens on both paths)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", df.schema[id_col].dataType),
+            T.StructField("_pos", T.IntegerType()),
+            T.StructField("_wh", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        for pdf in batches:
+            ids: list = []
+            poss: list[int] = []
+            whs: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                for i in range(len(toks) - (window - 1)):
+                    w = " ".join(toks[i : i + window])
+                    ids.append(did)
+                    poss.append(i + 1)
+                    whs.append(int(md5(w.encode("utf-8")).hexdigest()[:13], 16))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "_pos": np.array(poss, dtype=np.int32),
+                    "_wh": np.array(whs, dtype=np.int64),
+                }
+            )
+
+    return fan_out(df).select(id_col, text_col).mapInPandas(op, schema=out_schema)
+
+
 def repeated_span_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1200,27 +1259,7 @@ def repeated_span_pairs(
     """
     from pyspark.sql import Window as W
 
-    words = F.split(F.col(text_col), " ")
-    n_wins = F.size(words) - F.lit(window - 1)
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] array
-    wins = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
-        F.array().cast("array<int>")
-    )
-    occ = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                wins,
-                lambda i: F.concat_ws(" ", F.slice(words, i, window)),
-            )
-        ).alias("_p0", "_w"),
-    ).select(
-        "_id",
-        (F.col("_p0") + 1).alias("_pos"),
-        F.conv(F.substring(F.md5("_w"), 1, 13), 16, 10)
-        .cast("long")
-        .alias("_wh"),
-    )
+    occ = window_hash_rows(df, id_col, text_col, window)
     grouped = (
         occ.groupBy("_wh")
         .agg(F.collect_list(F.struct("_id", "_pos")).alias("_os"))
@@ -1301,26 +1340,11 @@ def incremental_repeated_spans(
     from pyspark.sql import Window as W
 
     def occ(df: DataFrame, is_new: bool) -> DataFrame:
-        words = F.split(F.col(text_col), " ")
-        n_wins = F.size(words) - F.lit(window - 1)
-        wins = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
-            F.array().cast("array<int>")
-        )
-        return df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(
-                F.transform(
-                    wins,
-                    lambda i: F.concat_ws(" ", F.slice(words, i, window)),
-                )
-            ).alias("_p0", "_w"),
-        ).select(
-            "_id",
-            (F.col("_p0") + 1).alias("_pos"),
-            F.conv(F.substring(F.md5("_w"), 1, 13), 16, 10)
-            .cast("long")
-            .alias("_wh"),
-            F.lit(is_new).alias("_new"),
+        # Arrow-batched window hashing (see window_hash_rows — the JVM
+        # higher-order-function build it replaces was the measured
+        # bottleneck of the batch twin)
+        return window_hash_rows(df, id_col, text_col, window).withColumn(
+            "_new", F.lit(is_new)
         )
 
     occ_new = _persist(occ(new, True))

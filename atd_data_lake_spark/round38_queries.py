@@ -40,13 +40,27 @@ _CF_K = 5
 def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 item-item cosine recommendations per part.
 
-    100 TB shape: identical to ``mb_copurchase_lift`` — baskets collapse
-    in ONE lineitem shuffle, pairs generate in-row (Σ basket² bounded by
-    the ~4-line basket, never |lineitem|²), counts map-side combine, the
-    per-part counts broadcast back; the rank window runs over pair rows
-    (∝ co-occurrence, not catalog²).  Cosine = one IEEE
-    divide-by-correctly-rounded-sqrt of exact bigint counts —
-    engine-exact.
+    100 TB shape: baskets collapse in ONE lineitem shuffle, pairs
+    generate in-row (Σ basket² bounded by the ~4-line basket, never
+    |lineitem|²); the rank window runs over pair rows (∝ co-occurrence,
+    not catalog²).  Cosine = one IEEE divide-by-correctly-rounded-sqrt
+    of exact bigint counts — engine-exact.
+
+    r9 single-exchange rewrite (guide §2.4 "two operations keyed the
+    same way can share one exchange"; A/B 3.41 → 2.50 s min-of-4,
+    results bit-identical): the pair stream is symmetrized AT SOURCE
+    (both directions emitted before aggregation) and explicitly
+    repartitioned on ``a`` — hashpartitioning(a) satisfies the
+    ``groupBy(a, b)`` clustering requirement AND the rank window's
+    ``partitionBy(part_a)``, so the aggregate, both broadcast margin
+    joins, and the window all run in ONE partitioning with no further
+    exchange.  The old shape paid a (a, b)-keyed count exchange PLUS a
+    window exchange over the re-symmetrized counts, with a persist
+    barrier between them.  The trade: the shared exchange carries raw
+    pair occurrences (no map-side combine) and hashes on ``a`` alone —
+    a mega-popular part skews it, but that same key already skewed the
+    old window exchange, so the skew profile is unchanged while the
+    exchange count drops.
     """
     baskets = (
         _t(spark, sf_dir, "lineitem")
@@ -67,32 +81,22 @@ def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton_stream = baskets.select(
         F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
     ).select(F.col("_a").cast("long").alias("a"), "b")
-    # counts feeds three consumers (pairs, and the per-part dimension on
-    # both join sides): persist so the basket + count shuffles execute
-    # once — r7's unfactored plan showed 5 exchanges / 6 plan-text scans
-    # (executed 1.0× only thanks to AQE reuse); the cache makes the
-    # single materialization structural rather than a runtime rescue.
+    both_dirs = pair_stream.unionByName(
+        pair_stream.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).unionByName(singleton_stream)
     counts = (
-        pair_stream.unionByName(singleton_stream)
+        both_dirs.repartition("a")
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("n"))
-        .persist()
     )
     per_part = counts.filter(F.col("b") == -1).select(
         F.col("a").alias("pk"), F.col("n").alias("n_part")
     )
-    pairs = counts.filter(F.col("b") != -1).select(
+    # both directions already counted — this IS the symmetrized frame
+    sym = counts.filter(F.col("b") != -1).select(
         F.col("a").alias("part_a"),
         F.col("b").alias("part_b"),
         F.col("n").alias("n_pair"),
-    )
-    # symmetrize: each unordered pair recommends in both directions
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("part_b").alias("part_a"),
-            F.col("part_a").alias("part_b"),
-            "n_pair",
-        )
     )
     # broadcast the IDENTICAL per_part plan on both sides (rename after
     # the join, not inside the broadcast) so the second join reuses the

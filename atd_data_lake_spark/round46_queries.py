@@ -1307,43 +1307,75 @@ def mb_affinity_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: identical to the copurchase counting shape — baskets
     collapse in one lineitem shuffle, pair counts map-side-combine, the
-    two 1-row totals and the per-part margins broadcast."""
-    from atd_data_lake_spark.round13_queries import _copurchase_pairs
+    1-row basket total and the per-part margins broadcast.
 
+    r9 wave fusion (guide §1.2/§2.4): the original persisted ``baskets``
+    and paid a separate driver ``count()`` job for n_baskets before the
+    main job (basket build wave + main wave).  Rewritten on the
+    ``mb_copurchase_lift`` recipe — pair, singleton, and 1-row sentinel
+    streams union into ONE counts aggregate (AQE exchange reuse
+    materializes the basket shuffle once, filters push into the union
+    branches), n_baskets rides as a 1-row broadcast crossJoin — so the
+    whole query is one job with no persist and no driver action.  The
+    npmi expression is unchanged (same operands, same parenthesization:
+    the double cast of the total commutes with the literal it replaces).
+    """
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
     )
-    n_baskets = baskets.count()
-    pair_n = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "a"))
+    pair_stream = (
+        baskets.select("parts", F.posexplode("parts").alias("_i", "_a"))
         .select(
-            "a",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("b"),
+            "_a",
+            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("_b"),
         )
+        .select(
+            F.col("_a").cast("long").alias("a"),
+            F.col("_b").cast("long").alias("b"),
+        )
+    )
+    singleton_stream = baskets.select(
+        F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
+    ).select(F.col("_a").cast("long").alias("a"), "b")
+    order_stream = baskets.select(
+        F.lit(-1).cast("long").alias("a"), F.lit(-1).cast("long").alias("b")
+    )
+    counts = (
+        pair_stream.unionByName(singleton_stream)
+        .unionByName(order_stream)
         .groupBy("a", "b")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= _NPMI_MIN_N)
+        .agg(F.count("*").alias("n"))
     )
-    part_n = (
-        baskets.select(F.explode("parts").alias("p"))
-        .groupBy("p")
-        .agg(F.count("*").alias("n_p"))
+    n_baskets = counts.filter(
+        (F.col("a") == -1) & (F.col("b") == -1)
+    ).select(F.col("n").alias("n_baskets"))
+    part_n = counts.filter((F.col("a") != -1) & (F.col("b") == -1)).select(
+        F.col("a").alias("pk"), F.col("n").alias("n_p")
     )
-    pa = F.broadcast(part_n.select(F.col("p").alias("a"), F.col("n_p").alias("n_a")))
-    pb = F.broadcast(part_n.select(F.col("p").alias("b"), F.col("n_p").alias("n_b")))
-    nb = F.lit(n_baskets).cast("double")
+    pair_n = counts.filter(F.col("b") != -1).select(
+        "a", "b", F.col("n").alias("n_ab")
+    ).filter(F.col("n_ab") >= _NPMI_MIN_N)
+    nb = F.col("n_baskets").cast("double")
     p_ab = F.col("n_ab") / nb
     npmi = F.round(
         F.log(p_ab / ((F.col("n_a") / nb) * (F.col("n_b") / nb)))
         / -F.log(p_ab),
         6,
     )
+    # IDENTICAL broadcast plan on both margin joins (rename AFTER the
+    # join): the two BroadcastExchanges collapse into one build + a
+    # ReusedExchange (the mb_item_cf_topk recipe)
+    pn = F.broadcast(part_n)
     return (
-        pair_n.join(pa, "a")
-        .join(pb, "b")
+        pair_n.join(pn, F.col("a") == F.col("pk"))
+        .withColumnRenamed("n_p", "n_a")
+        .drop("pk")
+        .join(pn, F.col("b") == F.col("pk"))
+        .withColumnRenamed("n_p", "n_b")
+        .drop("pk")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "a",
             "b",

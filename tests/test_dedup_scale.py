@@ -492,6 +492,57 @@ def test_repeated_spans_finds_planted_span(spark):
     assert r["span_tokens"] == 30
 
 
+def test_window_hash_rows_matches_jvm_formulation(spark):
+    """The Arrow-batched window hasher (r9) must emit the exact rows of
+    the JVM ``transform``/``md5``/``conv`` formulation it replaced —
+    same 1-based positions, same 52-bit md5-prefix values, same empty-
+    token behavior on consecutive delimiters, same null/short-doc
+    handling (this is what keeps DuckDB-oracle parity)."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import window_hash_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # 3 windows at w=8
+            (2, "x  y z a b c d e"),          # double space: empty token
+            (3, "short doc"),                 # < window tokens: no rows
+            (4, None),                        # null text: no rows
+            (5, "a b c d e f g h"),           # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    window = 8
+    words = F.split(F.col("text"), " ")
+    n_wins = F.size(words) - F.lit(window - 1)
+    wins = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    jvm = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.posexplode(
+                F.transform(
+                    wins,
+                    lambda i: F.concat_ws(" ", F.slice(words, i, window)),
+                )
+            ).alias("_p0", "_w"),
+        )
+        .select(
+            "_id",
+            (F.col("_p0") + 1).alias("_pos"),
+            F.conv(F.substring(F.md5("_w"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("_wh"),
+        )
+        .collect()
+    )
+    arrow = window_hash_rows(docs, window=window).collect()
+    key = lambda r: (r["_id"], r["_pos"])  # noqa: E731
+    assert sorted(map(tuple, arrow)) == sorted(map(tuple, jvm))
+    assert {r["_id"] for r in arrow} == {1, 2, 5}
+
+
 def test_repeated_spans_df_cutoff_drops_boilerplate(spark):
     """A window shared by MORE than max_df documents (boilerplate) must
     not generate pairs — the quadratic-trap guard."""

@@ -92,6 +92,9 @@ BNLJ_ALLOWED = {
     # pass-throughs replacing three sequential driver count() waves
     "evt_funnel_conversion",
     "sim_recall_eval",
+    # r9: rewritten on the mb_copurchase_lift recipe — its 1-row basket
+    # total crossJoins the scored pair frame (broadcast pass-through)
+    "mb_affinity_npmi",
 }
 
 
