@@ -433,6 +433,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probs divided by its bigram count.  100 TB shape: two keyed
     exchanges — (bucket agg, per-doc sum); 8-byte bigram hashes on the
     wire, never text.
+
+    r9: the 16-byte/row ``bk`` bucket frame is ``scoped_persist``ed —
+    it feeds BOTH the model aggregation and the scoring join, and the
+    broadcast-join side has no exchange below it for AQE to reuse, so
+    the unpersisted form re-ran the split + zip_with + md5 bigram
+    derivation over the corpus twice (guide §5: cache iff reused and
+    recompute > memory pressure — A/B 2.09 → 1.54 s min-of-4, values
+    identical; MEMORY_AND_DISK spills gracefully at scale).
     """
     d = _t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 2
@@ -456,7 +464,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
         % _BG_BUCKETS
     )
-    bk = bg.select("doc_id", bucket.alias("bucket"))
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
+    bk = scoped_persist(bg.select("doc_id", bucket.alias("bucket")))
     bc = bk.groupBy("bucket").agg(F.count("*").alias("c"))
     tot = bc.agg(F.sum("c").alias("t"))
     lp = bc.crossJoin(F.broadcast(tot)).select(
