@@ -146,8 +146,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IDENTICAL broadcast plan on both sides (rename AFTER the join):
     # canonically-equal BroadcastExchanges collapse into one build +
     # ReusedExchange instead of two sequential broadcast-build waves
-    # (guide §2.4 — the r8 mb_item_cf_topk recipe)
-    dg = F.broadcast(deg)
+    # (guide §2.4 — the r8 mb_item_cf_topk recipe).  Size-gated like
+    # every forced hint in this family: deg is node-sized and
+    # |nodes| ≤ 2·|pairs|, so the pair count bounds it (r9 review —
+    # an explicit F.broadcast bypasses Spark's own size check).
+    dg = F.broadcast(deg) if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT else deg
     ranked = (
         pairs.join(dg, F.col("a") == F.col("s"))
         .withColumnRenamed("deg", "dega")
@@ -323,8 +326,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("common_neighbors"))
         .join(pairs, ["a", "b"], "left_anti")
     )
-    da = F.broadcast(deg.select(F.col("s").alias("a"), F.col("deg").alias("dega")))
-    db = F.broadcast(deg.select(F.col("s").alias("b"), F.col("deg").alias("degb")))
+    # node-sized degree hints, same gate as the wedge side (r9 review:
+    # every forced broadcast in this family is size-gated)
+    da = deg.select(F.col("s").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("s").alias("b"), F.col("deg").alias("degb"))
+    if 2 * n_sub <= _BROADCAST_EDGE_ROW_LIMIT:
+        da, db = F.broadcast(da), F.broadcast(db)
     scored = cand.join(da, "a").join(db, "b")
     return (
         scored.select(

@@ -62,25 +62,9 @@ def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     old window exchange, so the skew profile is unchanged while the
     exchange count drops.
     """
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_stream = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "_a"))
-        .select(
-            "_a",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("_b"),
-        )
-        .select(
-            F.col("_a").cast("long").alias("a"),
-            F.col("_b").cast("long").alias("b"),
-        )
-    )
-    singleton_stream = baskets.select(
-        F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
-    ).select(F.col("_a").cast("long").alias("a"), "b")
+    from atd_data_lake_spark.round4_queries import basket_pair_streams
+
+    pair_stream, singleton_stream, _ = basket_pair_streams(spark, sf_dir)
     both_dirs = pair_stream.unionByName(
         pair_stream.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).unionByName(singleton_stream)

@@ -896,24 +896,26 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, no per-user event lists; the final rollup is three scalar
     counts over user-sized frames.
     """
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
     ev = _t(spark, sf_dir, "events")
-    # v and c each feed the next stage AND their own count action:
-    # persist the tiny per-user frames so the three count jobs scan
-    # events once per stage, not once per downstream consumer (r9
-    # review — unpersisted, p's job would recompute c and v)
-    v = (
+    # v and c each feed the next stage AND their own count aggregate:
+    # persist the tiny per-user frames so the fused job scans events
+    # once per stage, not once per downstream consumer.  scoped_persist
+    # (not raw persist): the single-action rewrite cannot unpersist
+    # before the caller's action, so the frames must be reclaimable by
+    # a tracked_caches() scope (r9 review).
+    v = scoped_persist(
         ev.filter(F.col("event_type") == _FUNNEL[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-        .persist()
     )
-    c = (
+    c = scoped_persist(
         ev.filter(F.col("event_type") == _FUNNEL[1])
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
-        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == _FUNNEL[2])
@@ -1089,7 +1091,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
     deg = und.groupBy("s").agg(F.count("*").alias("deg"))
-    undd = und.join(F.broadcast(deg), "s").select(
+    # node-sized degree hint, same gate as the wedge side (r9 review)
+    if 2 * n_sub > _BROADCAST_EDGE_ROW_LIMIT:
+        undd_join = und.join(deg, "s")
+    else:
+        undd_join = und.join(F.broadcast(deg), "s")
+    undd = undd_join.select(
         "s",
         "d",
         F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
@@ -1320,27 +1327,10 @@ def mb_affinity_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     npmi expression is unchanged (same operands, same parenthesization:
     the double cast of the total commutes with the literal it replaces).
     """
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pair_stream = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "_a"))
-        .select(
-            "_a",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("_b"),
-        )
-        .select(
-            F.col("_a").cast("long").alias("a"),
-            F.col("_b").cast("long").alias("b"),
-        )
-    )
-    singleton_stream = baskets.select(
-        F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
-    ).select(F.col("_a").cast("long").alias("a"), "b")
-    order_stream = baskets.select(
-        F.lit(-1).cast("long").alias("a"), F.lit(-1).cast("long").alias("b")
+    from atd_data_lake_spark.round4_queries import basket_pair_streams
+
+    pair_stream, singleton_stream, order_stream = basket_pair_streams(
+        spark, sf_dir
     )
     counts = (
         pair_stream.unionByName(singleton_stream)

@@ -285,9 +285,16 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(
-        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
-    ).select("query_id", "neighbor_id").persist()
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
+    # scoped_persist, not raw persist: the fused single-action rewrite
+    # keeps the cache alive until the CALLER's action, so it must be
+    # reclaimable by a tracked_caches() scope (r9 review)
+    exact = scoped_persist(
+        cosine_topk(
+            emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+        ).select("query_id", "neighbor_id")
+    )
     # materialize the cache BEFORE the fused final job: its two
     # semi-join branches otherwise race each other into the unbuilt
     # persist and duplicate the brute-force pass (measured 4.1 s vs
