@@ -352,10 +352,13 @@ def minhash_lsh_candidates(
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    # the signature frame feeds both sides of the bucket self-join; persist
-    # so the Python signature stage runs once (it is tiny: docs x num_hashes
-    # longs; MEMORY_AND_DISK spills gracefully at any scale)
-    sig = _persist(minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n))
+    # NO persist on the signature frame: since the r7 in-partition pair
+    # expansion replaced the banded self-join, ``sig`` has exactly ONE
+    # consumer (the band explode) — caching it was a corpus-sized
+    # materialization with zero reuse (guide §5's multi-consumer rule;
+    # the r9 noop decomposition measured the candidate stage, not the
+    # verify, as this query's dominant cost)
+    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "_id",
         F.explode(

@@ -412,9 +412,11 @@ def test_tracked_caches_unpersists_operator_persists(spark, sf_dir):
             d, num_hashes=32, bands=10, threshold=0.8
         ).collect()
         assert out
-        # sig + buckets (r7: feeds the small/large expansion branches)
+        # buckets (r7: feeds the small/large expansion branches)
         # + cands + pruned shingles were persisted inside the scope
-        assert len(reg) == 4
+        # (r9: the signature frame no longer persists — single consumer
+        # since the in-partition pair expansion removed the self-join)
+        assert len(reg) == 3
         assert all(f.is_cached for f in reg)
     assert all(not f.is_cached for f in reg)
 
