@@ -71,6 +71,7 @@ def pagerank_masses(
     salt_buckets: int | None = None,
     dedupe_edges: bool = False,
     broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
+    symmetric_edges: bool = False,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` integer-exact PageRank rounds.
 
@@ -87,6 +88,18 @@ def pagerank_masses(
     out-adjacency's ``collect_set`` dedupes in the partial (map-side)
     aggregation, so duplicate edges never reach a shuffle and callers
     skip their own ``.distinct()`` exchange over the full edge stream.
+
+    ``symmetric_edges=True`` is the caller's promise that every edge
+    appears in BOTH directions (the undirected-orientation convention
+    all registry callers use).  Then senders == receivers == the cached
+    adjacency's ``dst`` keys, so the node frame is read straight off
+    the cache keys (already distinct — they are a groupBy key) and
+    ``N == n_adj_rows``, which is already counted to materialize the
+    cache.  That deletes the explode + distinct + count node-derivation
+    job entirely — at sf0.1 it was ~1.7 s of graph_pagerank's ~6.5 s
+    wall (r9 noop decomposition; guide §1.2: remove work before tuning
+    it).  Output is bit-identical by construction; asserted against the
+    default path in tests/test_graph_salted.py.
 
     The per-round rank frame is node-sized and broadcast WHILE the
     adjacency row count (counted once to materialize the iteration
@@ -165,15 +178,23 @@ def pagerank_masses(
     # before tuning anything else).  Reading the cache costs one
     # edge-sized explode + distinct and keeps the whole algorithm at ONE
     # edge-source scan.
-    nodes = in_adj.select(F.explode("ins").alias("_e")).select(
-        F.col("_e.src").alias("src")
-    ).distinct()
-    # the teleport denominator N, needed as a scalar anyway — and it is
-    # the EXACT size of the round-1 ranks frame, which on a directed
-    # graph can dwarf the dst-keyed adjacency (r7 review: a dst-only
-    # gate undercounts when many sources fan into few receivers), so
-    # the OOM gate takes the max of both
-    n = nodes.count()
+    if symmetric_edges and salt_buckets is None:
+        # senders == receivers == cache keys (caller promise above):
+        # the node frame is a projection of the cached groupBy keys
+        # (distinct by construction) and N is the cache row count the
+        # build job already produced — no second job.
+        nodes = in_adj.select(F.col("dst").alias("src"))
+        n = n_adj_rows
+    else:
+        nodes = in_adj.select(F.explode("ins").alias("_e")).select(
+            F.col("_e.src").alias("src")
+        ).distinct()
+        # the teleport denominator N, needed as a scalar anyway — and it
+        # is the EXACT size of the round-1 ranks frame, which on a
+        # directed graph can dwarf the dst-keyed adjacency (r7 review: a
+        # dst-only gate undercounts when many sources fan into few
+        # receivers), so the OOM gate takes the max of both
+        n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_masses: empty edge list")
     hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
@@ -216,6 +237,7 @@ def label_propagate(
     edges: DataFrame,
     n_rounds: int = 3,
     broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
+    symmetric_edges: bool = False,
 ) -> DataFrame:
     """Deterministic min-label propagation (synchronous LPA) —
     community detection's simplest convergent form: every node starts
@@ -258,12 +280,24 @@ def label_propagate(
     # rather than the edge frame: scan_amplification showed the naive
     # init re-scanning the edge source a second time (2.0×); this keeps
     # the whole algorithm at one edge scan.
-    labels = (
-        in_adj.select(F.col("dst").alias("node"))
-        .union(in_adj.select(F.explode("ins").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    # ``symmetric_edges=True`` (caller promise: every edge appears both
+    # ways, the registry convention): every node is a receiver, so the
+    # label frame is a plain projection of the cached groupBy keys
+    # (distinct by construction — no explode/union/distinct job) and the
+    # src-only frame is empty by construction, so the rounds skip its
+    # per-round union and the anti-join that builds it.
+    if symmetric_edges:
+        labels = in_adj.select(
+            F.col("dst").alias("node"), F.col("dst").alias("label")
+        )
+        src_only = None
+    else:
+        labels = (
+            in_adj.select(F.col("dst").alias("node"))
+            .union(in_adj.select(F.explode("ins").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
     # the OOM gate counts the LABELS frame itself — |src ∪ dst|, which
     # on a directed graph can dwarf the dst-keyed adjacency row count
     # (r7 review: a dst-only gate undercounts when many sources fan
@@ -271,11 +305,12 @@ def label_propagate(
     # materializing it for the rounds; above the gate every join runs
     # un-hinted (AQE decides), labels identical.
     hint_ok = labels.count() <= broadcast_node_limit
-    src_only = scoped_persist(
-        labels.join(
-            in_adj.select(F.col("dst").alias("node")), "node", "left_anti"
+    if not symmetric_edges:
+        src_only = scoped_persist(
+            labels.join(
+                in_adj.select(F.col("dst").alias("node")), "node", "left_anti"
+            )
         )
-    )
     for _ in range(n_rounds):
         ex = in_adj.select("dst", F.explode("ins").alias("_s"))
         upd = (
@@ -287,7 +322,7 @@ def label_propagate(
             .agg(F.min("label").alias("label"))
             .select(F.col("dst").alias("node"), "label")
         )
-        labels = upd.unionByName(src_only)
+        labels = upd if src_only is None else upd.unionByName(src_only)
     return labels
 
 
@@ -364,6 +399,7 @@ def ppr_masses(
     total_mass: int = 1_000_000_000_000,
     dedupe_edges: bool = False,
     broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
+    symmetric_edges: bool = False,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` integer-exact PERSONALIZED PageRank
     rounds: all initial mass and every round's 15% teleport share land
@@ -400,16 +436,25 @@ def ppr_masses(
     # seed_nodes join, base join — three redundant edge builds per
     # query; guide §2.4), and without its own persist the cache-read
     # explode+distinct would still re-run per consumer.
-    nodes = scoped_persist(
-        in_adj.select(F.col("dst").alias("src"))
-        .unionByName(
-            in_adj.select(F.explode("ins").alias("_e")).select(
-                F.col("_e.src").alias("src")
+    # ``symmetric_edges=True`` (caller promise: every edge appears both
+    # ways, the registry convention): senders == receivers == the cache
+    # keys, so the node frame is a plain projection of the cached
+    # groupBy keys — distinct by construction, no explode/union/distinct
+    # job, no second persist, and N == n_adj_rows from the build count.
+    if symmetric_edges:
+        nodes = in_adj.select(F.col("dst").alias("src"))
+        n = n_adj_rows
+    else:
+        nodes = scoped_persist(
+            in_adj.select(F.col("dst").alias("src"))
+            .unionByName(
+                in_adj.select(F.explode("ins").alias("_e")).select(
+                    F.col("_e.src").alias("src")
+                )
             )
+            .distinct()
         )
-        .distinct()
-    )
-    n = nodes.count()
+        n = nodes.count()
     if n == 0:
         raise ValueError("ppr_masses: empty edge list")
     seed_nodes = scoped_persist(

@@ -124,14 +124,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering coefficient (3*triangles / wedges, round 9).
 
     Plan shape (the part that must survive 100x): orient every edge
-    from its lower-(deg, id) endpoint; the wedge generator self-joins
-    the ORIENTED list on source, so intermediate volume is
-    sum(outdeg^2) <= O(m^1.5) instead of sum(deg^2) — arboricity-bounded,
-    the standard MapReduce/GraphX triangle plan.  The closing check is
-    one equi-join of wedges against oriented edges on the composite
-    (lo, hi) key.  Degree is node-sized and broadcast onto the edge
-    list; nothing in the plan materializes a neighborhood list, so no
-    row ever exceeds a few bytes regardless of skew.
+    from its lower-(deg, id) endpoint, then count per ORIENTED EDGE
+    ``|N+(src) ∩ N+(dst)|`` with the oriented out-adjacency broadcast
+    onto the edge list (r9 rewrite) — the edge-iterator form of the
+    standard degree-oriented triangle plan.  Work is still
+    sum(outdeg·(outdeg + indeg-side probes)) ≈ sum(outdeg²) ≤ O(m^1.5)
+    (arboricity-bounded, identical count: a triangle with (deg, id)
+    order x→y→z is counted exactly once, at edge (x, y), as z ∈
+    N+(x) ∩ N+(y)) — but the Σ outdeg² wedge stream is never
+    MATERIALIZED or joined: the r9 noop decomposition measured the old
+    41M-row wedge generate + closing hash probe at ~2/3 of the query
+    wall; the intersection runs inside whole-stage codegen over
+    edge-sized rows (guide §1.2: fix the distributed algorithm first).
+    The out-adjacency rows are bounded by max OUT-degree, which the
+    (deg, id) orientation caps near sqrt(2m) on skewed graphs — a hub's
+    undirected degree lands on its many low-degree neighbors' lists,
+    not its own row.  Above the broadcast gate the two adjacency joins
+    run un-hinted and AQE picks SMJ — the honest fallback, still
+    edge-sized inputs.
     """
     pairs = _copurchase_pairs(spark, sf_dir).persist()
     # one explicit materialization wave; the count also gates the
@@ -165,32 +175,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dst_deg"),
     ).persist()
 
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("degv"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("degw"))
-    # each unordered out-pair once: (v, w) with v before w in (deg, id) rank
-    wedges = e1.join(e2, "src").filter(
-        (F.col("degv") < F.col("degw"))
-        | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
+    # Oriented out-adjacency: node-sized rows, Σ row lengths = |edges|
+    # (oriented edges are distinct by construction — collect_list, no
+    # dedupe needed).  Keyed "s" so the IDENTICAL broadcast plan serves
+    # both endpoint joins (rename AFTER the join → one build +
+    # ReusedExchange, the deg recipe above).
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .select(F.col("src").alias("s"), "nbrs")
     )
-    # The closing check is the expensive join: wedge volume (Σ outdeg²,
-    # 41M rows at sf0.1) dwarfs the edge list (1.2M).  Sort-merge joins
-    # them by shuffling + sorting the WEDGE stream — measured 4.2 s of
-    # the query's 8.6 s.  Broadcasting the edge-sized closing side
-    # turns it into a map-side hash probe: the wedge stream is never
-    # exchanged at all and the count partial-aggregates in place.
-    # Size-gated (an explicit F.broadcast bypasses Spark's size check):
-    # above the limit the wedge stream is big too, and SMJ + AQE is the
-    # honest fallback.
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
+    ad = F.broadcast(adj) if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT else adj
+    # Per oriented edge (u, v): |N+(u) ∩ N+(v)| — the wedge stream and
+    # its closing hash probe (Σ outdeg² rows, 41M at sf0.1, measured
+    # ~2/3 of the old wall) never materialize; array_intersect runs in
+    # whole-stage codegen over 1 edge-sized row per edge.  The dst-side
+    # join is inner: an edge whose dst has no out-neighbors closes no
+    # triangle and contributes 0 to the sum either way.
+    tri_edges = (
+        oriented.join(ad, F.col("src") == F.col("s"))
+        .withColumnRenamed("nbrs", "_nu")
+        .drop("s")
+        .join(ad, F.col("dst") == F.col("s"))
+        .withColumnRenamed("nbrs", "_nv")
+        .drop("s")
     )
-    if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count("*").alias("n_triangles")
+    tri = tri_edges.select(
+        F.size(F.array_intersect("_nu", "_nv")).alias("_c")
+    ).agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles")
     )
 
     census = deg.agg(

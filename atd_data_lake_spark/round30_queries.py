@@ -198,7 +198,10 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    out = label_propagate(edges, n_rounds=_LP_ROUNDS)
+    # edges is pairs ∪ reversed(pairs) — symmetric by construction, so
+    # the label frame reads straight off the adjacency cache keys and
+    # the src-only union disappears from every round (guide §1.2)
+    out = label_propagate(edges, n_rounds=_LP_ROUNDS, symmetric_edges=True)
     return out.select(F.col("node").alias("part"), F.col("label").alias("community"))
 
 

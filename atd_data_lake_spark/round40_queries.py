@@ -81,6 +81,9 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PPR_ITER,
         total_mass=_PPR_MASS,
         dedupe_edges=True,
+        # edges is pairs ∪ reversed(pairs) — symmetric by construction
+        # (node frame = adjacency cache keys, no second derivation job)
+        symmetric_edges=True,
     )
     return (
         ranks.select(F.col("node").alias("part"), "mass")

@@ -103,7 +103,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atd_data_lake_spark.operators.graph import pagerank_masses
 
     ranks = pagerank_masses(
-        edges, n_iter=_PR_ITER, total_mass=_PR_MASS, dedupe_edges=True
+        edges,
+        n_iter=_PR_ITER,
+        total_mass=_PR_MASS,
+        dedupe_edges=True,
+        # edges is pairs ∪ reversed(pairs) — symmetric by construction,
+        # so the node frame reads straight off the adjacency cache keys
+        # (deletes the explode+distinct+count node job; guide §1.2)
+        symmetric_edges=True,
     )
     return (
         ranks.select(F.col("node").alias("part"), "mass")

@@ -160,3 +160,56 @@ def test_label_prop_broadcast_gate_fallback(spark):
         plan = fb_df._jdf.queryExecution().executedPlan().toString()
     assert hinted == fallback
     assert "BroadcastHashJoin" not in plan
+
+
+def test_symmetric_edges_fast_path_identical(spark):
+    """symmetric_edges=True (node frame read off the adjacency cache
+    keys instead of a second explode+distinct derivation job) must be
+    bit-identical to the default path on a both-ways-oriented graph —
+    for pagerank, PPR and label propagation (the r9 wave-removal
+    optimization; all registry callers orient both ways)."""
+    from atd_data_lake_spark.operators.graph import (
+        label_propagate,
+        pagerank_masses,
+        ppr_masses,
+    )
+
+    edges = _skewed_edges(spark)
+
+    pr_plain = {
+        r["node"]: r["mass"]
+        for r in pagerank_masses(edges, n_iter=3).collect()
+    }
+    spark.catalog.clearCache()
+    pr_sym = {
+        r["node"]: r["mass"]
+        for r in pagerank_masses(edges, n_iter=3, symmetric_edges=True).collect()
+    }
+    assert pr_plain == pr_sym
+
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 7 == 0
+    ).distinct()
+    spark.catalog.clearCache()
+    ppr_plain = {
+        r["node"]: r["mass"]
+        for r in ppr_masses(edges, seeds, n_iter=3).collect()
+    }
+    spark.catalog.clearCache()
+    ppr_sym = {
+        r["node"]: r["mass"]
+        for r in ppr_masses(edges, seeds, n_iter=3, symmetric_edges=True).collect()
+    }
+    assert ppr_plain == ppr_sym
+
+    spark.catalog.clearCache()
+    lp_plain = {
+        r["node"]: r["label"]
+        for r in label_propagate(edges, n_rounds=3).collect()
+    }
+    spark.catalog.clearCache()
+    lp_sym = {
+        r["node"]: r["label"]
+        for r in label_propagate(edges, n_rounds=3, symmetric_edges=True).collect()
+    }
+    assert lp_plain == lp_sym
