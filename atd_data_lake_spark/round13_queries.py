@@ -81,12 +81,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _BROADCAST_EDGE_ROW_LIMIT = 8_000_000
 
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, part_mod: int | None = None
+) -> DataFrame:
     """Distinct undirected co-purchase edges (a < b) via the basket
     posexplode x slice pair generator (the graph_pagerank path — one
-    collect_set shuffle, no lineitem self-join)."""
+    collect_set shuffle, no lineitem self-join).
+
+    ``part_mod=k`` pushes the subgraph gate ``a % k == 0 AND b % k == 0``
+    INTO the lineitem scan (r9): a pair survives the gate iff BOTH
+    endpoints do, and endpoints are lineitem partkeys, so filtering
+    ``l_partkey % k == 0`` before the basket aggregate is exactly
+    equivalent to filtering the generated pairs — but the basket
+    shuffle shrinks k× and the generated pair volume k²× (guide §2.3:
+    shuffle fewer bytes; Catalyst cannot push a filter on exploded
+    array elements through the collect_set itself)."""
+    li = _t(spark, sf_dir, "lineitem")
+    if part_mod is not None:
+        li = li.filter(F.col("l_partkey") % part_mod == 0)
     baskets = (
-        _t(spark, sf_dir, "lineitem")
+        li
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
@@ -312,11 +326,10 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     what bounds wedge volume here — documented sampling, applied
     identically in the oracle.
     """
-    pairs = (
-        _copurchase_pairs(spark, sf_dir)
-        .filter((F.col("a") % _CN_MOD == 0) & (F.col("b") % _CN_MOD == 0))
-        .persist()
-    )
+    # subgraph gate pushed into the lineitem scan (see _copurchase_pairs:
+    # exactly equivalent to filtering the generated pairs, 16× fewer
+    # generated pair rows and a 4× smaller basket shuffle)
+    pairs = _copurchase_pairs(spark, sf_dir, part_mod=_CN_MOD).persist()
     # materialization wave + the broadcast gate for the wedge join below
     n_sub = pairs.count()
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(

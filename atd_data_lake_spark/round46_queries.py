@@ -1080,11 +1080,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from atd_data_lake_spark.round13_queries import _BROADCAST_EDGE_ROW_LIMIT
 
-    pairs = (
-        _copurchase_pairs(spark, sf_dir)
-        .filter((F.col("a") % _AA_MOD == 0) & (F.col("b") % _AA_MOD == 0))
-        .persist()
-    )
+    # subgraph gate pushed into the lineitem scan (see _copurchase_pairs:
+    # exactly equivalent to filtering the generated pairs, 16× fewer
+    # generated pair rows and a 4× smaller basket shuffle)
+    pairs = _copurchase_pairs(spark, sf_dir, part_mod=_AA_MOD).persist()
     # materialization wave + the broadcast gate for the wedge join below
     n_sub = pairs.count()
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
