@@ -457,22 +457,39 @@ def ppr_masses(
         n = nodes.count()
     if n == 0:
         raise ValueError("ppr_masses: empty edge list")
-    seed_nodes = scoped_persist(
-        nodes.join(
-            seeds.select(F.col(seeds.columns[0]).alias("src")).distinct(),
-            "src",
-            "left_semi",
-        )
-    )
-    s_n = seed_nodes.count()
-    if s_n == 0:
-        raise ValueError("ppr_masses: no seed appears in the edge list")
     hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
 
-    base = nodes.join(
-        seed_nodes.select("src", F.lit(True).alias("_is_seed")), "src", "left"
-    ).select(
-        F.col("src").alias("node"),
+    # One wave instead of three (r9 decomposition: the s_n count and
+    # the base count were ~2.6 s + ~1.4 s of graph_ppr's wall while all
+    # five ROUNDS took ~0.7 s): the seed flag attaches in-plan (left
+    # join against the distinct seed keys — distinct is required, a
+    # duplicated seed row would duplicate its node row), the flagged
+    # frame persists, and ONE aggregate both materializes the cache and
+    # returns s_n.  The per-node masses need s_n as a literal, so they
+    # are projected lazily OVER the cached flag frame afterwards — a
+    # node-sized cache-read projection per consumer, no third wave.
+    seeds_d = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
+    # no forced hint on the seed side: its size is the CALLER's frame
+    # (unbounded by the node gate), and auto-broadcast/AQE already picks
+    # the strategy from runtime stats — the old semi-join was un-hinted
+    # for the same reason
+    flagged = scoped_persist(
+        nodes.join(
+            seeds_d.withColumn("_is_seed", F.lit(True)),
+            "src",
+            "left",
+        ).select(
+            F.col("src").alias("node"),
+            F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+        )
+    )
+    s_n = flagged.agg(
+        F.sum(F.col("_is_seed").cast("long"))
+    ).first()[0]
+    if s_n == 0:
+        raise ValueError("ppr_masses: no seed appears in the edge list")
+    base = flagged.select(
+        "node",
         F.when(
             F.col("_is_seed"),
             F.lit(15 * total_mass // (100 * s_n)).cast("long"),
@@ -485,8 +502,6 @@ def ppr_masses(
         .otherwise(F.lit(0).cast("long"))
         .alias("_init"),
     )
-    base = scoped_persist(base)
-    base.count()
 
     ranks = base.select("node", F.col("_init").alias("mass"))
     for _ in range(n_iter):

@@ -70,11 +70,10 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    seeds = (
-        edges.select("src")
-        .filter(F.col("src") % _PPR_SEED_MOD == 0)
-        .distinct()
-    )
+    # no .distinct() here: ppr_masses distincts the seed keys itself
+    # before flagging, so a wrapper-side distinct was a redundant
+    # exchange over the filtered stream (r9)
+    seeds = edges.select("src").filter(F.col("src") % _PPR_SEED_MOD == 0)
     ranks = ppr_masses(
         edges,
         seeds,
