@@ -939,6 +939,7 @@ def incremental_minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     standing_sig: DataFrame | None = None,
+    incoming_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs for a CONTINUOUS-INGEST batch: every
     pair involves at least one ``incoming`` doc (standing↔incoming or
@@ -959,6 +960,13 @@ def incremental_minhash_candidates(
     are computed once at ingest and stored columnar beside the docs, so
     the standing text is never re-shingled.  When None they are derived
     from ``standing``'s text (correct, but re-pays the Python stage).
+    ``incoming_sig``: same contract for the batch side — callers whose
+    standing and incoming frames are row-disjoint slices of ONE table
+    (the registry query's shape) pass both sides as filters of a single
+    persisted ``minhash_signature_df`` run, so the heavy text column is
+    read and shingled once instead of once per side (r9 batch 9;
+    signatures are computed row-wise, so a subset's signatures equal the
+    subset of the full-frame signatures).
 
     Output: (id_a, id_b, n_shared_bands) where id_b is always an
     incoming doc; for incoming↔incoming pairs id_a < id_b.  Same
@@ -993,7 +1001,13 @@ def incremental_minhash_candidates(
         standing_sig = minhash_signature_df(
             standing, id_col, text_col, num_hashes, shingle_n
         )
-    inc_sig = minhash_signature_df(incoming, id_col, text_col, num_hashes, shingle_n)
+    inc_sig = (
+        incoming_sig
+        if incoming_sig is not None
+        else minhash_signature_df(
+            incoming, id_col, text_col, num_hashes, shingle_n
+        )
+    )
 
     std_banded = _banded(standing_sig).withColumn("_new", F.lit(False))
     inc_banded = _persist(_banded(inc_sig))
@@ -1064,6 +1078,7 @@ def incremental_minhash_near_dups(
     shingle_n: int = 3,
     threshold: float = 0.8,
     standing_sig: DataFrame | None = None,
+    incoming_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest near-dup pairs VERIFIED by exact Jaccard —
     ``incremental_minhash_candidates`` (standing side never self-joins)
@@ -1088,6 +1103,7 @@ def incremental_minhash_near_dups(
         bands,
         shingle_n,
         standing_sig,
+        incoming_sig,
     )
     docs = (
         standing.select(id_col, text_col)

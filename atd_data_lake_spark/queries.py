@@ -1321,11 +1321,26 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-hash/10-band geometry and determinism argument as
     dedup_minhash_lsh makes the output equal the exact cross-group pair
     set — SQL-oracle-checked (was rows-only)."""
+    from atd_data_lake_spark.operators.dedup import minhash_signature_df
+    from atd_data_lake_spark.operators.scale import scoped_persist
+
     d = _t(spark, sf_dir, "documents")
     standing = d.filter(F.col("doc_id") % 10 != 7)
     incoming = d.filter(F.col("doc_id") % 10 == 7)
+    # ONE Arrow signature pass over the whole table, split by the same
+    # ingest predicate (signatures are row-wise, so filter commutes):
+    # the heavy text column is scanned and shingled once, not once per
+    # side (r9 batch 9).  Persist is justified by two consumers (both
+    # banding branches); 33 longs/row, spillable.
+    sig = scoped_persist(minhash_signature_df(d, num_hashes=32))
     return incremental_minhash_near_dups(
-        standing, incoming, num_hashes=32, bands=10, threshold=0.8
+        standing,
+        incoming,
+        num_hashes=32,
+        bands=10,
+        threshold=0.8,
+        standing_sig=sig.filter(F.col("_id") % 10 != 7),
+        incoming_sig=sig.filter(F.col("_id") % 10 == 7),
     )
 
 

@@ -196,6 +196,44 @@ def test_incremental_minhash_precomputed_signatures_identical(spark, sf_dir):
     assert derived == stored and derived
 
 
+def test_incremental_minhash_shared_signature_pass_identical(spark, sf_dir):
+    """The r9 batch-9 registry shape: ONE signature pass over the whole
+    table, split by the ingest predicate and passed as standing_sig AND
+    incoming_sig, must give the identical candidate set as deriving each
+    side from its own text (signatures are row-wise, so the filter
+    commutes through the Arrow stage)."""
+    from pyspark.sql import functions as F
+
+    from atd_data_lake_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signature_df,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    standing = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    sig = minhash_signature_df(d, num_hashes=32)
+
+    derived = sorted(
+        tuple(r)
+        for r in incremental_minhash_candidates(
+            standing, incoming, num_hashes=32, bands=8
+        ).collect()
+    )
+    shared = sorted(
+        tuple(r)
+        for r in incremental_minhash_candidates(
+            standing,
+            incoming,
+            num_hashes=32,
+            bands=8,
+            standing_sig=sig.filter(F.col("_id") % 10 != 7),
+            incoming_sig=sig.filter(F.col("_id") % 10 == 7),
+        ).collect()
+    )
+    assert derived == shared and derived
+
+
 import pytest as _pytest
 
 
