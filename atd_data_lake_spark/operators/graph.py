@@ -99,7 +99,12 @@ def pagerank_masses(
     job entirely — at sf0.1 it was ~1.7 s of graph_pagerank's ~6.5 s
     wall (r9 noop decomposition; guide §1.2: remove work before tuning
     it).  Output is bit-identical by construction; asserted against the
-    default path in tests/test_graph_salted.py.
+    default path in tests/test_graph_salted.py.  CAVEAT: with
+    ``salt_buckets`` set the adjacency keys are ``(dst, _bkt)`` — a node
+    can own several rows, so the fast path is silently DISABLED (the
+    guard below requires ``salt_buckets is None``) and the node frame
+    falls back to the explode + distinct + count derivation; the
+    salted-and-symmetric combination still pays that job.
 
     The per-round rank frame is node-sized and broadcast WHILE the
     adjacency row count (counted once to materialize the iteration

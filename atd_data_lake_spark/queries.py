@@ -1324,9 +1324,16 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atd_data_lake_spark.operators.dedup import minhash_signature_df
     from atd_data_lake_spark.operators.scale import scoped_persist
 
+    # ONE ingest predicate definition: the doc frames split on doc_id
+    # and the signature slices split on the sig frame's _id (same
+    # values) — a single expression applied to both column names keeps
+    # the four filters from drifting apart (r9 review finding).
+    def _is_incoming(col: str):
+        return F.col(col) % 10 == 7
+
     d = _t(spark, sf_dir, "documents")
-    standing = d.filter(F.col("doc_id") % 10 != 7)
-    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    standing = d.filter(~_is_incoming("doc_id"))
+    incoming = d.filter(_is_incoming("doc_id"))
     # ONE Arrow signature pass over the whole table, split by the same
     # ingest predicate (signatures are row-wise, so filter commutes):
     # the heavy text column is scanned and shingled once, not once per
@@ -1339,8 +1346,8 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=10,
         threshold=0.8,
-        standing_sig=sig.filter(F.col("_id") % 10 != 7),
-        incoming_sig=sig.filter(F.col("_id") % 10 == 7),
+        standing_sig=sig.filter(~_is_incoming("_id")),
+        incoming_sig=sig.filter(_is_incoming("_id")),
     )
 
 

@@ -213,3 +213,29 @@ def test_symmetric_edges_fast_path_identical(spark):
         for r in label_propagate(edges, n_rounds=3, symmetric_edges=True).collect()
     }
     assert lp_plain == lp_sym
+
+
+def test_symmetric_edges_with_salt_buckets_identical(spark):
+    """symmetric_edges=True combined with salt_buckets must still be
+    bit-identical to the plain path: salted adjacency keys are
+    (dst, _bkt) — a node can own several rows — so the fast path's
+    read-nodes-off-the-cache-keys shortcut is guarded off
+    (operators/graph.py: `symmetric_edges and salt_buckets is None`).
+    Pins the guard the r9 review flagged as untested: if it regressed,
+    duplicated dst keys would feed N = n_adj_rows > |V| and the teleport
+    shares would be wrong."""
+    from atd_data_lake_spark.operators.graph import pagerank_masses
+
+    edges = _skewed_edges(spark)
+    pr_plain = {
+        r["node"]: r["mass"]
+        for r in pagerank_masses(edges, n_iter=3).collect()
+    }
+    spark.catalog.clearCache()
+    pr_sym_salted = {
+        r["node"]: r["mass"]
+        for r in pagerank_masses(
+            edges, n_iter=3, symmetric_edges=True, salt_buckets=4
+        ).collect()
+    }
+    assert pr_plain == pr_sym_salted
