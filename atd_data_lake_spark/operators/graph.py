@@ -126,6 +126,69 @@ def pagerank_masses(
     # degree join — measured 0.6 s faster at sf0.1 than the
     # countDistinct + broadcast-join build it replaced, output
     # identical.
+    #
+    # r10 ONE-exchange symmetric build: when the caller promises a
+    # both-ways edge stream (symmetric_edges=True, unsalted), each
+    # node's in-neighbor set IS its out-neighbor set, so the
+    # receiver-keyed adjacency can be built DIRECTLY — one
+    # ``groupBy(dst).agg(collect_set(src))`` over the raw edges — and
+    # the sender's degree no longer needs to ride in a struct: it is
+    # ``size(srcs)`` of the sender's own cached row, read off the
+    # node-sized rank frame each round (the rank frame carries ``_deg``
+    # and the broadcast side ships the precomputed per-sender transfer
+    # ``(85·mass) div (100·deg)``).  That deletes the second edge-sized
+    # exchange (the old flat→groupBy(dst) regroup) and halves the cache
+    # row (a bare long array instead of (src, deg) structs) while
+    # keeping the per-round groupBy(dst) exchange-free — the cache is
+    # still dst-partitioned and explode + broadcast join preserve it.
+    # Masses are bit-identical (same integer ops over the same edge
+    # multiset; deg(u) = |N_in(u)| = |N_out(u)| under the symmetry
+    # promise) — pinned vs the default path in tests/test_graph_salted.
+    if symmetric_edges and salt_buckets is None:
+        neigh_src = (
+            F.collect_set("src") if dedupe_edges else F.collect_list("src")
+        )
+        in_adj = scoped_persist(
+            edges.groupBy("dst").agg(neigh_src.alias("srcs"))
+        )
+        n = in_adj.count()  # materializes the cache; N == |keys| (symmetric)
+        if n == 0:
+            raise ValueError("pagerank_masses: empty edge list")
+        hint_ok = n <= broadcast_node_limit
+        ranks = in_adj.select(
+            F.col("dst").alias("node"),
+            F.size("srcs").cast("long").alias("_deg"),
+            F.lit(total_mass // n).cast("long").alias("mass"),
+        )
+        base_lit = F.lit(15 * total_mass // (100 * n)).cast("long")
+        for _ in range(n_iter):
+            ex = in_adj.select(
+                "dst",
+                F.size("srcs").cast("long").alias("_rdeg"),
+                F.explode("srcs").alias("_s"),
+            )
+            # per-sender transfer computed ON the node-sized broadcast
+            # side: the edge-sized probe never touches the sender's mass
+            oshare = ranks.select(
+                "node", F.expr("(85 * mass) div (100 * _deg)").alias("_c")
+            )
+            contrib = (
+                ex.join(
+                    F.broadcast(oshare) if hint_ok else oshare,
+                    F.col("_s") == F.col("node"),
+                )
+                # _rdeg is constant within a dst group (projected off the
+                # group's own adjacency row), so first() is deterministic
+                .groupBy("dst")
+                .agg(F.sum("_c").alias("_in"), F.first("_rdeg").alias("_deg"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                "_deg",
+                (base_lit + F.col("_in")).alias("mass"),
+            )
+        return ranks.select("node", "mass")
+
     neigh = F.collect_set("dst") if dedupe_edges else F.collect_list("dst")
     if salt_buckets is None:
         out_adj = (
@@ -183,23 +246,18 @@ def pagerank_masses(
     # before tuning anything else).  Reading the cache costs one
     # edge-sized explode + distinct and keeps the whole algorithm at ONE
     # edge-source scan.
-    if symmetric_edges and salt_buckets is None:
-        # senders == receivers == cache keys (caller promise above):
-        # the node frame is a projection of the cached groupBy keys
-        # (distinct by construction) and N is the cache row count the
-        # build job already produced — no second job.
-        nodes = in_adj.select(F.col("dst").alias("src"))
-        n = n_adj_rows
-    else:
-        nodes = in_adj.select(F.explode("ins").alias("_e")).select(
-            F.col("_e.src").alias("src")
-        ).distinct()
-        # the teleport denominator N, needed as a scalar anyway — and it
-        # is the EXACT size of the round-1 ranks frame, which on a
-        # directed graph can dwarf the dst-keyed adjacency (r7 review: a
-        # dst-only gate undercounts when many sources fan into few
-        # receivers), so the OOM gate takes the max of both
-        n = nodes.count()
+    # (the unsalted symmetric combination returned above on the
+    # one-exchange build — this derivation serves directed and/or
+    # salted callers)
+    nodes = in_adj.select(F.explode("ins").alias("_e")).select(
+        F.col("_e.src").alias("src")
+    ).distinct()
+    # the teleport denominator N, needed as a scalar anyway — and it
+    # is the EXACT size of the round-1 ranks frame, which on a
+    # directed graph can dwarf the dst-keyed adjacency (r7 review: a
+    # dst-only gate undercounts when many sources fan into few
+    # receivers), so the OOM gate takes the max of both
+    n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_masses: empty edge list")
     hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
@@ -399,12 +457,13 @@ def k_hop_counts(
 
 def ppr_masses(
     edges: DataFrame,
-    seeds: DataFrame,
+    seeds: DataFrame | None,
     n_iter: int = 5,
     total_mass: int = 1_000_000_000_000,
     dedupe_edges: bool = False,
     broadcast_node_limit: int = BROADCAST_NODE_ROW_LIMIT,
     symmetric_edges: bool = False,
+    seed_pred=None,
 ) -> DataFrame:
     """(node, mass) after ``n_iter`` integer-exact PERSONALIZED PageRank
     rounds: all initial mass and every round's 15% teleport share land
@@ -418,7 +477,124 @@ def ppr_masses(
     riding the sender rows — one extra node-sized broadcast join per
     round, gated by the same node-count limit.  Integer div keeps every
     round bit-exact on both engines.
+
+    ``seed_pred`` (optional, a ``Column -> Column`` callable): when the
+    seed set is definable as a predicate over node ids (the registry
+    convention — e.g. ``node % 97 == 0``), the seed flag becomes a pure
+    PROJECTION over the node frame instead of a distinct + left join
+    against a caller-built seed frame, and (symmetric path) the caller
+    no longer needs to persist its raw pair stream just to share it
+    between the adjacency build and the seed derivation.  Semantically
+    identical to passing ``seeds = nodes.filter(pred)``: the old left
+    join also restricted seeds to graph nodes.  ``seeds`` is ignored
+    (may be None) when ``seed_pred`` is given.
+
+    r10 ONE-exchange symmetric build (same derivation as
+    :func:`pagerank_masses`): under the both-ways promise the
+    receiver-keyed adjacency is built directly with
+    ``groupBy(dst).agg(collect_set(src))`` — ONE edge-sized exchange
+    instead of two — and sender degrees ride the node-sized rank frame
+    (``_deg = size(srcs)``) instead of edge-sized structs; the n-count
+    and s_n waves fuse into ONE aggregate that also materializes the
+    cache.  Bit-identical masses (tests/test_graph_salted.py).
     """
+    if symmetric_edges:
+        neigh_src = (
+            F.collect_set("src") if dedupe_edges else F.collect_list("src")
+        )
+        in_adj = scoped_persist(
+            edges.groupBy("dst").agg(neigh_src.alias("srcs"))
+        )
+        if seed_pred is not None:
+            # pure projection over the cached keys — no join, no persist
+            flagged = in_adj.select(
+                F.col("dst").alias("node"),
+                F.size("srcs").cast("long").alias("_deg"),
+                seed_pred(F.col("dst")).alias("_is_seed"),
+            )
+        else:
+            seeds_d = seeds.select(
+                F.col(seeds.columns[0]).alias("node")
+            ).distinct()
+            # no forced hint on the seed side: its size is the CALLER's
+            # frame (unbounded by the node gate); AQE picks the strategy
+            flagged = scoped_persist(
+                in_adj.select(
+                    F.col("dst").alias("node"),
+                    F.size("srcs").cast("long").alias("_deg"),
+                )
+                .join(seeds_d.withColumn("_is_seed", F.lit(True)), "node", "left")
+                .select(
+                    "node",
+                    "_deg",
+                    F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+                )
+            )
+        # ONE wave: materializes the adjacency cache (and the flagged
+        # cache when it exists) and returns N + s_n together — the old
+        # shape paid an in_adj.count() job AND a flagged aggregate job
+        row = flagged.agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("_is_seed").cast("long")).alias("_s"),
+        ).first()
+        n = row[0]
+        if n == 0:
+            raise ValueError("ppr_masses: empty edge list")
+        s_n = row[1]
+        if s_n == 0:
+            raise ValueError("ppr_masses: no seed appears in the edge list")
+        hint_ok = n <= broadcast_node_limit
+        base = flagged.select(
+            "node",
+            "_deg",
+            F.when(
+                F.col("_is_seed"),
+                F.lit(15 * total_mass // (100 * s_n)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_base"),
+            F.when(
+                F.col("_is_seed"), F.lit(total_mass // s_n).cast("long")
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_init"),
+        )
+        ranks = base.select("node", "_deg", F.col("_init").alias("mass"))
+        for _ in range(n_iter):
+            ex = in_adj.select("dst", F.explode("srcs").alias("_s"))
+            oshare = ranks.select(
+                "node", F.expr("(85 * mass) div (100 * _deg)").alias("_c")
+            )
+            contrib = (
+                ex.join(
+                    F.broadcast(oshare) if hint_ok else oshare,
+                    F.col("_s") == F.col("node"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("_c").alias("_in"))
+            )
+            # base LEFT join contrib: a node with no in-contributions
+            # this round keeps its teleport share instead of vanishing
+            ranks = (
+                base.select("node", "_deg", "_base")
+                .join(
+                    F.broadcast(contrib) if hint_ok else contrib,
+                    F.col("node") == F.col("dst"),
+                    "left",
+                )
+                .select(
+                    "node",
+                    "_deg",
+                    (
+                        F.col("_base") + F.coalesce(F.col("_in"), F.lit(0))
+                    ).alias("mass"),
+                )
+            )
+            # lazy lineage truncation — each round re-references base
+            # (see the directed path below for the O(rounds²) rationale)
+            ranks = ranks.localCheckpoint(eager=False)
+        return ranks.select("node", "mass")
+
     neigh = F.collect_set("dst") if dedupe_edges else F.collect_list("dst")
     out_adj = (
         edges.groupBy("src")
@@ -441,25 +617,18 @@ def ppr_masses(
     # seed_nodes join, base join — three redundant edge builds per
     # query; guide §2.4), and without its own persist the cache-read
     # explode+distinct would still re-run per consumer.
-    # ``symmetric_edges=True`` (caller promise: every edge appears both
-    # ways, the registry convention): senders == receivers == the cache
-    # keys, so the node frame is a plain projection of the cached
-    # groupBy keys — distinct by construction, no explode/union/distinct
-    # job, no second persist, and N == n_adj_rows from the build count.
-    if symmetric_edges:
-        nodes = in_adj.select(F.col("dst").alias("src"))
-        n = n_adj_rows
-    else:
-        nodes = scoped_persist(
-            in_adj.select(F.col("dst").alias("src"))
-            .unionByName(
-                in_adj.select(F.explode("ins").alias("_e")).select(
-                    F.col("_e.src").alias("src")
-                )
+    # (symmetric callers returned above on the one-exchange build; this
+    # derivation serves directed edge streams)
+    nodes = scoped_persist(
+        in_adj.select(F.col("dst").alias("src"))
+        .unionByName(
+            in_adj.select(F.explode("ins").alias("_e")).select(
+                F.col("_e.src").alias("src")
             )
-            .distinct()
         )
-        n = nodes.count()
+        .distinct()
+    )
+    n = nodes.count()
     if n == 0:
         raise ValueError("ppr_masses: empty edge list")
     hint_ok = max(n_adj_rows, n) <= broadcast_node_limit
@@ -473,21 +642,31 @@ def ppr_masses(
     # returns s_n.  The per-node masses need s_n as a literal, so they
     # are projected lazily OVER the cached flag frame afterwards — a
     # node-sized cache-read projection per consumer, no third wave.
-    seeds_d = seeds.select(F.col(seeds.columns[0]).alias("src")).distinct()
-    # no forced hint on the seed side: its size is the CALLER's frame
-    # (unbounded by the node gate), and auto-broadcast/AQE already picks
-    # the strategy from runtime stats — the old semi-join was un-hinted
-    # for the same reason
-    flagged = scoped_persist(
-        nodes.join(
-            seeds_d.withColumn("_is_seed", F.lit(True)),
-            "src",
-            "left",
-        ).select(
-            F.col("src").alias("node"),
-            F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+    if seed_pred is not None:
+        flagged = scoped_persist(
+            nodes.select(
+                F.col("src").alias("node"),
+                seed_pred(F.col("src")).alias("_is_seed"),
+            )
         )
-    )
+    else:
+        seeds_d = seeds.select(
+            F.col(seeds.columns[0]).alias("src")
+        ).distinct()
+        # no forced hint on the seed side: its size is the CALLER's frame
+        # (unbounded by the node gate), and auto-broadcast/AQE already
+        # picks the strategy from runtime stats — the old semi-join was
+        # un-hinted for the same reason
+        flagged = scoped_persist(
+            nodes.join(
+                seeds_d.withColumn("_is_seed", F.lit(True)),
+                "src",
+                "left",
+            ).select(
+                F.col("src").alias("node"),
+                F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+            )
+        )
     s_n = flagged.agg(
         F.sum(F.col("_is_seed").cast("long"))
     ).first()[0]

@@ -53,36 +53,30 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    # persist the raw pair stream: it feeds the adjacency build AND the
-    # seed derivation — unpersisted, the seed-gate job re-ran the whole
-    # lineitem → basket → posexplode pipeline a second time (guide
-    # §2.4: the cheapest shuffle is the one you don't re-run)
-    from atd_data_lake_spark.operators.scale import scoped_persist
-
-    pairs = scoped_persist(
-        baskets.select(
-            "parts", F.posexplode("parts").alias("_i", "pa")
-        ).select(
-            "pa",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
-        )
+    # r10: NO pairs persist — the seed set is now a PREDICATE over the
+    # adjacency cache keys (``seed_pred``; symmetric graph ⇒ seeds from
+    # edges.src ≡ nodes.filter(pred)), so the pair stream has exactly
+    # one consumer (the adjacency groupBy) and caching it was a pure
+    # edge-sized materialization cost (guide §5's multi-consumer rule)
+    pairs = baskets.select(
+        "parts", F.posexplode("parts").alias("_i", "pa")
+    ).select(
+        "pa",
+        F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("pb"),
     )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    # no .distinct() here: ppr_masses distincts the seed keys itself
-    # before flagging, so a wrapper-side distinct was a redundant
-    # exchange over the filtered stream (r9)
-    seeds = edges.select("src").filter(F.col("src") % _PPR_SEED_MOD == 0)
     ranks = ppr_masses(
         edges,
-        seeds,
+        None,
         n_iter=_PPR_ITER,
         total_mass=_PPR_MASS,
         dedupe_edges=True,
         # edges is pairs ∪ reversed(pairs) — symmetric by construction
-        # (node frame = adjacency cache keys, no second derivation job)
+        # (one-exchange receiver-keyed build, see ppr_masses)
         symmetric_edges=True,
+        seed_pred=lambda c: (c % _PPR_SEED_MOD) == 0,
     )
     return (
         ranks.select(F.col("node").alias("part"), "mass")

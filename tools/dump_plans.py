@@ -23,7 +23,21 @@ def main() -> int:
     ap.add_argument("--suffix", default="after")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--no-checkpoint", action="store_true", help=(
+        "monkeypatch DataFrame.localCheckpoint to identity for this dump: "
+        "iterative queries (graph_ppr) truncate lineage per round, so their "
+        "final plan is otherwise an 18-line RDD-scan stub (r9 verdict item "
+        "8).  Plan-dump-only; the shipped query keeps its checkpoints."))
     args = ap.parse_args()
+
+    if args.no_checkpoint:
+        # patch the concrete class too — pyspark.sql.DataFrame is the
+        # abstract base; classic sessions dispatch to their own override
+        from pyspark.sql import DataFrame as _DF
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        _DF.localCheckpoint = lambda self, eager=True: self
+        _CDF.localCheckpoint = lambda self, eager=True: self
 
     from atd_data_lake_spark.queries import QUERIES
     from atd_data_lake_spark.session import get_spark
@@ -42,7 +56,14 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"plan: {name}")
         with tracked_caches():
             df = QUERIES[name](spark, args.sf)
-            df.write.format("noop").mode("overwrite").save()
+            # Execute THROUGH the DataFrame's own QueryExecution (collect,
+            # not a noop write — the write command builds a separate QE, so
+            # the dataset's own plan stayed un-executed and every dump read
+            # `isFinalPlan=false`, hiding runtime ReusedExchange /
+            # AQEShuffleRead; r9 verdict item 2).  Registry queries return
+            # bounded results (the driver oracle collects them), so the
+            # collect is safe.
+            df.collect()
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
