@@ -49,42 +49,35 @@ def mb_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9 single-exchange rewrite (guide §2.4 "two operations keyed the
     same way can share one exchange"; A/B 3.41 → 2.50 s min-of-4,
     results bit-identical): the pair stream is symmetrized AT SOURCE
-    (both directions emitted before aggregation) and explicitly
-    repartitioned on ``a`` — hashpartitioning(a) satisfies the
-    ``groupBy(a, b)`` clustering requirement AND the rank window's
-    ``partitionBy(part_a)``, so the aggregate, both broadcast margin
-    joins, and the window all run in ONE partitioning with no further
-    exchange.  The old shape paid a (a, b)-keyed count exchange PLUS a
-    window exchange over the re-symmetrized counts, with a persist
-    barrier between them.  The trade: the shared exchange carries raw
-    pair occurrences (no map-side combine) and hashes on ``a`` alone —
-    a mega-popular part skews it, but that same key already skewed the
-    old window exchange, so the skew profile is unchanged while the
-    exchange count drops.
-    """
-    from atd_data_lake_spark.round4_queries import basket_pair_streams
+    and explicitly repartitioned on ``a`` — hashpartitioning(a)
+    satisfies the ``groupBy(a, b)`` clustering requirement AND the rank
+    window's ``partitionBy(part_a)``, so the aggregate and the window
+    share ONE pair-slice exchange with no persist barrier.  The trade:
+    that exchange carries raw pair occurrences (no map-side combine)
+    and hashes on ``a`` alone — a mega-popular part skews it, but that
+    same key already skewed the old window exchange, so the skew
+    profile is unchanged while the exchange count drops.
 
-    pair_stream, singleton_stream, _ = basket_pair_streams(spark, sf_dir)
-    both_dirs = pair_stream.unionByName(
-        pair_stream.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).unionByName(singleton_stream)
-    counts = (
-        both_dirs.repartition("a")
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    per_part = counts.filter(F.col("b") == -1).select(
+    r10 slice rewrite (see ``basket_count_slices``): both pair
+    directions now come from ONE generate chain (the r9 union re-ran
+    the whole pair generation per direction), the per-part margins
+    aggregate their own singleton slice directly instead of filtering a
+    3-way sentinel union (whose executed plan re-evaluated every branch
+    per consumer), and the catalog-sized margin frame is persisted
+    because the runtime builds the two margin broadcasts separately.
+    """
+    from atd_data_lake_spark.round4_queries import basket_count_slices
+
+    counts, per_part_n, _ = basket_count_slices(spark, sf_dir, symmetric=True)
+    per_part = per_part_n.select(
         F.col("a").alias("pk"), F.col("n").alias("n_part")
     )
     # both directions already counted — this IS the symmetrized frame
-    sym = counts.filter(F.col("b") != -1).select(
+    sym = counts.select(
         F.col("a").alias("part_a"),
         F.col("b").alias("part_b"),
         F.col("n").alias("n_pair"),
     )
-    # broadcast the IDENTICAL per_part plan on both sides (rename after
-    # the join, not inside the broadcast) so the second join reuses the
-    # first's broadcast exchange instead of building a twin.
     scored = (
         sym.join(F.broadcast(per_part), F.col("part_a") == F.col("pk"))
         .withColumnRenamed("n_part", "n_a")

@@ -1317,33 +1317,22 @@ def mb_affinity_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r9 wave fusion (guide §1.2/§2.4): the original persisted ``baskets``
     and paid a separate driver ``count()`` job for n_baskets before the
-    main job (basket build wave + main wave).  Rewritten on the
-    ``mb_copurchase_lift`` recipe — pair, singleton, and 1-row sentinel
-    streams union into ONE counts aggregate (AQE exchange reuse
-    materializes the basket shuffle once, filters push into the union
-    branches), n_baskets rides as a 1-row broadcast crossJoin — so the
-    whole query is one job with no persist and no driver action.  The
-    npmi expression is unchanged (same operands, same parenthesization:
-    the double cast of the total commutes with the literal it replaces).
+    main job; n_baskets now rides as a 1-row broadcast crossJoin — one
+    job, no corpus persist, no driver action.  r10 slice rewrite (see
+    ``basket_count_slices``): the three disjoint slices aggregate
+    directly over the AQE-shared basket exchange instead of filtering a
+    3-way sentinel union whose executed plan re-evaluated every branch
+    per consumer.  The npmi expression is unchanged (same operands,
+    same parenthesization).
     """
-    from atd_data_lake_spark.round4_queries import basket_pair_streams
+    from atd_data_lake_spark.round4_queries import basket_count_slices
 
-    pair_stream, singleton_stream, order_stream = basket_pair_streams(
-        spark, sf_dir
-    )
-    counts = (
-        pair_stream.unionByName(singleton_stream)
-        .unionByName(order_stream)
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n"))
-    )
-    n_baskets = counts.filter(
-        (F.col("a") == -1) & (F.col("b") == -1)
-    ).select(F.col("n").alias("n_baskets"))
-    part_n = counts.filter((F.col("a") != -1) & (F.col("b") == -1)).select(
+    pair_counts, per_part_n, n_orders_1 = basket_count_slices(spark, sf_dir)
+    n_baskets = n_orders_1.select(F.col("n").alias("n_baskets"))
+    part_n = per_part_n.select(
         F.col("a").alias("pk"), F.col("n").alias("n_p")
     )
-    pair_n = counts.filter(F.col("b") != -1).select(
+    pair_n = pair_counts.select(
         "a", "b", F.col("n").alias("n_ab")
     ).filter(F.col("n_ab") >= _NPMI_MIN_N)
     nb = F.col("n_baskets").cast("double")
@@ -1353,9 +1342,10 @@ def mb_affinity_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / -F.log(p_ab),
         6,
     )
-    # IDENTICAL broadcast plan on both margin joins (rename AFTER the
-    # join): the two BroadcastExchanges collapse into one build + a
-    # ReusedExchange (the mb_item_cf_topk recipe)
+    # both margin joins broadcast the persisted catalog-sized margin
+    # frame (the runtime builds the two BroadcastExchanges separately —
+    # executed-plan finding r10 — so the cache, not broadcast reuse, is
+    # what keeps the margin slice from recomputing)
     pn = F.broadcast(part_n)
     return (
         pair_n.join(pn, F.col("a") == F.col("pk"))

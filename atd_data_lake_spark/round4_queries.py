@@ -943,51 +943,106 @@ ORDER BY relation
 # ---------------------------------------------------------------------------
 
 
-def basket_pair_streams(
-    spark: SparkSession, sf_dir: str
+def basket_count_slices(
+    spark: SparkSession, sf_dir: str, symmetric: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The shared market-basket counting source: ``(pair_stream,
-    singleton_stream, order_stream)`` over lineitem baskets.
+    """The shared market-basket counting source: ``(pair_counts(a, b,
+    n), per_part(a, n), n_orders(n))`` — three DIRECT aggregates over
+    ONE shared basket subtree.
 
-    One basket collect_set shuffle; pairs generate IN-ROW as
-    posexplode(parts) × slice(parts, i+2, …) (generator + slice stay in
-    whole-stage codegen — measured 1.6× faster than the equivalent
-    nested ``transform`` lambdas, which are interpreted per element), so
-    candidate volume is Σ(basket size choose 2), bounded by the ~4-line
-    TPC-H basket, never |lineitem|².  Singletons carry the per-part
-    margins under a ``b = -1`` sentinel and the 1-row order total under
-    ``(-1, -1)`` — the -1 keyspace is disjoint from partkeys, so one
-    ``groupBy(a, b)`` aggregate serves all three consumers.
+    One basket collect_set shuffle, shared by all three slices through
+    AQE exchange reuse (the executed plans show ONE physical
+    ``Exchange hashpartitioning(l_orderkey)`` plus ReusedExchange per
+    consumer).  Pairs generate IN-ROW as posexplode(parts) ×
+    slice(parts, i+2, …) (generator + slice stay in whole-stage codegen
+    — measured 1.6× faster than the equivalent nested ``transform``
+    lambdas, which are interpreted per element), so candidate volume is
+    Σ(basket size choose 2), bounded by the ~4-line TPC-H basket, never
+    |lineitem|².
+
+    r10 rewrite of the r9 3-way-union-with-sentinels shape: the union
+    promised "one groupBy serves all three consumers", but the EXECUTED
+    plans (plans/r10/mb_*_executed.txt) show Catalyst pushing each
+    consumer's group-key filter into the union below the aggregate, so
+    the three slice exchanges were never reused — each consumer
+    re-evaluated ALL THREE branches (9 reduce-side basket aggregates
+    and 4 fully-discarded pair generations per query) just to keep rows
+    it then filtered out.  Computing each disjoint slice directly does
+    strictly less work per consumer while the shared basket exchange
+    still materializes once (guide §2.4 — the reuse comes from the
+    identical SCAN+groupBy subtree, not from the union).  ``per_part``
+    feeds two broadcast margin joins whose BroadcastExchanges the
+    runtime does NOT deduplicate (executed plans show two separate
+    BroadcastQueryStages) — it stays UN-persisted anyway, because a
+    cache builds from its own plan in a separate sub-execution that
+    cannot reuse the main query's basket exchange (see the inline
+    comment below); two reduce-side slice rebuilds beat one extra
+    corpus-sized shuffle.
+
+    ``symmetric=True`` (the ``mb_item_cf_topk`` form) emits BOTH
+    directions of every pair occurrence from the SAME generate chain
+    (explode of a 2-struct array — the r9 shape re-ran the whole
+    pair generation once per direction through a union) and
+    pre-partitions the stream on ``a`` so the pair aggregate's
+    hashpartitioning(a) also serves the per-item rank window downstream
+    with no further exchange.
 
     Shared by ``mb_copurchase_lift``, ``mb_item_cf_topk`` (round 38) and
-    ``mb_affinity_npmi`` (round 46) — factored r9 so the pair generator
-    has exactly one definition (review finding: three copies risked
-    silent divergence)."""
+    ``mb_affinity_npmi`` (round 46) — one definition of the pair
+    generator (r9 review finding: three copies risked silent
+    divergence)."""
     baskets = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    pair_stream = (
-        baskets.select("parts", F.posexplode("parts").alias("_i", "_a"))
-        .select(
-            "_a",
-            F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias(
-                "_b"
-            ),
-        )
-        .select(
+    ordered = baskets.select(
+        "parts", F.posexplode("parts").alias("_i", "_a")
+    ).select(
+        "_a",
+        F.explode(F.expr("slice(parts, _i + 2, size(parts))")).alias("_b"),
+    )
+    if symmetric:
+        pair_stream = ordered.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_a").cast("long").alias("a"),
+                        F.col("_b").cast("long").alias("b"),
+                    ),
+                    F.struct(
+                        F.col("_b").cast("long").alias("a"),
+                        F.col("_a").cast("long").alias("b"),
+                    ),
+                )
+            ).alias("_p")
+        ).select("_p.a", "_p.b")
+        # hashpartitioning(a) satisfies the groupBy(a, b) clustering AND
+        # a downstream partitionBy(a) window — one exchange for both
+        pair_stream = pair_stream.repartition("a")
+    else:
+        pair_stream = ordered.select(
             F.col("_a").cast("long").alias("a"),
             F.col("_b").cast("long").alias("b"),
         )
+    pair_counts = pair_stream.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n")
     )
-    singleton_stream = baskets.select(
-        F.explode("parts").alias("_a"), F.lit(-1).cast("long").alias("b")
-    ).select(F.col("_a").cast("long").alias("a"), "b")
-    order_stream = baskets.select(
-        F.lit(-1).cast("long").alias("a"), F.lit(-1).cast("long").alias("b")
+    # NO persist on per_part: a cache builds from its OWN plan in a
+    # separate sub-execution, which re-runs the lineitem scan + basket
+    # exchange instead of reusing the main query's (verified in the
+    # executed plan: the InMemoryRelation build carried its own basket
+    # Exchange).  Un-persisted, each margin broadcast re-derives the
+    # slice through a ReusedExchange of the one basket shuffle — a
+    # reduce-side explode+agg per consumer, vs a full extra corpus
+    # shuffle at 100 TB for the cache.
+    per_part = (
+        baskets.select(F.explode("parts").alias("_a"))
+        .groupBy(F.col("_a").cast("long").alias("a"))
+        .agg(F.count("*").cast("long").alias("n"))
     )
-    return pair_stream, singleton_stream, order_stream
+    n_orders = baskets.agg(F.count("*").cast("long").alias("n"))
+    return pair_counts, per_part, n_orders
 
 
 def mb_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,37 +1056,24 @@ def mb_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element) — so candidate volume is Σ(basket size choose 2),
     bounded by the ~4-line TPC-H basket, never |lineitem|².
 
-    NO persist: the pair/singleton/sentinel streams and the three
-    filtered consumers all derive from ONE baskets groupBy, and AQE's
-    exchange reuse materializes that lineitem shuffle once (verified:
-    the final plan shows one ``Exchange hashpartitioning(l_orderkey)``
-    plus ReusedExchange wrappers) — shuffle-file re-reads give the
-    persist's reuse for free, on disk, without pinning a multi-TB
-    intermediate in executor memory at 100 TB.  Catalyst then pushes
-    the group-key filters through the count aggregate into the union,
-    so each consumer shuffles only ITS disjoint slice (pairs /
-    singletons / a skinny distinct-orderkey branch), the per-part
-    broadcast is built once and reused for n_b, and total shuffled
-    bytes stay ≈ the old single-exchange shape.  Dropping the two
-    persists cut the sf0.1 cold run 5.4→1.4 s and min-of-3 1.6→1.0 s.
+    NO corpus-sized persist: the three slices derive from ONE baskets
+    groupBy and AQE's exchange reuse materializes that lineitem shuffle
+    once (verified in the EXECUTED plan: one
+    ``Exchange hashpartitioning(l_orderkey)`` plus ReusedExchange
+    wrappers) — shuffle-file re-reads give the persist's reuse for
+    free, on disk, without pinning a multi-TB intermediate in executor
+    memory at 100 TB.  The r9→r10 slice rewrite is documented on
+    ``basket_count_slices`` (each consumer now computes only ITS slice
+    instead of re-evaluating all three union branches; the only cache
+    is the catalog-sized per-part margin frame, double-broadcast).
     Lift is one IEEE division of exact bigint counts (identical both
     engines): lift = n_pair · n_orders / (n_a · n_b)."""
-    pair_stream, singleton_stream, order_stream = basket_pair_streams(
-        spark, sf_dir
-    )
-    counts = (
-        pair_stream.unionByName(singleton_stream)
-        .unionByName(order_stream)
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    n_orders = counts.filter((F.col("a") == -1) & (F.col("b") == -1)).select(
-        F.col("n").alias("n_orders")
-    )
-    per_part = counts.filter((F.col("a") != -1) & (F.col("b") == -1)).select(
+    pair_counts, per_part_n, n_orders_1 = basket_count_slices(spark, sf_dir)
+    n_orders = n_orders_1.select(F.col("n").alias("n_orders"))
+    per_part = per_part_n.select(
         F.col("a").alias("pk"), F.col("n").alias("n_part")
     )
-    pairs = counts.filter(F.col("b") != -1).select(
+    pairs = pair_counts.select(
         F.col("a").alias("part_a"),
         F.col("b").alias("part_b"),
         F.col("n").alias("n_pair"),

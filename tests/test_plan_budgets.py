@@ -121,12 +121,17 @@ EXCHANGE_BUDGETS = {
     # round-4 rewrite: pair+singleton+sentinel rows union into ONE
     # groupBy — baskets shuffle + combined-counts shuffle (deduped
     # cache accounting; was 8 under the triple-aggregation plan)
-    # 5 DISJOINT-slice shuffles, not 5 passes: one baskets shuffle
-    # (lineitem→l_orderkey, AQE-reused by every branch) plus the pushed-
-    # down pair/singleton/sentinel branch shuffles that together carry
-    # the same bytes the old single counts exchange did. Deliberately
-    # raised from 2 when the two persists were dropped (5.4→1.4 s cold)
-    "mb_copurchase_lift": 5,
+    # 6 DISJOINT-slice shuffles, not 6 passes: one baskets shuffle
+    # (lineitem→l_orderkey, AQE-reused by every slice) + the pair-counts
+    # exchange + the singleton margin exchange + the 1-row n_orders
+    # global aggregate (≤ #partitions partial rows — the r9 sentinel
+    # union shape routed this count through the shared exchange, but its
+    # executed plan re-evaluated every union branch per consumer, so the
+    # extra 1-row exchange buys strictly less compute; r10 slice
+    # rewrite, see basket_count_slices) + the output range sort + the
+    # per-part cache-build exchange. Deliberately raised 2→5 (r8,
+    # persists dropped) →6 (r10, direct slices).
+    "mb_copurchase_lift": 6,
     "w3_percent_rank_cume": 2,
     "evt_gap_stats": 2,
     "text_top_bigrams": 2,
