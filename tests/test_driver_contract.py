@@ -44,12 +44,16 @@ def duck(sf_dir):
 def test_oracles_emit_no_hugeint_or_nested_columns(duck):
     bad = {}
     for name, sql in ORACLES.items():
-        schema = duck.execute(sql).fetch_arrow_table().schema
+        # DESCRIBE binds the query without executing it — the old
+        # fetch_arrow_table() RAN all 276 oracles end-to-end (~100 s of
+        # the suite) to read the same type information
+        schema = duck.execute(f"DESCRIBE ({sql})").fetchall()
         offenders = {
-            f.name: str(f.type)
-            for f in schema
-            if str(f.type) == "decimal128(38, 0)"  # DuckDB HUGEINT
-            or str(f.type).startswith(("list", "struct", "map"))
+            col: typ
+            for col, typ, *_ in schema
+            if typ == "HUGEINT"  # arrow decimal128(38, 0)
+            or "[]" in typ
+            or typ.startswith(("STRUCT", "MAP", "LIST", "UNION"))
         }
         if offenders:
             bad[name] = offenders
@@ -79,16 +83,25 @@ def test_gate_flags_decimal_output(spark):
 
 def test_registered_queries_emit_scalars_only(spark, sf_dir):
     bad = {}
-    for name, fn in QUERIES.items():
-        # Mostly analysis-only, but not entirely: the four *_executed
-        # streaming queries run their micro-batches and
-        # cur_semantic_decontaminate collects its (bounded) benchmark at
-        # construction time — building every registry frame costs a few
-        # real jobs, which is accepted here because this is the only gate
-        # that sees every schema the driver will hash.
-        offenders = _forbidden_output_fields(fn(spark, sf_dir).schema)
-        if offenders:
-            bad[name] = offenders
+    # Mostly analysis-only, but not entirely: the *_executed streaming
+    # queries run their micro-batches and cur_semantic_decontaminate
+    # collects its (bounded) benchmark at construction time — building
+    # every registry frame costs a few real jobs, which is accepted here
+    # because this is the only gate that sees every schema the driver
+    # will hash.  Built from a thread pool: 279 frames of driver-side
+    # analysis are independent (the JVM analyzes concurrently; job
+    # descriptions and tracked_caches scopes are thread-local) and the
+    # serial walk was ~107 s of the suite.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _check(item):
+        name, fn = item
+        return name, _forbidden_output_fields(fn(spark, sf_dir).schema)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, offenders in pool.map(_check, QUERIES.items()):
+            if offenders:
+                bad[name] = offenders
     assert not bad, (
         f"registered queries must project scalar, non-decimal columns "
         f"only (nested crashes the driver canonicalizer; DecimalType "

@@ -35,7 +35,15 @@ def test_sessionize_gap_splits(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # ProcessingTimeTimeout keeps availableNow spinning empty batches
+    # until the open tail session's timer fires — awaitTermination(120)
+    # burned its FULL timeout here (2 min per test).  The single input
+    # file drains in the first data batch, after which the sink holds
+    # every gap-closed session: poll for that batch and stop (the
+    # registry queries' pattern).
+    from atd_data_lake_spark.streaming.control import stop_after_data_batch
+
+    stop_after_data_batch(q)
     rows = spark.sql("SELECT * FROM t_sessions").collect()
     got = {
         (r["sensor"], str(r["session_start"])): (str(r["session_end"]), r["n_readings"])
@@ -73,7 +81,10 @@ def test_sessionize_batch_matches_stateful_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # poll-then-stop, not awaitTermination(120) — see test_sessionize_gap_splits
+    from atd_data_lake_spark.streaming.control import stop_after_data_batch
+
+    stop_after_data_batch(q)
     closed = {
         (r["sensor"], str(r["session_start"]), str(r["session_end"]), r["n_readings"])
         for r in spark.sql("SELECT * FROM t_sessions_eq").collect()

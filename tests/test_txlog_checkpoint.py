@@ -17,6 +17,17 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.fixture(autouse=True)
+def _small_interval(monkeypatch):
+    """Every assertion here is INTERVAL-RELATIVE (checkpoints land at
+    k·interval, replay reads ≤ interval commits, index covers versions ≤
+    newest checkpoint), so a 4-commit interval exercises exactly the same
+    arithmetic as the production 10 with ~2.5× fewer one-row commit jobs
+    — this file was 555 s of the suite's 44 min, and the driver's pytest
+    window was timing out at 96% (r9 verdict item 1)."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_INTERVAL", 4)
+
+
 @pytest.fixture()
 def table(tmp_path):
     return str(tmp_path / "tbl")
@@ -33,12 +44,15 @@ def _append_n(spark, table, n, start=0):
 
 
 def test_auto_checkpoint_written_every_interval(spark, table):
-    _append_n(spark, table, txlog._CHECKPOINT_INTERVAL * 2 + 5)
+    n = txlog._CHECKPOINT_INTERVAL * 2 + 5
+    _append_n(spark, table, n)
     ckpts = txlog._list_checkpoints(txlog._canon(table))
-    assert ckpts == [
-        txlog._CHECKPOINT_INTERVAL,
-        txlog._CHECKPOINT_INTERVAL * 2,
-    ]
+    # one checkpoint at every multiple of the interval ≤ n (the old
+    # hard-coded [interval, 2·interval] only held while 2·interval + 5
+    # < 3·interval, i.e. interval > 5)
+    assert ckpts == list(
+        range(txlog._CHECKPOINT_INTERVAL, n + 1, txlog._CHECKPOINT_INTERVAL)
+    )
     with open(
         txlog._checkpoint_file(
             txlog._canon(table), txlog._CHECKPOINT_INTERVAL
