@@ -177,6 +177,73 @@ def profile_documents_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _hu6_np(x):
+    """Half-up rounding to 6 places over a numpy array — the oracle's
+    ROUND semantics (shared by the profile pass and its fused twin)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def profile_arrays(text, langs=None):
+    """The per-batch profile computation over a pandas text Series:
+    returns ``(cols, toks, low)`` where ``cols`` holds the n_tokens /
+    n_subtokens / punct_ratio / lang_pred / quality arrays, ``toks`` is
+    the whitespace token-list Series (reusable by a fused shingle pass —
+    ``s.strip().split()`` tokens are exactly ``s.split()``'s), and
+    ``low`` is the lowercased text (for the fingerprint).
+
+    ONE definition of the quality/langid formulas: ``profile_documents``
+    and the round-46 fused profile+shingle pass both call this, so the
+    formulas cannot drift between the single-operator oracle and the
+    pipeline's (r10 fusion)."""
+    import re
+
+    import numpy as np
+
+    if langs is None:
+        langs = list(STOPWORDS)
+    low = text.str.lower()
+    padded = " " + low + " "
+    hits = {}
+    for lang in langs:
+        tot = np.zeros(len(text), dtype=np.int64)
+        for w in STOPWORDS[lang]:
+            tot += padded.str.count(re.escape(f" {w} ")).to_numpy()
+        hits[lang] = tot
+    H = np.stack([hits[lg] for lg in langs])
+    best = H.max(axis=0)
+    arg = H.argmax(axis=0)  # first max wins = STOPWORDS order
+    cols = {}
+    cols["lang_pred"] = np.where(
+        best > 0, np.array(langs, dtype=object)[arg], "und"
+    )
+    toks = text.str.strip().str.split()
+    cols["n_tokens"] = (
+        toks.map(lambda t: len(t) if t else 0).astype("int64").to_numpy()
+    )
+    cols["n_subtokens"] = (
+        toks.map(
+            lambda t: int(sum(-(-len(w) // 4) for w in t)) if t else 0
+        )
+        .astype("int64")
+        .to_numpy()
+    )
+    clean_len = (
+        text.str.replace(r"[a-zA-Z0-9 ]", "", regex=True).str.len().to_numpy()
+    )
+    tlen = text.str.len().to_numpy().astype(np.float64)
+    pr = np.where(tlen == 0, 0.0, _hu6_np(clean_len / np.maximum(tlen, 1)))
+    cols["punct_ratio"] = pr
+    q = (
+        0.4 * (np.minimum(cols["n_tokens"], 100) / 100.0)
+        + 0.3 * (1.0 - pr)
+        + 0.3 * (H.sum(axis=0) > 0)
+    )
+    cols["quality"] = _hu6_np(q)
+    return cols, toks, low
+
+
 def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document text profile (Arrow-batched pandas).
 
@@ -186,10 +253,8 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     normalized text.  Input columns pass through unchanged.
     """
     import hashlib
-    import re
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -206,9 +271,6 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     langs = list(STOPWORDS)
 
-    def _hu6(x: np.ndarray) -> np.ndarray:
-        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
-
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -216,38 +278,13 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             # NULL text degrades to the empty-string profile (0 tokens,
             # quality floor) instead of crashing the Arrow worker
             text = pdf[text_col].fillna("")
-            low = text.str.lower()
-            padded = " " + low + " "
-            hits = {}
-            for lang in langs:
-                tot = np.zeros(len(pdf), dtype=np.int64)
-                for w in STOPWORDS[lang]:
-                    tot += padded.str.count(re.escape(f" {w} ")).to_numpy()
-                hits[lang] = tot
-            H = np.stack([hits[lg] for lg in langs])
-            best = H.max(axis=0)
-            arg = H.argmax(axis=0)  # first max wins = STOPWORDS order
+            cols, _toks, low = profile_arrays(text, langs)
             out = pdf.copy()
-            out["lang_pred"] = np.where(
-                best > 0, np.array(langs, dtype=object)[arg], "und"
-            )
-            toks = text.str.strip().str.split()
-            out["n_tokens"] = toks.map(lambda t: len(t) if t else 0).astype("int64")
-            out["n_subtokens"] = toks.map(
-                lambda t: int(sum(-(-len(w) // 4) for w in t)) if t else 0
-            ).astype("int64")
-            clean_len = (
-                text.str.replace(r"[a-zA-Z0-9 ]", "", regex=True).str.len().to_numpy()
-            )
-            tlen = text.str.len().to_numpy().astype(np.float64)
-            pr = np.where(tlen == 0, 0.0, _hu6(clean_len / np.maximum(tlen, 1)))
-            out["punct_ratio"] = pr
-            q = (
-                0.4 * (np.minimum(out["n_tokens"].to_numpy(), 100) / 100.0)
-                + 0.3 * (1.0 - pr)
-                + 0.3 * (H.sum(axis=0) > 0)
-            )
-            out["quality"] = _hu6(q)
+            out["lang_pred"] = cols["lang_pred"]
+            out["n_tokens"] = cols["n_tokens"]
+            out["n_subtokens"] = cols["n_subtokens"]
+            out["punct_ratio"] = cols["punct_ratio"]
+            out["quality"] = cols["quality"]
             norm = low.str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
             out["fingerprint"] = [
                 hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm

@@ -85,31 +85,132 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_pipeline_frame(d)
 
 
+def _profile_shingle_rows(d: DataFrame) -> DataFrame:
+    """ONE Arrow pass over the corpus emitting BOTH streams the pipeline
+    needs: per-doc profile sentinel rows (``_hash`` NULL, carrying
+    n_tokens / quality / lang_pred) and the distinct-trigram shingle
+    rows (``_hash``/``_sz`` set, profile columns NULL).
+
+    r10 fusion (guide §4.1): the pipeline previously ran TWO Arrow
+    corpus passes — ``profile_documents`` then ``shingle_hashes`` — each
+    reading and tokenizing the full text column (and the profile pass
+    also md5-fingerprinting every doc for a column the pipeline never
+    reads).  The fused op tokenizes once, computes only the profile
+    columns the gates consume, and derives the shingles from the SAME
+    token lists (``s.strip().split()`` tokens ≡ ``s.split()``'s, so the
+    shingle sets are identical to ``_doc_shingles``'s).  The profile
+    formulas are ``text.profile_arrays`` — one definition shared with
+    ``profile_documents``, so pipeline and single-operator oracles
+    cannot drift.  At 100 TB this halves the flagship's corpus I/O and
+    Python-boundary bytes; the two streams ride one persisted frame the
+    way ``shingle_hashes`` rides its memo (mapInPandas gets no AQE
+    exchange reuse — the persist IS the sharing)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from atd_data_lake_spark.operators.scale import fan_out
+    from atd_data_lake_spark.operators.text import STOPWORDS, profile_arrays
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", d.schema["doc_id"].dataType),
+            T.StructField("_hash", T.LongType()),
+            T.StructField("_sz", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("quality", T.DoubleType()),
+            T.StructField("lang_pred", T.StringType()),
+        ]
+    )
+    langs = list(STOPWORDS)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            text = pdf["text"].fillna("")
+            cols, toks, _low = profile_arrays(text, langs)
+            ids = pdf["doc_id"].to_numpy()
+            # nullable dtypes throughout so the concat with the shingle
+            # rows (whose profile columns are NULL) keeps exact dtypes
+            prof = pd.DataFrame(
+                {
+                    "_id": ids,
+                    "_hash": pd.array([None] * len(pdf), dtype="Int64"),
+                    "_sz": pd.array([None] * len(pdf), dtype="Int64"),
+                    "n_tokens": pd.array(cols["n_tokens"], dtype="Int64"),
+                    "quality": pd.array(cols["quality"], dtype="Float64"),
+                    "lang_pred": cols["lang_pred"],
+                }
+            )
+            sh_ids: list = []
+            all_sh: list[str] = []
+            counts: list[int] = []
+            for did, t in zip(ids, toks):
+                # same guard as dedup._doc_shingles: < 3 tokens → no rows
+                if not t or len(t) < 3:
+                    continue
+                sh = list({" ".join(t[i : i + 3]) for i in range(len(t) - 2)})
+                sh_ids.append(did)
+                all_sh.extend(sh)
+                counts.append(len(sh))
+            if all_sh:
+                hashes = pd.util.hash_array(
+                    np.array(all_sh, dtype=object)
+                ).astype(np.int64)
+                cnt = np.array(counts, dtype=np.int64)
+                shf = pd.DataFrame(
+                    {
+                        "_id": np.repeat(np.array(sh_ids), counts),
+                        "_hash": hashes,
+                        "_sz": np.repeat(cnt, cnt),
+                        "n_tokens": pd.array(
+                            [None] * len(hashes), dtype="Int64"
+                        ),
+                        # nullable Float64, NOT np.nan — Spark reads a
+                        # float NaN as NaN, and the sentinel columns
+                        # must be true NULLs
+                        "quality": pd.array(
+                            [None] * len(hashes), dtype="Float64"
+                        ),
+                        "lang_pred": pd.array(
+                            [None] * len(hashes), dtype=object
+                        ),
+                    }
+                )
+                yield pd.concat([prof, shf], ignore_index=True)
+            else:
+                yield prof
+
+    return fan_out(d).select("doc_id", "text").mapInPandas(op, schema=out_schema)
+
+
 def full_pipeline_frame(d: DataFrame) -> DataFrame:
     """The DAG over an arbitrary (doc_id, text) frame — the registry
     query reads the testdata table; ``tools/scale_smoke.py`` drives the
     same composition over the 10×-replicated corpus."""
     from atd_data_lake_spark.operators.components import connected_components
     from atd_data_lake_spark.operators.curation import hash_u16
-    from atd_data_lake_spark.operators.dedup import shingle_hashes
-    from atd_data_lake_spark.operators.text import profile_documents
 
-    # Arrow pass 1: profile.  Persist only the NARROW meta frame — the
-    # corpus text never enters a cache.
+    # ONE fused Arrow pass (was two: profile + shingles — see
+    # _profile_shingle_rows).  The persisted frame carries both the
+    # per-doc profile sentinels and the shingle rows; every downstream
+    # stage is a cache-read filter of it, so the corpus text is read and
+    # tokenized exactly once.
+    ps = _profile_shingle_rows(d).persist()
     meta = (
-        profile_documents(d, text_col="text")
+        ps.filter(F.col("_hash").isNull())
         .filter(
             (F.col("quality") >= _FP_QUALITY)
             & (F.col("lang_pred") == _FP_LANG)
-            & (F.col("doc_id") % 20 != 0)
+            & (F.col("_id") % 20 != 0)
         )
-        .select("doc_id", "n_tokens", "quality")
-        .persist()
+        .select(F.col("_id").alias("doc_id"), "n_tokens", "quality")
     )
 
-    # Arrow pass 2: the session-shared shingle frame over the FULL
-    # corpus — bench markers and corpus shingles are both filters of it.
-    sh = shingle_hashes(d, "doc_id", "text", 3, with_size=True)
+    sh = ps.filter(F.col("_hash").isNotNull()).select("_id", "_hash", "_sz")
     bench_h = (
         sh.filter(F.col("_id") % 20 == 0)
         .select("_hash")
