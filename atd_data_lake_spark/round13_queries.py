@@ -165,15 +165,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    # PERSISTED: deg feeds three consumers (both orientation joins and
+    # the census aggregate).  The r9 shape relied on "identical
+    # broadcast plan → ReusedExchange", but the EXECUTED plan shows the
+    # runtime builds the two BroadcastExchanges as separate query
+    # stages, each re-running the degree aggregate and its exchange
+    # (plans/r10/graph_triangle_count_before.txt operators 57-78) —
+    # node-sized cache, three rebuilds saved (guide §5 multi-consumer
+    # rule, r10).
+    deg = und.groupBy("s").agg(F.count("*").alias("deg")).persist()
 
-    # IDENTICAL broadcast plan on both sides (rename AFTER the join):
-    # canonically-equal BroadcastExchanges collapse into one build +
-    # ReusedExchange instead of two sequential broadcast-build waves
-    # (guide §2.4 — the r8 mb_item_cf_topk recipe).  Size-gated like
-    # every forced hint in this family: deg is node-sized and
-    # |nodes| ≤ 2·|pairs|, so the pair count bounds it (r9 review —
-    # an explicit F.broadcast bypasses Spark's own size check).
+    # Size-gated like every forced hint in this family: deg is
+    # node-sized and |nodes| ≤ 2·|pairs|, so the pair count bounds it
+    # (r9 review — an explicit F.broadcast bypasses Spark's own size
+    # check).
     dg = F.broadcast(deg) if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT else deg
     ranked = (
         pairs.join(dg, F.col("a") == F.col("s"))
@@ -193,13 +198,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Oriented out-adjacency: node-sized rows, Σ row lengths = |edges|
     # (oriented edges are distinct by construction — collect_list, no
-    # dedupe needed).  Keyed "s" so the IDENTICAL broadcast plan serves
-    # both endpoint joins (rename AFTER the join → one build +
-    # ReusedExchange, the deg recipe above).
+    # dedupe needed).  PERSISTED for the same reason as deg above: the
+    # runtime builds the two endpoint broadcasts separately, and
+    # un-cached each rebuild re-ran the collect_list exchange over the
+    # full oriented edge set (r10).
     adj = (
         oriented.groupBy("src")
         .agg(F.collect_list("dst").alias("nbrs"))
         .select(F.col("src").alias("s"), "nbrs")
+        .persist()
     )
     ad = F.broadcast(adj) if n_pairs <= _BROADCAST_EDGE_ROW_LIMIT else adj
     # Per oriented edge (u, v): |N+(u) ∩ N+(v)| — the wedge stream and
@@ -335,7 +342,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    # persisted: feeds two broadcast hints (da, db) the runtime builds
+    # as separate stages (r10 executed-plan finding; node-sized cache)
+    deg = und.groupBy("s").agg(F.count("*").alias("deg")).persist()
     w1 = und.select(F.col("s").alias("mid"), F.col("d").alias("a"))
     w2 = und.select(F.col("s").alias("mid"), F.col("d").alias("b"))
     # Broadcast the subgraph-edge side of the wedge self-join (gated —

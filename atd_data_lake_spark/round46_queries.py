@@ -1196,13 +1196,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         undd_join = und.join(deg, "s")
     else:
         undd_join = und.join(F.broadcast(deg), "s")
+    # persisted: undd feeds the probe stream AND the broadcast wedge
+    # side, which the runtime builds as a separate stage that would
+    # re-run the deg join (r10 executed-plan finding; subgraph-sized)
     undd = undd_join.select(
         "s",
         "d",
         F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
         .cast("decimal(20,9)")
         .alias("w"),
-    )
+    ).persist()
     w1 = undd.select(F.col("s").alias("mid"), F.col("d").alias("a"), "w")
     w2 = undd.select(F.col("s").alias("mid"), F.col("d").alias("b"))
     # broadcast the edge-sized wedge side (size-gated) so the Σ deg²
