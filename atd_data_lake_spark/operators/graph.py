@@ -506,11 +506,19 @@ def ppr_masses(
             edges.groupBy("dst").agg(neigh_src.alias("srcs"))
         )
         if seed_pred is not None:
-            # pure projection over the cached keys — no join, no persist
-            flagged = in_adj.select(
-                F.col("dst").alias("node"),
-                F.size("srcs").cast("long").alias("_deg"),
-                seed_pred(F.col("dst")).alias("_is_seed"),
+            # pure projection over the cached keys — no join.  STILL
+            # persisted: the per-round base projection must read a
+            # NARROW node-sized cache, not re-scan the adjacency cache's
+            # heavy srcs arrays once per round (the sf1 scale probe
+            # measured ppr 4× pagerank without this persist; with it
+            # the rounds touch 24 bytes/node instead of the edge-sized
+            # array column)
+            flagged = scoped_persist(
+                in_adj.select(
+                    F.col("dst").alias("node"),
+                    F.size("srcs").cast("long").alias("_deg"),
+                    seed_pred(F.col("dst")).alias("_is_seed"),
+                )
             )
         else:
             seeds_d = seeds.select(

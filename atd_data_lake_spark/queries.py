@@ -1338,7 +1338,12 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest predicate (signatures are row-wise, so filter commutes):
     # the heavy text column is scanned and shingled once, not once per
     # side (r9 batch 9).  Persist is justified by two consumers (both
-    # banding branches); 33 longs/row, spillable.
+    # banding branches); 33 longs/row, spillable.  Lifecycle (r9 ADVICE
+    # note): outside a tracked_caches() scope this persist lives until
+    # the session-level clearCache() — the bench/sweep/driver contract
+    # — which is the repo-wide convention for query-internal caches; a
+    # caller embedding this query in a long-lived session should wrap
+    # it in tracked_caches() like the runner does.
     sig = scoped_persist(minhash_signature_df(d, num_hashes=32))
     return incremental_minhash_near_dups(
         standing,
